@@ -1,0 +1,95 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB at the given sf dir, then compares row count, column-name
+set, and order-insensitive values (sorted rows, floats compared
+exactly after both sides' agreed rounding).
+
+Usage: python tools/oracle_check.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("float", "Float")):
+            df[c] = df[c].astype("float64").round(9)
+        elif str(df[c].dtype).startswith(("int", "Int", "uint")):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as mod
+    from vector_graph_native_database__spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duck_con(sf_dir)
+    qs, os_ = mod.queries(), mod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir).toPandas()
+        if name not in os_:
+            print(f"  {name:28s} rows={len(sdf):6d}  (rows-only, no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        odf = con.sql(os_[name]).df()
+        a, b = canon(sdf), canon(odf)
+        ok = True
+        why = ""
+        if list(a.columns) != list(b.columns):
+            ok, why = False, f"schema {list(a.columns)} vs {list(b.columns)}"
+        elif len(a) != len(b):
+            ok, why = False, f"rows {len(a)} vs {len(b)}"
+        elif not a.equals(b):
+            ok = False
+            neq = (a != b) & ~(a.isna() & b.isna())
+            bad_cols = [c for c in a.columns if neq[c].any()]
+            i = neq.any(axis=1).idxmax()
+            why = f"values differ cols={bad_cols} first@{i}: " \
+                  f"{a.loc[i].to_dict()} vs {b.loc[i].to_dict()}"
+        status = "OK  " if ok else "FAIL"
+        print(f"  {name:28s} {status} rows={len(a):6d} [{time.time()-t0:.1f}s] {why}")
+        if not ok:
+            failed.append(name)
+    print(f"\n{'ALL OK' if not failed else 'FAILED: ' + ', '.join(failed)}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
