@@ -1,0 +1,149 @@
+"""Graph operators: depth-limited weighted BFS and derived scores.
+
+Reference semantics (``GraphService``, ``/root/reference/app.py:498-642``):
+
+- ``graph_bfs``: directed BFS from ``start_id`` over (optionally
+  type-filtered) edges, bounded at ``depth`` hops. Per reached node:
+  ``distance`` = hop count, ``path_weight`` = sum of edge weights
+  along the discovery path. Start node: (0, 0.0). The reference's
+  queue version is order-dependent on equal-length multi-path graphs
+  (``app.py:537-547``); per SURVEY §4.8.4 we implement the clean
+  level-synchronous rule — min hop distance, max accumulated weight
+  among min-distance paths — which agrees with the reference on every
+  graph its tests exercise.
+- ``graph_score`` (``app.py:551-589``): 1.0 for the start node; 0.0
+  if unreached; else ``base * (0.5 + 0.5*w/max_w)`` with
+  ``base = (max_depth - d + 1)/(max_depth + 1)`` and ``max_w`` the max
+  path weight over all reached nodes (all-zero weights → factor 0.5).
+- ``subgraph_edges`` (``app.py:613-634``): all edges with BOTH
+  endpoints in the reached set INCLUDING the start node, ignoring the
+  traversal's type filter (reference quirk, preserved).
+- ``graph_search`` (``app.py:591-642``): BFS → drop start from the
+  node list → attach node details; induced edges kept separately.
+
+Spark shape: a driver-side loop of ≤depth frontier-expansion joins —
+the one place the engine keeps imperative control flow, because
+Catalyst has no fixpoint operator and the iteration count is a small
+data-independent constant. Each level: frontier ⨝ edges on ``src``
+(shuffle on the join key), per-node max-weight aggregate, anti-join
+against the reached set, ``localCheckpoint`` to cut lineage. This is
+textbook level-synchronous Pregel expressed as joins; at cluster
+scale each level is one co-partitioned shuffle, and the reached set
+stays distributed (never collected to the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def graph_bfs(
+    edges: DataFrame,
+    start_id: str,
+    depth: int,
+    edge_type: str | None = None,
+) -> DataFrame:
+    """Level-synchronous BFS → (id, distance, path_weight).
+
+    The start node is always present with (0, 0.0); nodes first
+    reached at level L get distance L and the max path weight among
+    their length-L paths from the start.
+    """
+    spark = edges.sparkSession
+    e = edges
+    if edge_type is not None:
+        e = e.filter(F.col("type") == edge_type)
+    e = e.select("src", "dst", F.coalesce("weight", F.lit(0.0)).alias("weight"))
+
+    reached = spark.createDataFrame(
+        [(start_id, 0, 0.0)], "id string, distance int, path_weight double"
+    ).localCheckpoint(eager=True)
+    frontier = reached
+
+    for level in range(1, depth + 1):
+        candidates = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select(
+                e["dst"].alias("id"),
+                (frontier["path_weight"] + e["weight"]).alias("w"),
+            )
+            .groupBy("id")
+            .agg(F.max("w").alias("path_weight"))
+            .withColumn("distance", F.lit(level))
+        )
+        new = candidates.join(reached, "id", "left_anti").select(
+            "id", "distance", "path_weight"
+        )
+        new = new.localCheckpoint(eager=True)
+        if not new.take(1):
+            break
+        reached = reached.unionByName(new)
+        frontier = new
+
+    return reached
+
+
+def graph_score(
+    bfs: DataFrame, start_id: str, max_depth: int
+) -> DataFrame:
+    """Attach the closeness score → (id, distance, path_weight, g_score).
+
+    One global max aggregate broadcast back — no window, no collect.
+    """
+    max_w = bfs.agg(F.max("path_weight").alias("__max_w"))
+    base = (F.lit(max_depth) - F.col("distance") + 1) / F.lit(
+        float(max_depth + 1)
+    )
+    w_norm = F.when(
+        F.col("__max_w") > 0, F.col("path_weight") / F.col("__max_w")
+    ).otherwise(F.lit(0.0))
+    return (
+        bfs.crossJoin(F.broadcast(max_w))
+        .withColumn(
+            "g_score",
+            F.when(F.col("id") == start_id, F.lit(1.0)).otherwise(
+                base * (F.lit(0.5) + F.lit(0.5) * w_norm)
+            ),
+        )
+        .drop("__max_w")
+    )
+
+
+def subgraph_edges(edges: DataFrame, reached: DataFrame) -> DataFrame:
+    """Edges with both endpoints in the reached set (incl. start).
+
+    Two left-semi joins; the reached set is small relative to edges
+    (bounded by the depth-ball around start) so both are broadcast
+    candidates — Catalyst/AQE picks that up from size estimates.
+    """
+    ids = reached.select("id")
+    return (
+        edges.join(ids, edges["src"] == ids["id"], "left_semi")
+        .join(ids, edges["dst"] == ids["id"], "left_semi")
+        .select("id", "src", "dst", "type", "weight")
+    )
+
+
+def graph_search(
+    nodes: DataFrame,
+    edges: DataFrame,
+    start_id: str,
+    depth: int,
+    edge_type: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Composed traversal search → (result_nodes, induced_edges).
+
+    ``result_nodes`` = reached nodes minus the start, joined to node
+    details (one join replaces the reference's N+1 lookup loop,
+    ``app.py:598-610``): (id, text, distance, path_weight).
+    ``induced_edges`` spans the full reached set including start and
+    ignores the type filter (reference quirks preserved).
+    """
+    reached = graph_bfs(edges, start_id, depth, edge_type)
+    result_nodes = (
+        reached.filter(F.col("id") != start_id)
+        .join(nodes.select("id", "text"), "id")
+        .select("id", "text", "distance", "path_weight")
+    )
+    return result_nodes, subgraph_edges(edges, reached)

@@ -1,0 +1,116 @@
+"""Shared pieces for the query/oracle registry.
+
+Every ``queries()`` entry has a DuckDB oracle built from the same
+prelude: the engine-model views (nodes / emb / edges) derived from
+the driver's parquet views exactly as ``sources/adapters.py`` derives
+them. Float outputs are rounded to 6 decimals on BOTH sides (the
+reference tests' epsilon, ``test_final.py:10-11``); ranked outputs
+sort by (rounded score DESC, id ASC) — SURVEY §4.8.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import edges_df, embeddings_df, nodes_df
+
+ORACLE_PRELUDE = """
+WITH RECURSIVE
+nodes AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, text, lang, source, n_chars
+  FROM documents
+),
+emb AS (
+  SELECT CAST(vec_id AS VARCHAR) AS node_id, embedding AS vector,
+         len(embedding) AS dim
+  FROM embeddings
+),
+__ids AS (SELECT doc_id FROM documents),
+edges AS (
+  SELECT 'e-' || d.doc_id || '-' || (d.doc_id + 1) AS id,
+         CAST(d.doc_id AS VARCHAR) AS src,
+         CAST(d.doc_id + 1 AS VARCHAR) AS dst,
+         'cites' AS type,
+         1.0 + CAST(d.doc_id % 5 AS DOUBLE) AS weight
+  FROM __ids d
+  WHERE EXISTS (SELECT 1 FROM __ids x WHERE x.doc_id = d.doc_id + 1)
+  UNION ALL
+  SELECT 'e-' || d.doc_id || '-' || (d.doc_id + t.j),
+         CAST(d.doc_id AS VARCHAR),
+         CAST(d.doc_id + t.j AS VARCHAR),
+         'author_of', 2.0
+  FROM __ids d CROSS JOIN (SELECT 2 AS j UNION ALL SELECT 3) t
+  WHERE d.doc_id % 10 = 0
+    AND EXISTS (SELECT 1 FROM __ids x WHERE x.doc_id = d.doc_id + t.j)
+  UNION ALL
+  SELECT 'e-' || (d.doc_id + 1) || '-' || d.doc_id,
+         CAST(d.doc_id + 1 AS VARCHAR),
+         CAST(d.doc_id AS VARCHAR),
+         'related', 0.5
+  FROM __ids d
+  WHERE d.doc_id % 7 = 0
+    AND EXISTS (SELECT 1 FROM __ids x WHERE x.doc_id = d.doc_id + 1)
+)"""
+
+# Whitespace tokenizer in DuckDB (= Python str.split / engine tokenize()).
+SQL_TOKENS = (
+    r"list_filter(string_split_regex(lower({col}), '\s+'), x -> x <> '')"
+)
+
+
+def sql_bfs_cte(start: str, depth: int, edge_type: str | None = None) -> str:
+    """Recursive-CTE twin of operators.graph.graph_bfs.
+
+    Enumerates all ≤depth walks from start, then per node keeps
+    (min distance, max weight among min-distance walks) — provably
+    identical to the level-synchronous rule because every prefix of a
+    min-hop path is itself min-hop.
+    """
+    type_pred = f" AND e.type = '{edge_type}'" if edge_type else ""
+    return f""",
+walk AS (
+  SELECT CAST('{start}' AS VARCHAR) AS id, 0 AS dist, CAST(0.0 AS DOUBLE) AS w
+  UNION ALL
+  SELECT e.dst, walk.dist + 1, walk.w + e.weight
+  FROM walk JOIN edges e ON e.src = walk.id{type_pred}
+  WHERE walk.dist < {depth}
+),
+bfsr AS (
+  SELECT m.id, m.distance, max(w.w) AS path_weight
+  FROM (SELECT id, min(dist) AS distance FROM walk GROUP BY id) m
+  JOIN walk w ON w.id = m.id AND w.dist = m.distance
+  GROUP BY m.id, m.distance
+)"""
+
+
+def model(spark: SparkSession, sf_dir: str):
+    """(nodes, embeddings, edges) engine-model DataFrames."""
+    return (
+        nodes_df(spark, sf_dir),
+        embeddings_df(spark, sf_dir),
+        edges_df(spark, sf_dir),
+    )
+
+
+def query_vec(spark: SparkSession, sf_dir: str, node_id: str = "0") -> DataFrame:
+    """1-row broadcastable query-vector frame (qvec) = stored embedding."""
+    return (
+        embeddings_df(spark, sf_dir)
+        .filter(F.col("node_id") == node_id)
+        .select(F.col("vector").alias("qvec"))
+    )
+
+
+SQL_QVEC = ",\nq AS (SELECT vector AS qvec FROM emb WHERE node_id = '0')"
+
+SQL_SCORED = (
+    SQL_QVEC
+    + """,
+scored AS (
+  SELECT e.node_id AS id,
+         list_dot_product(CAST(e.vector AS DOUBLE[]),
+                          CAST(q.qvec AS DOUBLE[])) AS score
+  FROM emb e, q WHERE len(e.vector) = len(q.qvec)
+)"""
+)

@@ -1,0 +1,136 @@
+"""Scans, point lookups, filters, stats (SURVEY §2.1-2.2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import l2_norm
+from ..operators.vector_search import metadata_predicate
+from .common import ORACLE_PRELUDE, model
+
+
+def q_scan_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return nodes.select("id", "text", "lang", "source", "n_chars")
+
+
+def q_scan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, emb, _ = model(spark, sf_dir)
+    return emb.select("node_id", "dim", F.round(l2_norm("vector"), 6).alias("norm"))
+
+
+def q_scan_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, edges = model(spark, sf_dir)
+    return edges.select("id", "src", "dst", "type", "weight")
+
+
+def q_stats_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference /stats (``app.py:929-940``)."""
+    nodes, emb, edges = model(spark, sf_dir)
+    embedded = nodes.join(emb, nodes["id"] == emb["node_id"], "left_semi").count()
+    return spark.createDataFrame(
+        [(nodes.count(), embedded, edges.count())],
+        "total_nodes long, nodes_with_embeddings long, total_edges long",
+    )
+
+
+def q_metadata_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive metadata map equality (``app.py:427-436``)."""
+    nodes, _, _ = model(spark, sf_dir)
+    return nodes.filter(
+        metadata_predicate({"lang": "en", "source": "src3"})
+    ).select("id", "text")
+
+
+def q_dim_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, emb, _ = model(spark, sf_dir)
+    return emb.filter(F.col("dim") == 64).select("node_id", "dim")
+
+
+def q_node_get_with_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup + embedding flag + incident edges, flattened.
+
+    Reference ``get_node`` (``app.py:163-202``) returns a nested
+    envelope; we flatten to one row per incident edge (direction
+    'out'/'in') so the oracle hash is well-defined.
+    """
+    nodes, emb, edges = model(spark, sf_dir)
+    node = nodes.filter(F.col("id") == "5").select("id", "text")
+    has_emb = node.join(
+        emb, node["id"] == emb["node_id"], "left_semi"
+    ).count() > 0
+    out = edges.filter(F.col("src") == "5").select(
+        F.col("id").alias("edge_id"),
+        F.lit("out").alias("direction"),
+        F.col("dst").alias("other_id"),
+        "type",
+        "weight",
+    )
+    inc = edges.filter(F.col("dst") == "5").select(
+        F.col("id").alias("edge_id"),
+        F.lit("in").alias("direction"),
+        F.col("src").alias("other_id"),
+        "type",
+        "weight",
+    )
+    return node.withColumn("has_embedding", F.lit(has_emb)).crossJoin(
+        out.unionByName(inc)
+    )
+
+
+def q_edge_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, edges = model(spark, sf_dir)
+    return edges.filter(F.col("id") == "e-0-1").select(
+        "id", "src", "dst", "type", "weight"
+    )
+
+
+QUERIES = {
+    "scan_nodes": q_scan_nodes,
+    "scan_embeddings": q_scan_embeddings,
+    "scan_edges": q_scan_edges,
+    "stats_counts": q_stats_counts,
+    "metadata_filter": q_metadata_filter,
+    "dim_match_filter": q_dim_match_filter,
+    "node_get_with_edges": q_node_get_with_edges,
+    "edge_get": q_edge_get,
+}
+
+ORACLES = {
+    "scan_nodes": ORACLE_PRELUDE
+    + "\nSELECT id, text, lang, source, n_chars FROM nodes ORDER BY id",
+    "scan_embeddings": ORACLE_PRELUDE
+    + """
+SELECT node_id, dim,
+       round(sqrt(list_dot_product(CAST(vector AS DOUBLE[]),
+                                   CAST(vector AS DOUBLE[]))), 6) AS norm
+FROM emb ORDER BY node_id""",
+    "scan_edges": ORACLE_PRELUDE
+    + "\nSELECT id, src, dst, type, weight FROM edges ORDER BY id",
+    "stats_counts": ORACLE_PRELUDE
+    + """
+SELECT (SELECT count(*) FROM nodes) AS total_nodes,
+       (SELECT count(*) FROM nodes n
+         WHERE EXISTS (SELECT 1 FROM emb e WHERE e.node_id = n.id))
+         AS nodes_with_embeddings,
+       (SELECT count(*) FROM edges) AS total_edges""",
+    "metadata_filter": ORACLE_PRELUDE
+    + "\nSELECT id, text FROM nodes WHERE lang = 'en' AND source = 'src3' ORDER BY id",
+    "dim_match_filter": ORACLE_PRELUDE
+    + "\nSELECT node_id, dim FROM emb WHERE dim = 64 ORDER BY node_id",
+    "node_get_with_edges": ORACLE_PRELUDE
+    + """
+SELECT n.id, n.text,
+       EXISTS (SELECT 1 FROM emb e WHERE e.node_id = n.id) AS has_embedding,
+       x.edge_id, x.direction, x.other_id, x.type, x.weight
+FROM nodes n CROSS JOIN (
+  SELECT id AS edge_id, 'out' AS direction, dst AS other_id, type, weight
+  FROM edges WHERE src = '5'
+  UNION ALL
+  SELECT id, 'in', src, type, weight FROM edges WHERE dst = '5'
+) x
+WHERE n.id = '5'""",
+    "edge_get": ORACLE_PRELUDE
+    + "\nSELECT id, src, dst, type, weight FROM edges WHERE id = 'e-0-1'",
+}

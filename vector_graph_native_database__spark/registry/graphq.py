@@ -1,0 +1,116 @@
+"""Graph operator queries (SURVEY §2.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import (
+    graph_bfs,
+    graph_score,
+    graph_search,
+    subgraph_edges,
+)
+from .common import ORACLE_PRELUDE, model, sql_bfs_cte
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS from '0', depth 3, all edge types."""
+    _, _, edges = model(spark, sf_dir)
+    return graph_bfs(edges, "0", 3).select(
+        "id", "distance", F.round("path_weight", 6).alias("path_weight")
+    )
+
+
+def q_graph_bfs_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS from '0', depth 3, following only 'cites' edges."""
+    _, _, edges = model(spark, sf_dir)
+    return graph_bfs(edges, "0", 3, edge_type="cites").select(
+        "id", "distance", F.round("path_weight", 6).alias("path_weight")
+    )
+
+
+def q_graph_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness scores over the depth-2 ball around '0'."""
+    _, _, edges = model(spark, sf_dir)
+    bfs = graph_bfs(edges, "0", 2)
+    return graph_score(bfs, "0", 2).select(
+        "id",
+        "distance",
+        F.round("path_weight", 6).alias("path_weight"),
+        F.round("g_score", 6).alias("g_score"),
+    )
+
+
+def q_subgraph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Induced edges of the depth-2 ball around '0' (incl. start)."""
+    _, _, edges = model(spark, sf_dir)
+    reached = graph_bfs(edges, "0", 2)
+    return subgraph_edges(edges, reached)
+
+
+def q_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed traversal ('cites' only, depth 3): node results."""
+    nodes, _, edges = model(spark, sf_dir)
+    result_nodes, _ = graph_search(nodes, edges, "0", 3, edge_type="cites")
+    return result_nodes.select(
+        "id", "text", "distance", F.round("path_weight", 6).alias("path_weight")
+    )
+
+
+def q_graph_search_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Induced edges of the typed traversal — note they deliberately
+    ignore the type filter (reference quirk, ``app.py:613-621``)."""
+    nodes, _, edges = model(spark, sf_dir)
+    _, induced = graph_search(nodes, edges, "0", 3, edge_type="cites")
+    return induced
+
+
+_SCORE_SQL = """,
+maxw AS (SELECT max(path_weight) AS mw FROM bfsr)
+SELECT b.id, b.distance, round(b.path_weight, 6) AS path_weight,
+       round(CASE WHEN b.id = '0' THEN 1.0
+             ELSE ((2 - b.distance + 1) / 3.0)
+                  * (0.5 + 0.5 * CASE WHEN m.mw > 0
+                                 THEN b.path_weight / m.mw ELSE 0.0 END)
+             END, 6) AS g_score
+FROM bfsr b, maxw m"""
+
+QUERIES = {
+    "graph_bfs": q_graph_bfs,
+    "graph_bfs_typed": q_graph_bfs_typed,
+    "graph_score": q_graph_score,
+    "subgraph_edges": q_subgraph_edges,
+    "graph_search": q_graph_search,
+    "graph_search_edges": q_graph_search_edges,
+}
+
+ORACLES = {
+    "graph_bfs": ORACLE_PRELUDE
+    + sql_bfs_cte("0", 3)
+    + "\nSELECT id, distance, round(path_weight, 6) AS path_weight FROM bfsr",
+    "graph_bfs_typed": ORACLE_PRELUDE
+    + sql_bfs_cte("0", 3, "cites")
+    + "\nSELECT id, distance, round(path_weight, 6) AS path_weight FROM bfsr",
+    "graph_score": ORACLE_PRELUDE + sql_bfs_cte("0", 2) + _SCORE_SQL,
+    "subgraph_edges": ORACLE_PRELUDE
+    + sql_bfs_cte("0", 2)
+    + """
+SELECT e.id, e.src, e.dst, e.type, e.weight
+FROM edges e
+WHERE EXISTS (SELECT 1 FROM bfsr r WHERE r.id = e.src)
+  AND EXISTS (SELECT 1 FROM bfsr r WHERE r.id = e.dst)""",
+    "graph_search": ORACLE_PRELUDE
+    + sql_bfs_cte("0", 3, "cites")
+    + """
+SELECT b.id, n.text, b.distance, round(b.path_weight, 6) AS path_weight
+FROM bfsr b JOIN nodes n ON n.id = b.id
+WHERE b.id <> '0'""",
+    "graph_search_edges": ORACLE_PRELUDE
+    + sql_bfs_cte("0", 3, "cites")
+    + """
+SELECT e.id, e.src, e.dst, e.type, e.weight
+FROM edges e
+WHERE EXISTS (SELECT 1 FROM bfsr r WHERE r.id = e.src)
+  AND EXISTS (SELECT 1 FROM bfsr r WHERE r.id = e.dst)""",
+}

@@ -1,0 +1,215 @@
+"""Search / ranking queries: vector, BM25, hybrid (SURVEY §2.5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import bm25, hybrid, vector_search
+from .common import (
+    ORACLE_PRELUDE,
+    SQL_SCORED,
+    SQL_TOKENS,
+    model,
+    query_vec,
+    sql_bfs_cte,
+)
+
+# 'dup' is a rare term in the harness corpus (df≈5%) so the top-k is a
+# non-trivial positive set; the common terms exercise the negative-idf
+# epsilon flooring.
+BM25_QUERY = "dup key fast"
+
+
+def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, emb, _ = model(spark, sf_dir)
+    return vector_search.vector_topk(
+        nodes, emb, query_vec(spark, sf_dir), top_k=10, round_scores=6
+    )
+
+
+def q_vector_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, emb, _ = model(spark, sf_dir)
+    return vector_search.vector_topk(
+        nodes,
+        emb,
+        query_vec(spark, sf_dir),
+        top_k=10,
+        meta_filter={"lang": "en"},
+        round_scores=6,
+    )
+
+
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    nodes, _, _ = model(spark, sf_dir)
+    return bm25.bm25_scores(nodes, BM25_QUERY).select(
+        "id", F.round("score", 6).alias("score")
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return bm25.bm25_topk(nodes, BM25_QUERY, top_k=15, round_scores=6)
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, emb, edges = model(spark, sf_dir)
+    return hybrid.hybrid_search(
+        nodes,
+        emb,
+        edges,
+        query_vec(spark, sf_dir),
+        vector_weight=0.7,
+        graph_weight=0.3,
+        top_k=15,
+        graph_start_id="0",
+        graph_depth=2,
+        round_scores=6,
+    )
+
+
+def q_hybrid_vector_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v_w, g_w) = (1, 0): must reproduce vector-only ordering."""
+    nodes, emb, edges = model(spark, sf_dir)
+    return hybrid.hybrid_search(
+        nodes,
+        emb,
+        edges,
+        query_vec(spark, sf_dir),
+        vector_weight=1.0,
+        graph_weight=0.0,
+        top_k=15,
+        graph_start_id=None,
+        round_scores=6,
+    )
+
+
+def q_hybrid_graph_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v_w, g_w) = (0, 1): final == graph_score, unreached drop out."""
+    nodes, emb, edges = model(spark, sf_dir)
+    return hybrid.hybrid_search(
+        nodes,
+        emb,
+        edges,
+        query_vec(spark, sf_dir),
+        vector_weight=0.0,
+        graph_weight=1.0,
+        top_k=15,
+        graph_start_id="0",
+        graph_depth=2,
+        round_scores=6,
+    )
+
+
+_TOK = SQL_TOKENS.format(col="text")
+_QTOK = SQL_TOKENS.format(col=f"'{BM25_QUERY}'")
+
+_BM25_CTES = f""",
+toks AS (SELECT id, unnest({_TOK}) AS tok FROM nodes),
+dl AS (SELECT id, len({_TOK}) AS dl FROM nodes),
+tf AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+rawidf AS (SELECT tok, ln(n - df + 0.5) - ln(df + 0.5) AS raw FROM dfreq, nn),
+avgidf AS (SELECT avg(raw) AS a FROM rawidf),
+idf AS (SELECT tok, CASE WHEN raw < 0 THEN 0.25 * a ELSE raw END AS idf
+        FROM rawidf, avgidf),
+avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+qt AS (SELECT tok, count(*) AS qcnt
+       FROM (SELECT unnest({_QTOK}) AS tok) GROUP BY tok),
+contrib AS (
+  SELECT tf.id,
+         sum(qt.qcnt * idf.idf * (tf.tf * (1.5 + 1))
+             / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl)))
+           AS score
+  FROM tf
+  JOIN qt USING (tok)
+  JOIN idf USING (tok)
+  JOIN dl USING (id), avgdl
+  GROUP BY tf.id
+)"""
+
+_HYBRID_SQL_TMPL = (
+    ORACLE_PRELUDE
+    + SQL_SCORED
+    + "{bfs}"
+    + """,
+bounds AS (SELECT min(score) AS mn, max(score) AS mx FROM scored),
+vec AS (
+  SELECT id, CASE WHEN mx = mn THEN 1.0
+             ELSE (score - mn) / (mx - mn) END AS vec_norm
+  FROM scored, bounds
+),
+g AS ({graph_scores}),
+fused AS (
+  SELECT n.id, n.text,
+         round(coalesce(v.vec_norm, 0.0), 6) AS vector_score,
+         round(coalesce(g.g_score, 0.0), 6) AS graph_score,
+         round({vw} * coalesce(v.vec_norm, 0.0)
+               + {gw} * coalesce(g.g_score, 0.0), 6) AS final_score
+  FROM nodes n
+  LEFT JOIN vec v ON v.id = n.id
+  LEFT JOIN g ON g.id = n.id
+)
+SELECT * FROM fused WHERE final_score > 0
+ORDER BY final_score DESC, id ASC LIMIT {k}"""
+)
+
+_G_SCORES_D2 = """
+  SELECT b.id,
+         CASE WHEN b.id = '0' THEN 1.0
+         ELSE ((2 - b.distance + 1) / 3.0)
+              * (0.5 + 0.5 * CASE WHEN m.mw > 0
+                             THEN b.path_weight / m.mw ELSE 0.0 END)
+         END AS g_score
+  FROM bfsr b, (SELECT max(path_weight) AS mw FROM bfsr) m"""
+
+_G_SCORES_NONE = "SELECT CAST(NULL AS VARCHAR) AS id, 0.0 AS g_score WHERE 1 = 0"
+
+QUERIES = {
+    "vector_topk": q_vector_topk,
+    "vector_topk_filtered": q_vector_topk_filtered,
+    "bm25_score": q_bm25_score,
+    "bm25_topk": q_bm25_topk,
+    "hybrid_search": q_hybrid_search,
+    "hybrid_vector_only": q_hybrid_vector_only,
+    "hybrid_graph_only": q_hybrid_graph_only,
+}
+
+ORACLES = {
+    "vector_topk": ORACLE_PRELUDE
+    + SQL_SCORED
+    + """
+SELECT s.id, n.text, round(s.score, 6) AS score
+FROM scored s JOIN nodes n ON n.id = s.id
+ORDER BY round(s.score, 6) DESC, s.id ASC LIMIT 10""",
+    "vector_topk_filtered": ORACLE_PRELUDE
+    + SQL_SCORED
+    + """
+SELECT s.id, n.text, round(s.score, 6) AS score
+FROM scored s JOIN nodes n ON n.id = s.id
+WHERE n.lang = 'en'
+ORDER BY round(s.score, 6) DESC, s.id ASC LIMIT 10""",
+    "bm25_score": ORACLE_PRELUDE
+    + _BM25_CTES
+    + """
+SELECT n.id, round(coalesce(c.score, 0.0), 6) AS score
+FROM nodes n LEFT JOIN contrib c ON c.id = n.id ORDER BY n.id""",
+    "bm25_topk": ORACLE_PRELUDE
+    + _BM25_CTES
+    + """
+SELECT n.id, n.text, round(c.score, 6) AS score
+FROM contrib c JOIN nodes n ON n.id = c.id
+WHERE round(c.score, 6) > 0
+ORDER BY round(c.score, 6) DESC, n.id ASC LIMIT 15""",
+    "hybrid_search": _HYBRID_SQL_TMPL.format(
+        bfs=sql_bfs_cte("0", 2), graph_scores=_G_SCORES_D2, vw=0.7, gw=0.3, k=15
+    ),
+    "hybrid_vector_only": _HYBRID_SQL_TMPL.format(
+        bfs="", graph_scores=_G_SCORES_NONE, vw=1.0, gw=0.0, k=15
+    ),
+    "hybrid_graph_only": _HYBRID_SQL_TMPL.format(
+        bfs=sql_bfs_cte("0", 2), graph_scores=_G_SCORES_D2, vw=0.0, gw=1.0, k=15
+    ),
+}
