@@ -1,0 +1,70 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query end-to-end (noop sink — full materialization
+of every output column, no driver collect overhead) and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative of every operator family; the full registry is the
+# correctness surface, this is the performance surface.
+HEADLINE = [
+    "scan_nodes",
+    "vector_topk",
+    "vector_topk_filtered",
+    "bm25_topk",
+    "graph_bfs",
+    "graph_search",
+    "hybrid_search",
+    "embed_hash",
+    "minmax_normalize",
+    "node_upsert",
+    "node_delete_cascade",
+]
+
+
+def main() -> None:
+    from vector_graph_native_database__spark import registry
+    from vector_graph_native_database__spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.all_queries()
+
+    # Warm the JVM/executor pool so query 1 doesn't pay startup.
+    spark.range(1000).count()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    times: dict[str, float] = {}
+    extra = [k for k in qs if k in set(os.environ.get(
+        "SPARK_GRAFT_BENCH_EXTRA", "").split(",")) and k not in HEADLINE]
+    for name in HEADLINE + extra:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline query wall-clock, noop sink",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,9 +12,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import coreq, functionsq, graphq, searchq
+from . import coreq, crudq, functionsq, graphq, searchq
 
-_MODULES = [coreq, functionsq, graphq, searchq]
+_MODULES = [coreq, crudq, functionsq, graphq, searchq]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
