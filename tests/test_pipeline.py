@@ -1,0 +1,171 @@
+"""Dedup / ANN / text-analysis semantics on synthetic fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_graph_native_database__spark.operators import (
+    ann,
+    dedup,
+    text_analysis,
+)
+
+DOCS = [
+    ("d1", "the quick brown fox jumps over the lazy dog every day"),
+    ("d2", "the quick brown fox jumps over the lazy dog every day"),  # exact dup
+    ("d3", "the quick brown fox jumps over the lazy cat every day"),  # near dup
+    ("d4", "completely different content about spark dataframes"),
+    ("d5", ""),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "id string, text string")
+
+
+def test_exact_dedup(spark):
+    got = dedup.exact_dedup_groups(_docs(spark)).collect()
+    assert len(got) == 1
+    assert got[0]["cnt"] == 2 and got[0]["keeper_id"] == "d1"
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    # rows_per_band=1 → candidate on ANY shared minhash; the engine
+    # default (4×3) is tuned for the ≥0.8-jaccard regime, while d1/d3
+    # sit at 0.67 where banded recall is probabilistic by design.
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_dedup(
+            _docs(spark), threshold=0.5, rows_per_band=1
+        ).collect()
+    }
+    assert ("d1", "d2") in pairs and pairs[("d1", "d2")] == 1.0
+    assert ("d1", "d3") in pairs and 0.5 <= pairs[("d1", "d3")] < 1.0
+    assert not any("d4" in p for p in pairs)
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            _docs(spark), k=3, threshold=0.5
+        ).collect()
+    }
+    assert pairs[("d1", "d2")] == 1.0
+    assert ("d1", "d3") in pairs
+
+
+def test_simhash_identical_docs_match(spark):
+    sim = dedup.simhash_values(_docs(spark))
+    vals = {r["id"]: r["simhash"] for r in sim.collect()}
+    assert vals["d1"] == vals["d2"]
+    assert vals["d5"] == 0
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(sim, max_hamming=3).collect()
+    }
+    assert pairs[("d1", "d2")] == 0
+
+
+def test_simhash_pigeonhole_guarantee(spark):
+    """hamming ≤ 3 with 4 chunks ⇒ a shared 15-bit chunk ⇒ always a
+    candidate; a hash differing in every chunk is never one."""
+    h = 0b101010101010101010101010101010101010101010101010101010101010
+    near = h ^ 0b111  # 3 low bits flipped: chunks 1-3 still equal
+    far = h ^ ((1 << 0) | (1 << 15) | (1 << 30) | (1 << 45))
+    sim = spark.createDataFrame(
+        [("a", h), ("b", near), ("c", far)], "id string, simhash long"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(sim, max_hamming=3).collect()
+    }
+    assert pairs == {("a", "b"): 3}
+
+
+def test_embedding_cosine_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0], 2),
+            ("b", [0.999, 0.01], 2),
+            ("c", [0.0, 1.0], 2),
+        ],
+        "node_id string, vector array<float>, dim int",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.95).collect()
+    }
+    assert got == {("a", "b")}
+
+
+def test_ann_brute_topk(spark):
+    emb = spark.createDataFrame(
+        [
+            ("q", [1.0, 0.0], 2),
+            ("n1", [0.9, 0.1], 2),
+            ("n2", [0.5, 0.5], 2),
+            ("n3", [0.0, 1.0], 2),
+        ],
+        "node_id string, vector array<float>, dim int",
+    )
+    got = ann.brute_topk(emb, ["q"], k=2).collect()
+    assert [(r["id"], r["rnk"]) for r in got] == [("n1", 1), ("n2", 2)]
+
+
+def test_ann_lsh_bucket_recall_of_identical(spark):
+    """An identical vector always lands in the query's bucket."""
+    emb = spark.createDataFrame(
+        [
+            ("q", [1.0] * 64, 64),
+            ("twin", [1.0] * 64, 64),
+            ("anti", [-1.0] * 64, 64),
+        ],
+        "node_id string, vector array<float>, dim int",
+    )
+    got = ann.lsh_bucketed_topk(emb, ["q"], k=5).collect()
+    ids = [r["id"] for r in got]
+    assert "twin" in ids and "anti" not in ids
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("e", "the house of cards and a dream to win"),
+            ("f", "le chat et les chiens de la maison"),
+            ("g", "der hund und die katze das haus zu hause"),
+            ("x", "xyzzy plugh"),
+        ],
+        "id string, text string",
+    )
+    got = {r["id"]: r["guessed_lang"] for r in text_analysis.lang_id(df).collect()}
+    assert got == {"e": "en", "f": "fr", "g": "de", "x": "und"}
+
+
+def test_quality_score_bounds_and_empty(spark):
+    got = {
+        r["id"]: r for r in text_analysis.quality_score(_docs(spark)).collect()
+    }
+    assert got["d5"]["quality"] == 0.0 and got["d5"]["n_tokens"] == 0
+    for r in got.values():
+        assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("a", "hello world, it's 42 degrees!")], "id string, text string"
+    )
+    row = text_analysis.token_counts(df).collect()[0]
+    assert row["ws_tokens"] == 5
+    # hello|world|,|it|'|s|42|degrees|! → 9 subword tokens
+    assert row["subword_tokens"] == 9
+    assert row["n_chars"] == 29
+
+
+def test_doc_fingerprint_dups_match(spark):
+    got = {
+        r["id"]: r for r in text_analysis.doc_fingerprint(_docs(spark)).collect()
+    }
+    assert got["d1"]["fingerprint"] == got["d2"]["fingerprint"]
+    assert got["d5"]["fingerprint"] == -1 and got["d5"]["n_shingles"] == 0

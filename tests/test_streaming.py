@@ -1,0 +1,106 @@
+"""Structured Streaming: windowed aggs over the stream match batch;
+foreachBatch incremental index maintenance applies latest-wins."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_graph_native_database__spark.sources import load_table
+from vector_graph_native_database__spark.streaming import (
+    incremental_index_maintenance,
+    stream_events,
+)
+from vector_graph_native_database__spark.streaming.windows import tumbling_agg
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir):
+    stream = stream_events(spark, sf_dir, with_watermark="30 minutes")
+    assert stream.isStreaming
+    agg = tumbling_agg(stream)
+    tmp = tempfile.mkdtemp(prefix="vgs-stream-")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("tumbling_test")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+            for r in spark.sql("SELECT * FROM tumbling_test").collect()
+        }
+        want = {
+            (r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+            for r in tumbling_agg(load_table(spark, sf_dir, "events")).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_incremental_index_maintenance(spark):
+    tmp = tempfile.mkdtemp(prefix="vgs-ingest-")
+    src, state, ckpt = f"{tmp}/src", f"{tmp}/state", f"{tmp}/ckpt"
+    schema = "id string, text string, seq long"
+    try:
+        # micro-batch 1: two docs
+        spark.createDataFrame(
+            [("a", "first version", 1), ("b", "doc b", 1)], schema
+        ).write.mode("append").parquet(src)
+        incremental_index_maintenance(spark, src, schema, state, ckpt)
+        s1 = {r["node_id"] for r in spark.read.parquet(state).collect()}
+        assert s1 == {"a", "b"}
+
+        # micro-batch 2: update a, add c — only the new batch is embedded
+        spark.createDataFrame(
+            [("a", "second version", 2), ("c", "doc c", 2)], schema
+        ).write.mode("append").parquet(src)
+        incremental_index_maintenance(spark, src, schema, state, ckpt)
+        final = {r["node_id"]: r["vector"] for r in spark.read.parquet(state).collect()}
+        assert set(final) == {"a", "b", "c"}
+
+        # latest wins: a's vector reflects "second version"
+        from vector_graph_native_database__spark.functions.textfn import (
+            embed_hash_df,
+        )
+
+        want = embed_hash_df(
+            spark.createDataFrame([("a", "second version")], "id string, text string")
+        ).collect()[0]["vector"]
+        assert final["a"] == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_multimodal_plumbing(spark):
+    from vector_graph_native_database__spark.multimodal import (
+        attach_binary,
+        fake_decode_image_meta,
+        frame_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x" * 100), ("b", "y" * 600)], "id string, text string"
+    )
+    binary = attach_binary(df)
+    row = {r["id"]: r for r in binary.collect()}
+    assert bytes(row["a"]["payload"]) == b"x" * 100
+    assert row["a"]["n_bytes"] == 100
+
+    meta = {r["id"]: r for r in fake_decode_image_meta(binary).collect()}
+    assert meta["a"]["width"] == 64 + (100 % 577)
+    assert meta["b"]["height"] == 64 + ((600 * 31) % 449)
+
+    frames = frame_sample(binary).groupBy("id").count().collect()
+    by_id = {r["id"]: r["count"] for r in frames}
+    assert by_id == {"a": 1, "b": 8}  # 100//64=1 frame; 600//64=9 → capped 8
+
+    with pytest.raises(Exception, match="PIL|NotImplemented"):
+        fake_decode_image_meta(binary, real_decode=True).collect()

@@ -1,0 +1,110 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: the payload is an
+opaque ``binary`` column (or an object-store pointer) with typed
+metadata alongside; decode / feature-extract / resize / frame-sample
+run as Arrow-batched ``mapInPandas`` stages so Python touches data
+one columnar batch at a time — never row-at-a-time, never on the
+driver. Partitioning, schema, and batch shape here are real and
+tested; only the codec itself is stubbed because no image/audio
+library ships in this container.
+
+``fake_decode_image_meta(real_decode=True)`` raises
+NotImplementedError where PIL/libav would be invoked; the default is
+a clearly-marked DETERMINISTIC FAKE that derives dimensions from the
+payload bytes, so the full pipeline (including the Arrow exchange)
+stays value-checkable by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "id string, n_bytes long, width int, height int, channels int"
+)
+
+
+def attach_binary(
+    df: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """→ (id, payload binary, n_bytes, content_md5, mime).
+
+    In the harness the payload is the utf-8 document bytes; in a real
+    pipeline it is the image/audio blob — everything downstream only
+    assumes ``binary``.
+    """
+    payload = F.col(text_col).cast("binary")
+    return df.select(
+        F.col(id_col).alias("id"),
+        payload.alias("payload"),
+        F.octet_length(F.col(text_col)).alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def fake_decode_image_meta(
+    binary_df: DataFrame, real_decode: bool = False
+) -> DataFrame:
+    """mapInPandas decode stage → (id, n_bytes, width, height, channels).
+
+    DETERMINISTIC FAKE decode: width/height derived arithmetically
+    from the payload size so results are reproducible and
+    oracle-checkable. With ``real_decode=True`` this is where
+    ``PIL.Image.open(io.BytesIO(buf))`` would run — not available in
+    this container, so it raises.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if real_decode:
+                raise NotImplementedError(
+                    "real image decode requires PIL; not in this container"
+                )
+            n = pdf["payload"].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": n,
+                    "width": (64 + (n % 577)).astype("int32"),
+                    "height": (64 + ((n * 31) % 449)).astype("int32"),
+                    "channels": pd.Series([3] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return binary_df.select("id", "payload").mapInPandas(
+        decode, schema=IMAGE_META_SCHEMA
+    )
+
+
+def frame_sample(
+    binary_df: DataFrame, fps_every_n_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling plumbing → one row per sampled frame
+    (id, frame_idx, frame_offset).
+
+    For a real video column this would seek keyframes; the fan-out
+    shape (explode bounded by max_frames, computed per row JVM-side)
+    is the part that matters for the plan — no UDF needed at all.
+    """
+    n_frames = F.least(
+        F.lit(max_frames),
+        F.greatest(
+            F.lit(1), (F.col("n_bytes") / fps_every_n_bytes).cast("int")
+        ),
+    )
+    return binary_df.select(
+        "id",
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias(
+            "frame_idx", "frame_offset_units"
+        ),
+    ).select(
+        "id",
+        "frame_idx",
+        (F.col("frame_offset_units") * fps_every_n_bytes).alias("frame_offset"),
+    )

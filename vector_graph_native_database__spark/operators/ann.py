@@ -1,0 +1,128 @@
+"""Similarity search over an embedding column.
+
+Two tiers, as a 100 TB pipeline needs them:
+
+- ``brute_topk``: exact cosine top-k for a batch of query vectors.
+  The query side is tiny and broadcast; scoring is a map-only
+  ``zip_with``/``aggregate`` expression over the embeddings scan and
+  per-query top-k is a rank-filter window partitioned by query id —
+  a shuffle on query id only, never an all-pairs materialization.
+- ``lsh_bucketed_topk``: the scale path — sign-random-projection LSH.
+  Hyperplanes are derived deterministically from md5 (portable to the
+  DuckDB oracle, reproducible across runs/engines). Every vector gets
+  a bucket = sign-bit signature; search only compares query vs
+  same-bucket candidates. At 100 TB the bucketed table is written
+  partitioned by bucket, so a query touches one partition
+  (partition-pruned scan) instead of the corpus.
+
+MLlib's BucketedRandomProjectionLSH provides the same shape; we keep
+the arithmetic in plain column expressions so the oracle can verify
+it and no VectorUDT conversions enter the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectorfn import cosine, dot
+
+
+def brute_topk(
+    emb: DataFrame,
+    query_ids: list[str],
+    k: int = 10,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query id
+    → (qid, id, cos, rnk). Self-matches excluded."""
+    q = emb.filter(F.col("node_id").isin(query_ids)).select(
+        F.col("node_id").alias("qid"), F.col("vector").alias("qvec"), "dim"
+    )
+    scored = (
+        emb.join(F.broadcast(q), "dim")
+        .filter(F.col("node_id") != F.col("qid"))
+        .withColumn("cos", cosine("vector", "qvec"))
+    )
+    if round_scores is not None:
+        scored = scored.withColumn("cos", F.round("cos", round_scores))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("node_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", F.col("node_id").alias("id"), "cos", "rnk")
+    )
+
+
+def hyperplanes(spark, num_planes: int = 8, dim: int = 64) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes → (plane, weights).
+
+    weight(p, d) = (md5-derived integer in [0, 2000] - 1000) / 1000,
+    i.e. uniform-ish in [-1, 1], identically computable in DuckDB.
+    """
+    return spark.range(num_planes).select(
+        F.col("id").cast("int").alias("plane"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), d ->"
+            " (cast(conv(substr(md5(concat('p', id, 'd', d)), 1, 8), 16, 10)"
+            " as bigint) % 2001 - 1000) / 1000.0)"
+        ).alias("weights"),
+    )
+
+
+def lsh_buckets(
+    emb: DataFrame, planes: DataFrame
+) -> DataFrame:
+    """Assign every vector its sign-projection bucket → (node_id,
+    vector, dim, bucket). bucket = Σ (dot(v, plane_p) >= 0) << p."""
+    proj = (
+        emb.crossJoin(F.broadcast(planes))
+        .withColumn("proj", dot("vector", "weights"))
+        .withColumn(
+            "bit",
+            F.when(
+                F.col("proj") >= 0, F.expr("cast(1 as bigint) << plane")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    return (
+        proj.groupBy("node_id", "dim")
+        .agg(F.sum("bit").alias("bucket"))
+        .join(emb, ["node_id", "dim"])
+        .select("node_id", "vector", "dim", "bucket")
+    )
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    query_ids: list[str],
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: exact cosine rank within the query's LSH
+    bucket → (qid, id, cos, rnk)."""
+    planes = hyperplanes(emb.sparkSession, num_planes, dim)
+    bucketed = lsh_buckets(emb, planes)
+    q = bucketed.filter(F.col("node_id").isin(query_ids)).select(
+        F.col("node_id").alias("qid"),
+        F.col("vector").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = (
+        bucketed.join(
+            F.broadcast(q), F.col("bucket") == F.col("qbucket")
+        )
+        .filter(F.col("node_id") != F.col("qid"))
+        .withColumn("cos", cosine("vector", "qvec"))
+    )
+    if round_scores is not None:
+        cand = cand.withColumn("cos", F.round("cos", round_scores))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("node_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", F.col("node_id").alias("id"), "cos", "rnk")
+    )

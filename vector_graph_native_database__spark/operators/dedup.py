@@ -1,0 +1,326 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not part of the reference surface — these are the LLM-data-pipeline
+operators the north star adds (BASELINE.json): exact dedup,
+MinHash+LSH, SimHash, direct n-gram Jaccard, and embedding-cosine
+near-dup. All pure DataFrame ops with portable md5-derived hashing so
+the DuckDB oracle replays them bit-for-bit.
+
+Scale design:
+- exact: one groupBy on a 128-bit content hash — the classic
+  map-side-combinable shuffle; at 100 TB you hash + shuffle once.
+- MinHash+LSH: explode shingles once, cross a tiny (P rows) perm
+  frame, per-(doc, perm) min — then band signatures so the candidate
+  join is an equi-join on (band, signature), never an all-pairs
+  product. Verification joins collect_set shingle arrays only for
+  surviving candidates (bounded by doc length, not corpus size).
+- SimHash: per-token hash → 60 weighted bit contributions → sign
+  aggregate; candidate pairs via banded 15-bit chunks (pigeonhole:
+  hamming ≤ 3 ⇒ at least one of 4 chunks equal), hamming verified
+  with bit_count(xor).
+- n-gram Jaccard: shingle-postings equi-join (document-pair counts
+  from a postings list), never a cross join.
+- embedding cosine: exact all-pairs within LSH-style blocking is the
+  ANN module's job; here the semantic is the *exact* pairwise check
+  above a threshold, expressed as a self-join that AQE handles; for
+  100 TB you'd run it per-bucket after LSH blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import tokenize
+from ..functions.vectorfn import cosine
+
+# 15 hex chars = 60 bits: positive in both Spark's and DuckDB's int64.
+HASH_HEX_LEN = 15
+
+
+def stable_hash60(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, HASH_HEX_LEN), 16, 10).cast("long")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 2) -> DataFrame:
+    """→ (id, shingle) — DISTINCT k-token shingles per document."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokenize(text_col).alias("toks")
+    )
+    sh = toks.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("toks") >= k,
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {k - 1}),"
+                    f" i -> array_join(slice(toks, i, {k}), ' '))"
+                ),
+            ).otherwise(F.array())
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups → (text_hash, cnt, keeper_id).
+
+    keeper = lexicographic min id; groups of size 1 are excluded
+    (nothing to dedup).
+    """
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("text_hash"),
+            F.col(id_col).alias("id"),
+        )
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("cnt"), F.min("id").alias("keeper_id"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_perms: int = 12
+) -> DataFrame:
+    """(id, shingle) → (id, perm, minhash) via salted stable hashes."""
+    perms = sh.sparkSession.range(num_perms).select(
+        F.col("id").cast("int").alias("perm")
+    )
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .withColumn(
+            "h",
+            stable_hash60(
+                F.concat(F.col("perm").cast("string"), F.lit("|"), "shingle")
+            ),
+        )
+        .groupBy("id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures; docs sharing any band bucket → (id_a, id_b).
+
+    Band signature = ordered concat of the band's minhashes
+    (sort_array over (perm, minhash) structs keeps it deterministic).
+    """
+    banded = (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("perm", "minhash"))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                "-",
+            ).alias("sig")
+        )
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), "band", F.col("sig").alias("sig_a")
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), "band", F.col("sig").alias("sig_b")
+    )
+    return (
+        a.join(
+            b,
+            (a["band"] == b["band"])
+            & (a["sig_a"] == b["sig_b"])
+            & (a["id_a"] < b["id_b"]),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    sh: DataFrame, pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for candidate pairs
+    → (id_a, id_b, jaccard ≥ threshold)."""
+    sets = sh.groupBy("id").agg(
+        F.collect_set("shingle").alias("s"), F.count("*").alias("n")
+    )
+    sa = sets.select(
+        F.col("id").alias("id_a"), F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    sb = sets.select(
+        F.col("id").alias("id_b"), F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", inter / (F.col("na") + F.col("nb") - inter))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 2,
+    num_perms: int = 12,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash → LSH bands → exact-Jaccard verify → near-dup pairs."""
+    sh = shingles(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, num_perms)
+    pairs = lsh_candidate_pairs(sig, rows_per_band)
+    return jaccard_verify(sh, pairs, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Direct n-gram Jaccard via a shingle-postings equi-join.
+
+    Intersection counts come from joining the postings list with
+    itself on the shingle key (never an all-pairs product); union
+    sizes via per-doc distinct counts.
+    """
+    sh = shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_values(
+    df: DataFrame, id_col: str = "id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """60-bit tf-weighted SimHash per document → (id, simhash).
+
+    Per token: one stable 60-bit hash; each bit contributes
+    ``tf * (2*bit - 1)``; the fingerprint sets bit b iff the summed
+    contribution is positive. Documents with no tokens get simhash 0.
+    """
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(tokenize(text_col)).alias("tok"),
+        )
+        .groupBy("id", "tok")
+        .agg(F.count("tok").alias("tf"))
+        .withColumn("h", F.when(F.col("tok").isNotNull(), stable_hash60("tok")))
+    )
+    contrib = tf.select(
+        "id",
+        F.explode(
+            F.when(
+                F.col("h").isNotNull(),
+                F.expr(
+                    f"transform(sequence(0, {bits - 1}),"
+                    " b -> struct(b as b,"
+                    " tf * ((shiftright(h, b) & 1) * 2 - 1) as c))"
+                ),
+            ).otherwise(F.array())
+        ).alias("bc"),
+    ).select("id", F.col("bc.b").alias("b"), F.col("bc.c").alias("c"))
+    bits_df = (
+        contrib.groupBy("id", "b")
+        .agg(F.sum("c").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return all_ids.join(
+        bits_df.groupBy("id").agg(F.sum("bitval").alias("simhash")),
+        "id",
+        "left_outer",
+    ).select("id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim: DataFrame, max_hamming: int = 3, chunks: int = 4, chunk_bits: int = 15
+) -> DataFrame:
+    """Near-dup pairs by SimHash: banded 15-bit chunks as candidates
+    (pigeonhole: hamming ≤ chunks-1 guarantees a shared chunk),
+    verified with bit_count(xor) → (id_a, id_b, hamming)."""
+    chunked = sim.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {chunks - 1}),"
+                f" c -> struct(c as c,"
+                f" shiftright(simhash, c * {chunk_bits})"
+                f" & {(1 << chunk_bits) - 1} as v))"
+            )
+        ).alias("ch"),
+    ).select("id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    a = chunked.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("ha"), "c", "v"
+    )
+    b = chunked.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("hb"), "c", "v"
+    )
+    return (
+        a.join(b, ["c", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("bit_count(ha ^ hb)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """Exact near-dup pairs by embedding cosine ≥ threshold.
+
+    Plain self-join on dim with id_a < id_b; at pipeline scale this
+    runs per-LSH-bucket (see ann.lsh_bucketed_topk) — the operator
+    semantic is identical.
+    """
+    a = emb.select(
+        F.col("node_id").alias("id_a"), F.col("vector").alias("va"), "dim"
+    )
+    b = emb.select(
+        F.col("node_id").alias("id_b"), F.col("vector").alias("vb"), "dim"
+    )
+    return (
+        a.join(b, "dim")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,136 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring, token
+counting (whitespace + subword-regex), and document fingerprinting
+(min-hash over token bigrams — a winnowing-style content signature).
+All portable column expressions with DuckDB oracle twins; zero UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import tokenize
+from .dedup import stable_hash60
+
+# Tiny per-language stopword lists (language-ID heuristic; a real
+# deployment swaps in larger lists — the operator shape is the same).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "les"),
+    "de": ("der", "die", "das", "und", "zu"),
+}
+
+# Subword tokenizer regex (BPE-ish): letter runs, digit runs, or a
+# single non-space symbol. Same dialect in Spark (Java regex) and
+# DuckDB (RE2).
+SUBWORD_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def lang_hits(toks: Column, lang: str) -> Column:
+    words = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.array_intersect(toks, words))
+
+
+def lang_id(df: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
+    """→ (id, guessed_lang): argmax stopword hits, 'und' when zero.
+
+    Ties break on language-code order (deterministic).
+    """
+    toks = F.array_distinct(tokenize(text_col))
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        *[lang_hits(toks, lg).alias(f"__{lg}") for lg in LANG_STOPWORDS],
+    )
+    best = F.greatest(*[F.col(f"__{lg}") for lg in LANG_STOPWORDS])
+    guess = F.lit("und")
+    # reversed so earlier language codes win ties via later overwrite
+    for lg in reversed(list(LANG_STOPWORDS)):
+        guess = F.when(
+            (best > 0) & (F.col(f"__{lg}") == best), F.lit(lg)
+        ).otherwise(guess)
+    return scored.select("id", guess.alias("guessed_lang"))
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """→ (id, n_tokens, stop_ratio, quality).
+
+    quality = 0.4·min(1, n_tok/100)                 (length signal)
+            + 0.3·(1 - min(1, |avg_word_len - 5|/5)) (word-shape signal)
+            + 0.3·stopword_ratio                     (fluency signal)
+    Empty documents score 0.0.
+    """
+    toks = tokenize(text_col)
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stop_arr = F.array(*[F.lit(w) for w in all_stop])
+    n_tok = F.size(toks)
+    total_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    )
+    avg_wlen = total_chars.cast("double") / n_tok
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + F.lit(0.3)
+        * (
+            F.lit(1.0)
+            - F.least(F.lit(1.0), F.abs(avg_wlen - 5) / F.lit(5.0))
+        )
+        + F.lit(0.3) * (stop_hits.cast("double") / n_tok)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(0.0),
+            6,
+        ).alias("stop_ratio"),
+        F.round(F.when(n_tok > 0, quality).otherwise(0.0), 6).alias("quality"),
+    )
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """→ (id, ws_tokens, subword_tokens, n_chars)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokenize(text_col)).alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{SUBWORD_RE}', 0)")).alias(
+            "subword_tokens"
+        ),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """→ (id, fingerprint, n_shingles): min stable-60-bit hash over
+    token bigrams (content-defined signature; equal fingerprints are
+    near-dup candidates). Documents with <2 tokens fingerprint -1."""
+    from .dedup import shingles
+
+    sh = shingles(df, id_col, text_col, k=2).withColumn(
+        "h", stable_hash60("shingle")
+    )
+    agg = sh.groupBy("id").agg(
+        F.min("h").alias("fingerprint"), F.count("*").alias("n_shingles")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left_outer")
+        .select(
+            "id",
+            F.coalesce("fingerprint", F.lit(-1).cast("long")).alias(
+                "fingerprint"
+            ),
+            F.coalesce("n_shingles", F.lit(0).cast("long")).alias("n_shingles"),
+        )
+    )

@@ -12,9 +12,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import coreq, crudq, functionsq, graphq, searchq
+from . import (
+    coreq,
+    crudq,
+    eventsq,
+    functionsq,
+    graphq,
+    mmq,
+    pipelineq,
+    searchq,
+)
 
-_MODULES = [coreq, crudq, functionsq, graphq, searchq]
+_MODULES = [coreq, crudq, eventsq, functionsq, graphq, mmq, pipelineq, searchq]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

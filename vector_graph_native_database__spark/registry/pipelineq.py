@@ -1,0 +1,348 @@
+"""Training-data-pipeline queries: dedup, ANN, text analysis.
+
+These are the beyond-the-reference operators (BASELINE.json north
+star). Every one has a full DuckDB oracle — including MinHash-LSH and
+sign-projection LSH, whose hashes are md5-derived specifically so
+both engines compute identical buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import ann, dedup, text_analysis
+from .common import ORACLE_PRELUDE, model
+
+ANN_QUERY_IDS = ["0", "100", "200", "300", "400"]
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return dedup.exact_dedup_groups(nodes)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return dedup.minhash_lsh_dedup(nodes, threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    sim = dedup.simhash_values(nodes)
+    return dedup.simhash_near_pairs(sim, max_hamming=3)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(nodes, k=3, threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, emb, _ = model(spark, sf_dir)
+    return dedup.embedding_cosine_pairs(emb, threshold=0.4).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, emb, _ = model(spark, sf_dir)
+    return ann.brute_topk(emb, ANN_QUERY_IDS, k=10, round_scores=6)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, emb, _ = model(spark, sf_dir)
+    return ann.lsh_bucketed_topk(
+        emb, ANN_QUERY_IDS, k=5, num_planes=8, dim=64, round_scores=6
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return text_analysis.lang_id(nodes)
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return text_analysis.quality_score(nodes)
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return text_analysis.token_counts(nodes)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return text_analysis.doc_fingerprint(nodes)
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_brute_topk": q_ann_brute_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "text_lang_id": q_text_lang_id,
+    "text_quality_score": q_text_quality_score,
+    "text_token_count": q_text_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_TOKS = r""",
+toks AS (
+  SELECT id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM nodes
+)"""
+
+
+def _sh_cte(k: int, name: str) -> str:
+    parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    return f""",
+{name} AS (
+  SELECT id, unnest(list_distinct(
+    CASE WHEN len(t) >= {k}
+    THEN list_transform(generate_series(1, len(t) - {k - 1}), i -> {parts})
+    ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+  FROM toks
+)"""
+
+
+_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_COS = """CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb) ELSE 0.0 END"""
+
+_IDS_IN = "('" + "', '".join(ANN_QUERY_IDS) + "')"
+
+ORACLES = {
+    "dedup_exact": ORACLE_PRELUDE
+    + """
+SELECT md5(text) AS text_hash, count(*) AS cnt, min(id) AS keeper_id
+FROM nodes GROUP BY md5(text) HAVING count(*) > 1""",
+    "dedup_minhash_lsh": ORACLE_PRELUDE
+    + _TOKS
+    + _sh_cte(2, "sh")
+    + f""",
+perms AS (SELECT unnest(generate_series(0, 11)) AS perm),
+mh AS (
+  SELECT s.id, p.perm,
+         min({_H60.format(x="p.perm || '|' || s.shingle")}) AS minhash
+  FROM sh s CROSS JOIN perms p GROUP BY s.id, p.perm
+),
+banded AS (
+  SELECT id, perm // 4 AS band,
+         string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm) AS sig
+  FROM mh GROUP BY id, perm // 4
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.id = c.id_a
+  JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(i.i * 1.0 / (a.n + b.n - i.i), 6) AS jaccard
+FROM inter i JOIN sizes a ON a.id = i.id_a JOIN sizes b ON b.id = i.id_b
+WHERE i.i * 1.0 / (a.n + b.n - i.i) >= 0.8""",
+    "dedup_simhash": ORACLE_PRELUDE
+    + _TOKS
+    + f""",
+tf AS (
+  SELECT id, tok, count(*) AS tf
+  FROM (SELECT id, unnest(t) AS tok FROM toks) GROUP BY id, tok
+),
+th AS (SELECT id, tok, tf, {_H60.format(x='tok')} AS h FROM tf),
+bits AS (
+  SELECT id, b.b, sum(tf * (((h >> b.b) & 1) * 2 - 1)) AS s
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
+  GROUP BY id, b.b
+),
+sim AS (
+  SELECT n.id, coalesce(x.simhash, 0) AS simhash
+  FROM nodes n LEFT JOIN (
+    SELECT id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+    FROM bits GROUP BY id
+  ) x ON x.id = n.id
+),
+chunks AS (
+  SELECT id, simhash, c.c, (simhash >> (c.c * 15)) & 32767 AS v
+  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, a.simhash AS ha, b.id AS id_b, b.simhash AS hb
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.v = b.v AND a.id < b.id
+)
+SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3""",
+    "dedup_ngram_jaccard": ORACLE_PRELUDE
+    + _TOKS
+    + _sh_cte(3, "sh3")
+    + """,
+sizes AS (SELECT id, count(*) AS n FROM sh3 GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT i.id_a, i.id_b,
+       round(i.c * 1.0 / (x.n + y.n - i.c), 6) AS jaccard
+FROM inter i JOIN sizes x ON x.id = i.id_a JOIN sizes y ON y.id = i.id_b
+WHERE i.c * 1.0 / (x.n + y.n - i.c) >= 0.8""",
+    "dedup_embedding_cosine": ORACLE_PRELUDE
+    + f"""
+SELECT id_a, id_b, round({_COS}, 6) AS cos
+FROM (
+  SELECT a.node_id AS id_a, b.node_id AS id_b,
+         list_dot_product(CAST(a.vector AS DOUBLE[]),
+                          CAST(b.vector AS DOUBLE[])) AS d,
+         sqrt(list_dot_product(CAST(a.vector AS DOUBLE[]),
+                               CAST(a.vector AS DOUBLE[]))) AS na,
+         sqrt(list_dot_product(CAST(b.vector AS DOUBLE[]),
+                               CAST(b.vector AS DOUBLE[]))) AS nb
+  FROM emb a JOIN emb b ON a.dim = b.dim AND a.node_id < b.node_id
+)
+WHERE {_COS} >= 0.4""",
+    "ann_brute_topk": ORACLE_PRELUDE
+    + f""",
+q AS (SELECT node_id AS qid, vector AS qvec, dim FROM emb
+      WHERE node_id IN {_IDS_IN}),
+scored AS (
+  SELECT q.qid, e.node_id AS id,
+         round(CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb) ELSE 0.0 END, 6)
+           AS cos
+  FROM emb e JOIN q ON e.dim = q.dim AND e.node_id <> q.qid
+  CROSS JOIN LATERAL (
+    SELECT list_dot_product(CAST(e.vector AS DOUBLE[]),
+                            CAST(q.qvec AS DOUBLE[])) AS d,
+           sqrt(list_dot_product(CAST(e.vector AS DOUBLE[]),
+                                 CAST(e.vector AS DOUBLE[]))) AS na,
+           sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]),
+                                 CAST(q.qvec AS DOUBLE[]))) AS nb
+  ) t
+)
+SELECT qid, id, cos, rnk FROM (
+  SELECT qid, id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 10""",
+    "ann_lsh_topk": ORACLE_PRELUDE
+    + f""",
+planes AS (
+  SELECT p.p,
+         list_transform(generate_series(0, 63), d ->
+           (('0x' || substr(md5('p' || p.p || 'd' || d), 1, 8))::BIGINT
+            % 2001 - 1000) / 1000.0) AS w
+  FROM (SELECT unnest(generate_series(0, 7)) AS p) p
+),
+proj AS (
+  SELECT e.node_id, e.dim, p.p,
+         list_dot_product(CAST(e.vector AS DOUBLE[]), p.w) AS proj
+  FROM emb e CROSS JOIN planes p
+),
+buck AS (
+  SELECT node_id, dim,
+         sum(CASE WHEN proj >= 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+  FROM proj GROUP BY node_id, dim
+),
+be AS (
+  SELECT b.node_id, b.bucket, b.dim, e.vector
+  FROM buck b JOIN emb e ON e.node_id = b.node_id AND e.dim = b.dim
+),
+q AS (SELECT node_id AS qid, vector AS qvec, bucket AS qb FROM be
+      WHERE node_id IN {_IDS_IN}),
+cand AS (
+  SELECT q.qid, e.node_id AS id,
+         round(CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb) ELSE 0.0 END, 6)
+           AS cos
+  FROM be e JOIN q ON e.bucket = q.qb AND e.node_id <> q.qid
+  CROSS JOIN LATERAL (
+    SELECT list_dot_product(CAST(e.vector AS DOUBLE[]),
+                            CAST(q.qvec AS DOUBLE[])) AS d,
+           sqrt(list_dot_product(CAST(e.vector AS DOUBLE[]),
+                                 CAST(e.vector AS DOUBLE[]))) AS na,
+           sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]),
+                                 CAST(q.qvec AS DOUBLE[]))) AS nb
+  ) t
+)
+SELECT qid, id, cos, rnk FROM (
+  SELECT qid, id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rnk
+  FROM cand
+) WHERE rnk <= 5""",
+    "text_lang_id": ORACLE_PRELUDE
+    + _TOKS
+    + """,
+hits AS (
+  SELECT id,
+    len(list_intersect(list_distinct(t), ['the','a','of','and','to'])) AS h_en,
+    len(list_intersect(list_distinct(t), ['el','la','de','y','que'])) AS h_es,
+    len(list_intersect(list_distinct(t), ['le','la','de','et','les'])) AS h_fr,
+    len(list_intersect(list_distinct(t), ['der','die','das','und','zu'])) AS h_de
+  FROM toks
+)
+SELECT id,
+  CASE WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+       WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+       WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+       WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+       ELSE 'de' END AS guessed_lang
+FROM hits""",
+    "text_quality_score": ORACLE_PRELUDE
+    + _TOKS
+    + """,
+stats AS (
+  SELECT id, len(t) AS n_tok,
+         CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+           AS total_chars,
+         len(list_filter(t, x -> list_contains(
+           ['a','and','das','de','der','die','el','et','la','le','les',
+            'of','que','the','to','und','y','zu'], x))) AS stop_hits
+  FROM toks
+)
+SELECT id, n_tok AS n_tokens,
+  round(CASE WHEN n_tok > 0 THEN stop_hits * 1.0 / n_tok ELSE 0.0 END, 6)
+    AS stop_ratio,
+  round(CASE WHEN n_tok > 0 THEN
+    0.4 * least(1.0, n_tok / 100.0)
+    + 0.3 * (1.0 - least(1.0, abs(total_chars / n_tok - 5) / 5.0))
+    + 0.3 * (stop_hits * 1.0 / n_tok)
+  ELSE 0.0 END, 6) AS quality
+FROM stats""",
+    "text_token_count": ORACLE_PRELUDE
+    + _TOKS
+    + r"""
+SELECT n.id, len(t.t) AS ws_tokens,
+       len(regexp_extract_all(n.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+         AS subword_tokens,
+       length(n.text) AS n_chars
+FROM nodes n JOIN toks t ON t.id = n.id""",
+    "doc_fingerprint": ORACLE_PRELUDE
+    + _TOKS
+    + _sh_cte(2, "sh")
+    + f""",
+agg AS (
+  SELECT id, min({_H60.format(x='shingle')}) AS fingerprint,
+         count(*) AS n_shingles
+  FROM sh GROUP BY id
+)
+SELECT n.id, coalesce(a.fingerprint, -1) AS fingerprint,
+       coalesce(a.n_shingles, 0) AS n_shingles
+FROM nodes n LEFT JOIN agg a ON a.id = n.id""",
+}

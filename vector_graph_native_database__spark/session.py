@@ -36,6 +36,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # harness events.parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanos type — read as long, loaders convert to micros.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Local-mode niceties; harmless on a cluster.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

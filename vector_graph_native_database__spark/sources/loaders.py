@@ -27,7 +27,21 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one harness table (see TESTDATA.md) as a DataFrame."""
+    """Load one harness table (see TESTDATA.md) as a DataFrame.
+
+    The events table stores TIMESTAMP(NANOS), which Spark reads as a
+    long (``spark.sql.legacy.parquet.nanosAsLong``); convert to a
+    real timestamp at microsecond precision (truncating, same as
+    DuckDB's µs timestamps) so window functions see a timestamp.
+    """
+    from pyspark.sql import functions as F
+
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+    return df

@@ -1,0 +1,10 @@
+from .windows import tumbling_agg, sliding_agg, session_agg
+from .ingest import stream_events, incremental_index_maintenance
+
+__all__ = [
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "stream_events",
+    "incremental_index_maintenance",
+]

@@ -1,0 +1,96 @@
+"""Structured Streaming ingestion + incremental index maintenance.
+
+The reference rebuilds its BM25 index synchronously on every single
+write — O(corpus) per mutation (``/root/reference/app.py:771-773``).
+The Spark-native equivalent of "indexes follow writes" is a stream of
+document batches driving incremental maintenance of the derived
+tables (embeddings here; the BM25 corpus-stat frames the same way)
+via ``foreachBatch`` — O(batch) work per batch, with exactly-once
+progress via checkpointing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# events.parquet stores ts as TIMESTAMP(NANOS) (physical INT64); Spark
+# has no nanosecond timestamp, so read it as long and convert to a
+# microsecond timestamp (truncating), matching the batch loader.
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, with_watermark: str | None = "30 minutes"
+) -> DataFrame:
+    """events.parquet as an unbounded stream (file source).
+
+    Streaming file sources need an explicit schema; the watermark
+    bounds state for downstream windowed aggregations and drops
+    late data past the threshold.
+    """
+    df = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    if with_watermark:
+        df = df.withWatermark("ts", with_watermark)
+    return df
+
+
+def incremental_index_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    doc_schema: str | StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Documents stream → per-batch upsert of the hash-embedding table.
+
+    Each micro-batch re-embeds ONLY its own documents and merges them
+    into the persisted embeddings state (latest wins) — the
+    incremental version of the reference's rebuild-everything-on-write.
+    Returns the (already awaited) StreamingQuery, run with
+    trigger(availableNow=True) so callers can use it in batch jobs
+    and tests alike.
+    """
+    from ..functions.textfn import embed_hash_df
+    from ..operators.crud import upsert
+
+    docs = spark.readStream.schema(doc_schema).parquet(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        # latest state of each doc id within the batch wins
+        latest = batch_df.groupBy("id").agg(
+            F.max_by("text", "seq").alias("text")
+        )
+        new_emb = embed_hash_df(latest).select(
+            F.col("id").alias("node_id"), "vector", "dim"
+        )
+        try:
+            current = spark.read.parquet(state_dir)
+            merged = upsert(current, new_emb, "node_id")
+        except Exception:
+            merged = new_emb
+        merged.write.mode("overwrite").parquet(state_dir + "_next")
+        # atomic-ish swap: rewrite state from the staged copy
+        spark.read.parquet(state_dir + "_next").write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    q = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
