@@ -11,19 +11,23 @@ capability, which we implement faithfully.
 
 Spark shape — the index IS two aggregate DataFrames:
 ``explode(tokens)`` → per-(doc,term) tf + per-doc length, one
-``groupBy(term)`` for document frequencies, two single-row global
-aggregates (N, avgdl) broadcast back. All map-side-combinable
-shuffles on compact keys; scoring a query is one broadcast join of
-the (tiny) query-term frame against tf. Unlike the reference's
-rebuild-the-whole-index-per-write, these aggregates are recomputed
-lazily per query batch — at 100 TB they can be persisted and
-incrementally maintained, but semantics stay identical.
+``groupBy(term)`` for document frequencies, one single-row global
+aggregate (N, avgdl, avg raw idf) broadcast back. All
+map-side-combinable shuffles on compact keys. Scoring stays
+broadcast-only on top of those aggregates: idf is materialized ONLY
+for the query's terms (a |q|-row frame), so the per-query work after
+the corpus stats is two broadcast joins — no full-vocabulary shuffle.
+Unlike the reference's rebuild-the-whole-index-per-write, these
+aggregates are recomputed lazily per query batch — at 100 TB they can
+be persisted and incrementally maintained, but semantics stay
+identical.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.textfn import tokenize
 
@@ -32,66 +36,131 @@ B = 0.75
 EPSILON = 0.25
 
 
-def corpus_stats(nodes: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """→ (tf(id, tok, tf), doclen(id, dl), idf(tok, idf)).
+def corpus_stats(
+    nodes: DataFrame, persist: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """→ (tf(id, tok, tf), doclen(id, dl), df_(tok, df)).
 
-    ``idf`` already has the Okapi negative-flooring applied.
+    Raw corpus aggregates; idf derivation (which needs the global
+    N / avg-idf scalars) happens in :func:`_query_idf`.
+
+    All three frames descend from ONE ``groupBy(id, tok)`` posting
+    frame. ``explode_outer`` keeps zero-token docs as a null-token
+    row (tf contribution 0) so they still appear in ``doclen`` with
+    dl=0 — rank_bm25 averages doc length over ALL docs, empty ones
+    included.
+
+    ``persist`` trades a blocking cache-materialization of the
+    posting frame for cheap reuse: one-shot queries (and the bench's
+    cold path) should leave it off — on a 32-thread local run the
+    3-4 lazy recomputes overlap and finish ~2× faster than the
+    serialized cache build — while repeated-query workloads should
+    turn it on (or call :func:`build_index` once): warm queries then
+    skip the scan+explode entirely. A 100 TB deployment persists
+    these aggregates as real tables and maintains them
+    incrementally; either way scoring semantics are identical.
     """
-    toks = nodes.select(
-        "id", F.explode_outer(tokenize("text")).alias("tok")
-    )
-    doclen = toks.groupBy("id").agg(F.count("tok").alias("dl"))
-    tf = (
-        toks.filter(F.col("tok").isNotNull())
+    posting = (
+        nodes.select("id", F.explode_outer(tokenize("text")).alias("tok"))
         .groupBy("id", "tok")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count(F.col("tok")).alias("tf"))
     )
-    n_docs = nodes.count()
+    if persist:
+        # CacheManager keys on the canonical logical plan, so every
+        # query over the same corpus shares one materialization.
+        posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
+    doclen = posting.groupBy("id").agg(F.sum("tf").alias("dl"))
+    tf = posting.filter(F.col("tok").isNotNull())
     df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    raw = F.log(F.lit(float(n_docs)) - F.col("df") + 0.5) - F.log(
-        F.col("df") + 0.5
+    return tf, doclen, df_
+
+
+def build_index(nodes: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Materialize the corpus stats once for a repeated-query workload.
+
+    The in-memory analog of the persisted posting-list table a
+    large-scale deployment maintains; pass the result to
+    :func:`bm25_scores` / :func:`bm25_topk` as ``stats=``.
+    """
+    return corpus_stats(nodes, persist=True)
+
+
+def _globals_df(doclen: DataFrame, df_: DataFrame) -> DataFrame:
+    """One-row frame (__n_docs, __avgdl, __avg_idf) — broadcast scalar.
+
+    ``__avg_idf`` is the mean RAW Okapi idf over the whole vocabulary
+    (the flooring base rank_bm25 uses); computing it here keeps the
+    whole plan lazy — no eager ``count()`` job on the driver.
+    """
+    nd = doclen.agg(
+        F.count("*").alias("__n_docs"), F.avg("dl").alias("__avgdl")
     )
-    with_raw = df_.withColumn("raw_idf", raw)
-    avg_idf = with_raw.agg(F.avg("raw_idf").alias("__avg_idf"))
-    idf = (
-        with_raw.crossJoin(F.broadcast(avg_idf))
+    raw = df_.crossJoin(F.broadcast(nd)).withColumn(
+        "raw_idf",
+        F.log(F.col("__n_docs") - F.col("df") + 0.5)
+        - F.log(F.col("df") + 0.5),
+    )
+    return raw.groupBy("__n_docs", "__avgdl").agg(
+        F.avg("raw_idf").alias("__avg_idf")
+    )
+
+
+def query_terms_df(nodes: DataFrame, query_text: str) -> DataFrame:
+    """Tokenized query with multiplicity → (tok, qcnt), as a plan node.
+
+    Counted driver-side (a query is a handful of tokens) so the plan
+    gets a local relation, not a shuffle stage.
+    """
+    from collections import Counter
+
+    spark = nodes.sparkSession
+    counts = Counter(query_text.lower().split())
+    return spark.createDataFrame(
+        list(counts.items()), "tok string, qcnt long"
+    )
+
+
+def _query_idf(
+    q: DataFrame, df_: DataFrame, globals_df: DataFrame
+) -> DataFrame:
+    """(tok, qcnt, idf, __avgdl) for the query's terms only.
+
+    |q| rows — always broadcastable, so the scoring join never
+    shuffles the vocabulary.
+    """
+    return (
+        df_.join(F.broadcast(q), "tok")
+        .crossJoin(F.broadcast(globals_df))
+        .withColumn(
+            "raw_idf",
+            F.log(F.col("__n_docs") - F.col("df") + 0.5)
+            - F.log(F.col("df") + 0.5),
+        )
         .withColumn(
             "idf",
             F.when(
                 F.col("raw_idf") < 0, F.lit(EPSILON) * F.col("__avg_idf")
             ).otherwise(F.col("raw_idf")),
         )
-        .select("tok", "idf")
+        .select("tok", "qcnt", "idf", "__avgdl")
     )
-    return tf, doclen, idf
 
 
-def query_terms_df(nodes: DataFrame, query_text: str) -> DataFrame:
-    """Tokenized query with multiplicity → (tok, qcnt), as a plan node."""
-    spark = nodes.sparkSession
-    toks = [t for t in query_text.lower().split()]
+def _contrib(
+    nodes: DataFrame,
+    query_text: str,
+    stats: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Per-doc summed BM25 contributions → (id, score); docs with no
+    matching term are absent (callers decide between outer-join-zero
+    and positive-filter semantics)."""
+    tf, doclen, df_ = stats if stats is not None else corpus_stats(nodes)
+    qidf = _query_idf(
+        query_terms_df(nodes, query_text), df_, _globals_df(doclen, df_)
+    )
     return (
-        spark.createDataFrame([(t,) for t in toks], "tok string")
-        .groupBy("tok")
-        .agg(F.count("*").alias("qcnt"))
-    )
-
-
-def bm25_scores(nodes: DataFrame, query_text: str) -> DataFrame:
-    """Okapi BM25 score of every document → (id, score).
-
-    Documents matching no query term score 0.0 (kept — the top-k
-    variant applies the positive filter).
-    """
-    tf, doclen, idf = corpus_stats(nodes)
-    avgdl = doclen.agg(F.avg("dl").alias("__avgdl"))
-    q = F.broadcast(query_terms_df(nodes, query_text))
-
-    contrib = (
-        tf.join(q, "tok")
-        .join(idf, "tok")
+        tf.join(F.broadcast(qidf), "tok")
         .join(doclen, "id")
-        .crossJoin(F.broadcast(avgdl))
         .withColumn(
             "contrib",
             F.col("qcnt")
@@ -106,9 +175,22 @@ def bm25_scores(nodes: DataFrame, query_text: str) -> DataFrame:
         .groupBy("id")
         .agg(F.sum("contrib").alias("score"))
     )
+
+
+def bm25_scores(
+    nodes: DataFrame,
+    query_text: str,
+    stats: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Okapi BM25 score of every document → (id, score).
+
+    Documents matching no query term score 0.0 (kept — the top-k
+    variant applies the positive filter). Pass ``stats`` from
+    :func:`build_index` for repeated-query workloads.
+    """
     return (
         nodes.select("id")
-        .join(contrib, "id", "left_outer")
+        .join(_contrib(nodes, query_text, stats), "id", "left_outer")
         .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
     )
 
@@ -118,9 +200,16 @@ def bm25_topk(
     query_text: str,
     top_k: int = 10,
     round_scores: int | None = None,
+    stats: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
-    """Top-k by BM25, zero/negative scores dropped (``app.py:486``)."""
-    scored = bm25_scores(nodes, query_text)
+    """Top-k by BM25, zero/negative scores dropped (``app.py:486``).
+
+    Skips :func:`bm25_scores`'s outer-join-to-zero — the positive
+    filter would drop those rows anyway, so scoring stays on the
+    (small) set of docs sharing a term with the query. Pass
+    ``stats`` from :func:`build_index` for repeated-query workloads.
+    """
+    scored = _contrib(nodes, query_text, stats)
     if round_scores is not None:
         scored = scored.withColumn("score", F.round("score", round_scores))
     return (
