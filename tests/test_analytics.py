@@ -1,0 +1,109 @@
+"""Graph analytics on toy graphs with hand-computable answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_graph_native_database__spark.operators.analytics import (
+    connected_components,
+    degrees,
+    pagerank,
+    sssp_k,
+    triangle_count,
+)
+
+
+def edges_df(spark, rows):
+    return spark.createDataFrame(
+        [(f"e{i}", s, d, t, w) for i, (s, d, t, w) in enumerate(rows)],
+        "id string, src string, dst string, type string, weight double",
+    )
+
+
+def verts_df(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id string")
+
+
+def test_degrees(spark):
+    e = edges_df(
+        spark,
+        [("a", "b", "t", 1.0), ("a", "c", "t", 1.0), ("b", "c", "t", 1.0)],
+    )
+    got = {r["id"]: (r["out_degree"], r["in_degree"], r["degree"])
+           for r in degrees(e).collect()}
+    assert got == {"a": (2, 0, 2), "b": (1, 1, 2), "c": (0, 2, 2)}
+
+
+def test_pagerank_sums_to_one_and_ranks_sink_highest(spark):
+    # a→c, b→c: c collects rank; c is dangling (mass redistributed)
+    e = edges_df(spark, [("a", "c", "t", 1.0), ("b", "c", "t", 1.0)])
+    v = verts_df(spark, ["a", "b", "c"])
+    ranks = {r["id"]: r["rank"] for r in pagerank(v, e, iterations=10).collect()}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+    assert ranks["c"] > ranks["a"] == pytest.approx(ranks["b"], abs=1e-12)
+
+
+def test_pagerank_weighted_split(spark):
+    # a splits 3:1 between b and c; after 1 iteration from uniform:
+    # rank(b) = (1-d)/3 + d*( (1/3)*0.75 + dang/3 ) with dang = ranks of b,c = 2/3
+    e = edges_df(spark, [("a", "b", "t", 3.0), ("a", "c", "t", 1.0)])
+    v = verts_df(spark, ["a", "b", "c"])
+    d = 0.85
+    ranks = {r["id"]: r["rank"] for r in
+             pagerank(v, e, iterations=1, damping=d).collect()}
+    dang = 2.0 / 3.0
+    want_b = (1 - d) / 3 + d * ((1 / 3) * 0.75 + dang / 3)
+    want_c = (1 - d) / 3 + d * ((1 / 3) * 0.25 + dang / 3)
+    assert ranks["b"] == pytest.approx(want_b, abs=1e-12)
+    assert ranks["c"] == pytest.approx(want_c, abs=1e-12)
+
+
+def test_connected_components_two_islands_and_singleton(spark):
+    e = edges_df(
+        spark,
+        [("b", "a", "t", 1.0), ("b", "c", "t", 1.0),  # {a,b,c}
+         ("x", "y", "t", 1.0)],                       # {x,y}
+    )
+    v = verts_df(spark, ["a", "b", "c", "x", "y", "zz"])
+    got = {r["id"]: r["component"] for r in connected_components(v, e).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "zz": "zz"}
+
+
+def test_connected_components_long_path_converges_fast(spark):
+    # 40-node path: pointer jumping must converge well before 50 rounds
+    n = 40
+    ids = [f"{i:03d}" for i in range(n)]
+    e = edges_df(spark, [(ids[i], ids[i + 1], "t", 1.0) for i in range(n - 1)])
+    got = connected_components(verts_df(spark, ids), e).collect()
+    assert {r["component"] for r in got} == {"000"}
+    assert len(got) == n
+
+
+def test_triangle_count_k4(spark):
+    # K4 has exactly 4 triangles; duplicate + self-loop edges ignored
+    ids = ["a", "b", "c", "d"]
+    rows = [(u, v, "t", 1.0) for u in ids for v in ids if u < v]
+    rows += [("a", "b", "t", 1.0), ("c", "c", "t", 1.0)]
+    e = edges_df(spark, rows)
+    assert triangle_count(e).collect()[0]["n_triangles"] == 4
+
+
+def test_sssp_prefers_lighter_longer_path(spark):
+    # a→z direct weight 10; a→m→z total 3: min_weight picks 3
+    e = edges_df(
+        spark,
+        [("a", "z", "t", 10.0), ("a", "m", "t", 1.0), ("m", "z", "t", 2.0)],
+    )
+    got = {r["id"]: r["min_weight"] for r in sssp_k(e, "a", 3).collect()}
+    assert got == {"a": 0.0, "m": 1.0, "z": 3.0}
+
+
+def test_sssp_hop_bound(spark):
+    # with max_hops=1 the two-hop improvement is out of reach
+    e = edges_df(
+        spark,
+        [("a", "z", "t", 10.0), ("a", "m", "t", 1.0), ("m", "z", "t", 2.0)],
+    )
+    got = {r["id"]: r["min_weight"] for r in sssp_k(e, "a", 1).collect()}
+    assert got == {"a": 0.0, "m": 1.0, "z": 10.0}

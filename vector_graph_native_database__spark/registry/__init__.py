@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    analyticsq,
     coreq,
     crudq,
     eventsq,
@@ -23,7 +24,17 @@ from . import (
     searchq,
 )
 
-_MODULES = [coreq, crudq, eventsq, functionsq, graphq, mmq, pipelineq, searchq]
+_MODULES = [
+    analyticsq,
+    coreq,
+    crudq,
+    eventsq,
+    functionsq,
+    graphq,
+    mmq,
+    pipelineq,
+    searchq,
+]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

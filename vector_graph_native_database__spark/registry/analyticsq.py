@@ -1,0 +1,150 @@
+"""Graph-analytics queries (SURVEY §7.4 extension).
+
+Oracles: PageRank's fixed iteration count lets the DuckDB twin be
+UNROLLED — pr0..prK as sequential CTEs, each one aggregate join of
+the previous — so even the iterative algorithm gets a full
+value-hash check. Connected components uses recursive undirected
+reachability (UNION-distinct recursion terminates on cyclic graphs);
+SSSP reuses the bounded-walk CTE with min() instead of the BFS rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.analytics import (
+    connected_components,
+    degrees,
+    pagerank,
+    sssp_k,
+    triangle_count,
+)
+from .common import ORACLE_PRELUDE, model, sql_bfs_cte
+
+PR_ITERS = 5
+PR_DAMPING = 0.85
+SSSP_HOPS = 4
+
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, edges = model(spark, sf_dir)
+    return degrees(edges)
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, edges = model(spark, sf_dir)
+    ranks = pagerank(
+        nodes.select("id"), edges, iterations=PR_ITERS, damping=PR_DAMPING
+    )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Components of the 'author_of' subgraph over all nodes (the full
+    edge set is one chain-connected component — the typed subgraph
+    exercises real multi-component structure)."""
+    nodes, _, edges = model(spark, sf_dir)
+    return connected_components(
+        nodes.select("id"), edges.filter(F.col("type") == "author_of")
+    )
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, edges = model(spark, sf_dir)
+    return triangle_count(edges)
+
+
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, edges = model(spark, sf_dir)
+    return sssp_k(edges, "0", SSSP_HOPS).select(
+        "id", F.round("min_weight", 6).alias("min_weight")
+    )
+
+
+def _pagerank_sql() -> str:
+    d = PR_DAMPING
+    ctes = [
+        """,
+verts AS (SELECT id FROM nodes),
+nv AS (SELECT count(*) AS n FROM verts),
+outw AS (SELECT src AS id, sum(weight) AS w FROM edges GROUP BY src),
+shares AS (
+  SELECT e.src, e.dst, e.weight / o.w AS share
+  FROM edges e JOIN outw o ON o.id = e.src
+),
+pr0 AS (SELECT v.id, 1.0 / nv.n AS rank FROM verts v, nv)"""
+    ]
+    for i in range(1, PR_ITERS + 1):
+        p = i - 1
+        ctes.append(
+            f""",
+pr{i} AS (
+  SELECT v.id,
+         (1 - {d}) / nv.n
+         + {d} * (COALESCE(c.contrib, 0) + dg.mass / nv.n) AS rank
+  FROM verts v
+  CROSS JOIN nv
+  CROSS JOIN (
+    SELECT COALESCE(sum(p.rank), 0) AS mass FROM pr{p} p
+    WHERE NOT EXISTS (SELECT 1 FROM outw o WHERE o.id = p.id)
+  ) dg
+  LEFT JOIN (
+    SELECT s.dst AS id, sum(p.rank * s.share) AS contrib
+    FROM shares s JOIN pr{p} p ON p.id = s.src GROUP BY s.dst
+  ) c ON c.id = v.id
+)"""
+        )
+    return (
+        ORACLE_PRELUDE
+        + "".join(ctes)
+        + f"\nSELECT id, round(rank, 6) AS rank FROM pr{PR_ITERS}"
+    )
+
+
+QUERIES = {
+    "graph_degrees": q_graph_degrees,
+    "graph_pagerank": q_graph_pagerank,
+    "graph_connected_components": q_graph_connected_components,
+    "graph_triangles": q_graph_triangles,
+    "graph_sssp": q_graph_sssp,
+}
+
+ORACLES = {
+    "graph_degrees": ORACLE_PRELUDE
+    + """
+SELECT COALESCE(o.id, i.id) AS id,
+       COALESCE(o.out_degree, 0) AS out_degree,
+       COALESCE(i.in_degree, 0) AS in_degree,
+       COALESCE(o.out_degree, 0) + COALESCE(i.in_degree, 0) AS degree
+FROM (SELECT src AS id, count(*) AS out_degree FROM edges GROUP BY src) o
+FULL OUTER JOIN
+     (SELECT dst AS id, count(*) AS in_degree FROM edges GROUP BY dst) i
+ON o.id = i.id""",
+    "graph_pagerank": _pagerank_sql(),
+    "graph_connected_components": ORACLE_PRELUDE
+    + """,
+verts AS (SELECT id FROM nodes),
+aedges AS (SELECT src, dst FROM edges WHERE type = 'author_of'),
+sym AS (SELECT src, dst FROM aedges UNION SELECT dst, src FROM aedges),
+reach AS (
+  SELECT id AS root, id AS node FROM verts
+  UNION
+  SELECT r.root, s.dst FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT root AS id, min(node) AS component FROM reach GROUP BY root""",
+    "graph_triangles": ORACLE_PRELUDE
+    + """,
+canon AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+)
+SELECT count(*) AS n_triangles
+FROM canon e1
+JOIN canon e2 ON e2.a = e1.b
+JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b""",
+    "graph_sssp": ORACLE_PRELUDE
+    + sql_bfs_cte("0", SSSP_HOPS)
+    + """
+SELECT id, round(min(w), 6) AS min_weight FROM walk GROUP BY id""",
+}
