@@ -31,6 +31,15 @@ HEADLINE = [
     "minmax_normalize",
     "node_upsert",
     "node_delete_cascade",
+    # extension families: analytics / dedup / ANN / text / windows
+    "graph_pagerank",
+    "graph_connected_components",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_brute_topk",
+    "text_quality_score",
+    "doc_fingerprint",
+    "events_session",
 ]
 
 
