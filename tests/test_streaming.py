@@ -104,3 +104,54 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="PIL|NotImplemented"):
         fake_decode_image_meta(binary, real_decode=True).collect()
+
+
+def test_stateful_running_totals_accumulate_across_batches(spark):
+    import pandas as pd
+
+    from vector_graph_native_database__spark.streaming import (
+        running_user_totals,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="vgs-stateful-")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    schema = "user_id long, value double"
+
+    def run_batch():
+        stream = spark.readStream.schema(schema).parquet(src)
+        rows = []
+
+        def capture(batch_df, batch_id):
+            rows.extend(batch_df.collect())
+
+        q = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"])
+            for r in rows
+        }
+
+    try:
+        spark.createDataFrame(
+            [(1, 10.0), (1, 5.0), (2, 7.0)], schema
+        ).write.mode("append").parquet(src)
+        got1 = run_batch()
+        assert got1[1] == (2, 15.0, 10.0) and got1[2] == (1, 7.0, 7.0)
+
+        # second batch: state picks up where batch 1 left off
+        spark.createDataFrame([(1, 1.0), (3, 2.0)], schema).write.mode(
+            "append"
+        ).parquet(src)
+        got2 = run_batch()
+        assert got2[1] == (3, 16.0, 10.0)
+        assert got2[3] == (1, 2.0, 2.0)
+        assert 2 not in got2  # no new rows for user 2 -> no update emitted
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,5 +1,6 @@
 from .windows import tumbling_agg, sliding_agg, session_agg
 from .ingest import stream_events, incremental_index_maintenance
+from .stateful import running_user_totals
 
 __all__ = [
     "tumbling_agg",
@@ -7,4 +8,5 @@ __all__ = [
     "session_agg",
     "stream_events",
     "incremental_index_maintenance",
+    "running_user_totals",
 ]
