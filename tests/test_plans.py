@@ -1,0 +1,79 @@
+"""Physical-plan regression tests.
+
+Correctness is the oracle's job; these tests pin the SCALE properties
+— pushdown, pruning, broadcast choice, distributed top-k — so a
+refactor that silently degrades the plan (full sort instead of
+TakeOrderedAndProject, lost filter pushdown, corpus-sized shuffle in
+BM25 scoring) fails CI even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_graph_native_database__spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = registry.all_queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_vector_topk_is_broadcast_plus_distributed_topk(spark):
+    p = plan_of(spark, "vector_topk")
+    assert "TakeOrderedAndProject" in p  # never a global sort
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_metadata_filter_pushed_to_parquet_scan(spark):
+    p = plan_of(spark, "vector_topk_filtered")
+    assert "EqualTo(lang,en)" in p, "metadata filter must reach the scan"
+
+
+def test_scans_are_column_pruned(spark):
+    p = plan_of(spark, "vector_topk")
+    # documents has text/lang/source/n_chars; topk needs only id+text
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    doc_schemas = [s for s in schemas if "doc_id" in s]
+    assert doc_schemas and all("n_chars" not in s for s in doc_schemas)
+
+
+def test_bm25_scoring_has_no_vocabulary_sortmerge(spark):
+    p = plan_of(spark, "bm25_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p, "query scoring must stay broadcast-side"
+
+
+def test_bm25_topk_skips_outer_join_to_zero(spark):
+    # the positive filter makes the outer join dead weight; guard that
+    # the top-k path never reintroduces it
+    df = registry.all_queries()["bm25_topk"](spark, SF)
+    assert "left_outer" not in df._jdf.queryExecution().logical().toString()
+
+
+def test_hybrid_merges_scores_with_bounded_joins(spark):
+    # vec-score and graph-score attach to the node universe via two
+    # outer merges on id; anything beyond that means a redundant pass
+    p = plan_of(spark, "hybrid_search")
+    assert p.count("SortMergeJoin") <= 2
+    assert "TakeOrderedAndProject" in p
+
+
+def test_crud_mutation_side_broadcasts(spark):
+    p = plan_of(spark, "node_upsert")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["vector_topk", "bm25_topk", "hybrid_search", "dedup_minhash_lsh"],
+)
+def test_no_python_row_udfs_in_hot_paths(spark, name):
+    p = plan_of(spark, name)
+    assert "BatchEvalPython" not in p, "row-at-a-time Python UDF crept in"
+    assert "ArrowEvalPython" not in p

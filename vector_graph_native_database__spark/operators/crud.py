@@ -26,14 +26,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def upsert(table: DataFrame, batch: DataFrame, key: str) -> DataFrame:
+def upsert(
+    table: DataFrame, batch: DataFrame, key: str, broadcast_batch: bool = True
+) -> DataFrame:
     """INSERT OR REPLACE semantics: batch rows win on key collision.
 
-    anti-join keeps the untouched rows; at scale this is one shuffle
-    on the key (or a broadcast anti-join for small batches — AQE
-    decides from the batch size). A malformed batch with duplicate
-    keys is deduped deterministically (max over the remaining
-    columns) so the result never carries duplicate primary keys.
+    The anti-join build side is the mutation batch — semantically
+    small next to the table — so it is broadcast by default and the
+    table side stays a map-only scan (no corpus shuffle). Pass
+    ``broadcast_batch=False`` for bulk backfills where the batch
+    rivals the table; AQE then picks the join strategy from runtime
+    sizes. A malformed batch with duplicate keys is deduped
+    deterministically (max over the remaining columns) so the result
+    never carries duplicate primary keys.
     """
     from pyspark.sql.window import Window
 
@@ -44,7 +49,8 @@ def upsert(table: DataFrame, batch: DataFrame, key: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    return table.join(deduped, key, "left_anti").unionByName(deduped)
+    anti_side = F.broadcast(deduped) if broadcast_batch else deduped
+    return table.join(anti_side, key, "left_anti").unionByName(deduped)
 
 
 def update_partial(
@@ -70,12 +76,29 @@ def update_partial(
 def edge_insert_validated(
     edges: DataFrame, nodes: DataFrame, batch: DataFrame
 ) -> DataFrame:
-    """Append edges whose BOTH endpoints exist (two semi-joins);
-    rows failing either check are rejected (reference 404s them)."""
+    """Append edges whose BOTH endpoints exist; rows failing either
+    check are rejected (reference 404s them, ``app.py:843-846``).
+
+    Endpoint existence is resolved by probing the nodes table with
+    the BROADCAST batch key set first (map-only scan of nodes, small
+    result), then semi-joining the batch against that small verified
+    set — the corpus-sized id column is never shuffled for a
+    mutation-sized batch.
+    """
     ids = nodes.select("id")
+    src_ok = ids.join(
+        F.broadcast(batch.select(F.col("src").alias("id")).distinct()),
+        "id",
+        "left_semi",
+    )
+    dst_ok = ids.join(
+        F.broadcast(batch.select(F.col("dst").alias("id")).distinct()),
+        "id",
+        "left_semi",
+    )
     valid = batch.join(
-        ids, batch["src"] == ids["id"], "left_semi"
-    ).join(ids, batch["dst"] == ids["id"], "left_semi")
+        F.broadcast(src_ok), batch["src"] == src_ok["id"], "left_semi"
+    ).join(F.broadcast(dst_ok), batch["dst"] == dst_ok["id"], "left_semi")
     return edges.unionByName(valid)
 
 
@@ -88,9 +111,10 @@ def node_delete_cascade(
     """Delete nodes + cascade: embeddings and ALL incident edges.
 
     ``delete_ids`` is a 1-column (id) frame; all three results are
-    anti-joins, each one shuffle (broadcast for small delete sets).
+    broadcast anti-joins (delete sets are mutation-sized), so each
+    table side stays a map-only scan.
     """
-    d = delete_ids.select("id")
+    d = F.broadcast(delete_ids.select("id"))
     nodes2 = nodes.join(d, "id", "left_anti")
     emb2 = embeddings.join(
         d, embeddings["node_id"] == d["id"], "left_anti"
@@ -102,4 +126,4 @@ def node_delete_cascade(
 
 
 def edge_delete(edges: DataFrame, delete_ids: DataFrame) -> DataFrame:
-    return edges.join(delete_ids.select("id"), "id", "left_anti")
+    return edges.join(F.broadcast(delete_ids.select("id")), "id", "left_anti")
