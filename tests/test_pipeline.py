@@ -169,3 +169,30 @@ def test_doc_fingerprint_dups_match(spark):
     }
     assert got["d1"]["fingerprint"] == got["d2"]["fingerprint"]
     assert got["d5"]["fingerprint"] == -1 and got["d5"]["n_shingles"] == 0
+
+
+def test_ivf_topk_finds_cluster_neighbors(spark):
+    import random
+
+    from vector_graph_native_database__spark.operators.ann import ivf_topk
+
+    rnd = random.Random(7)
+    rows = []
+    # two well-separated clusters in 64-d: ids 0-19 near +e0, 20-39 near +e1
+    for i in range(40):
+        base = [0.0] * 64
+        base[0 if i < 20 else 1] = 10.0
+        vec = [v + rnd.uniform(-0.5, 0.5) for v in base]
+        rows.append((str(i), vec, 64))
+    emb = spark.createDataFrame(
+        rows, "node_id string, vector array<float>, dim int"
+    )
+    got = ivf_topk(
+        emb, ["0", "25"], k=5, n_centroids=2, iters=2, nprobe=1, dim=64
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(int(r["id"]))
+    assert all(n < 20 for n in by_q["0"]), by_q
+    assert all(n >= 20 for n in by_q["25"]), by_q
+    assert len(by_q["0"]) == 5 and len(by_q["25"]) == 5

@@ -94,6 +94,126 @@ def lsh_buckets(
     )
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer → (cidx, cvec).
+
+    Seeds are the vectors of the ``n_centroids`` numerically-smallest
+    ids; ``iters`` Lloyd rounds follow (assign to argmin L2, ties to
+    the smaller centroid index, then element-wise mean). Centroid
+    components are rounded to 6 decimals after every mean so the
+    DuckDB oracle — whose summation order differs — replays the
+    training bit-for-bit. Each round is one broadcast of C centroids
+    + one groupBy; no all-pairs anything.
+    """
+    e = (
+        emb.filter(F.size("vector") == dim)
+        .select(F.col("node_id").alias("id"), "vector")
+        .withColumn("vv", dot("vector", "vector"))
+    )
+    # TakeOrderedAndProject fetches the C seed rows; the ranking
+    # window then runs over C rows, never the corpus.
+    seeds = e.orderBy(F.col("id").cast("long")).limit(n_centroids)
+    w = Window.orderBy(F.col("id").cast("long"))
+    centroids = seeds.select(
+        (F.row_number().over(w) - 1).alias("cidx"),
+        F.transform("vector", lambda x: x.cast("double")).alias("cvec"),
+    )
+    for _ in range(iters):
+        c = centroids.withColumn("cc", dot("cvec", "cvec"))
+        assign = (
+            e.crossJoin(F.broadcast(c))
+            .withColumn(
+                "dist", F.col("vv") + F.col("cc") - 2 * dot("vector", "cvec")
+            )
+            .groupBy("id")
+            .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("cidx"))
+        )
+        centroids = (
+            assign.join(e, "id")
+            .select("cidx", F.posexplode("vector").alias("pos", "val"))
+            .groupBy("cidx", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("cidx")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+        )
+    return centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[str],
+    k: int = 5,
+    n_centroids: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    dim: int = 64,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k → (qid, id, cos, rnk).
+
+    Vectors are inverted-listed by nearest centroid; a query scans
+    only its ``nprobe`` nearest lists. At 100 TB the assignment table
+    is written partitioned by ``cidx`` so a probe is a
+    partition-pruned scan of nprobe/C of the corpus; training cost is
+    ``iters`` broadcast-joins, amortized across all queries.
+    """
+    e = (
+        emb.filter(F.size("vector") == dim)
+        .select(F.col("node_id").alias("id"), "vector")
+        .withColumn("vv", dot("vector", "vector"))
+    )
+    centroids = ivf_centroids(emb, n_centroids, iters, dim).withColumn(
+        "cc", dot("cvec", "cvec")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "dist", F.col("vv") + F.col("cc") - 2 * dot("vector", "cvec")
+        )
+        .groupBy("id")
+        .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("cidx"))
+        .join(e, "id")
+        .select("id", "cidx", "vector")
+    )
+    q = (
+        e.filter(F.col("id").isin(query_ids))
+        .select(F.col("id").alias("qid"), F.col("vector").alias("qvec"), "vv")
+    )
+    wq = Window.partitionBy("qid").orderBy("dist", "cidx")
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "dist", F.col("vv") + F.col("cc") - 2 * dot("qvec", "cvec")
+        )
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("qid", "qvec", "cidx")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cidx")
+        .filter(F.col("id") != F.col("qid"))
+        .withColumn("cos", cosine("vector", "qvec"))
+    )
+    if round_scores is not None:
+        cand = cand.withColumn("cos", F.round("cos", round_scores))
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "id", "cos", "rnk")
+    )
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     query_ids: list[str],

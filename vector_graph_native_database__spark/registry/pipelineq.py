@@ -61,6 +61,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, emb, _ = model(spark, sf_dir)
+    return ann.ivf_topk(
+        emb, ANN_QUERY_IDS, k=5, n_centroids=8, iters=2, nprobe=2,
+        dim=64, round_scores=6,
+    )
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, _, _ = model(spark, sf_dir)
     return text_analysis.lang_id(nodes)
@@ -89,6 +97,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "text_lang_id": q_text_lang_id,
     "text_quality_score": q_text_quality_score,
     "text_token_count": q_text_token_count,
@@ -98,6 +107,95 @@ QUERIES = {
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
+
+
+def _ivf_sql(
+    n_centroids: int = 8, iters: int = 2, nprobe: int = 2, k: int = 5
+) -> str:
+    """Unrolled Lloyd iterations as sequential CTEs (like PageRank's
+    oracle): c0 = seed centroids, a{t} = assignment, c{t} = rounded
+    element-wise means. Mirrors operators.ann.ivf_topk exactly —
+    including the round-to-6dp centroid stabilization."""
+    dist = (
+        "t.vv + c.cc - 2 * list_dot_product(t.v, c.cvec)"
+    )
+    parts = [
+        f""",
+e AS (
+  SELECT node_id AS id, CAST(vector AS DOUBLE[]) AS v,
+         list_dot_product(CAST(vector AS DOUBLE[]),
+                          CAST(vector AS DOUBLE[])) AS vv
+  FROM emb WHERE len(vector) = 64
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY CAST(id AS BIGINT)) - 1 AS cidx,
+         v AS cvec
+  FROM e ORDER BY CAST(id AS BIGINT) LIMIT {n_centroids}
+)"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f""",
+a{t} AS (
+  SELECT id, cidx FROM (
+    SELECT t.id, c.cidx,
+           row_number() OVER (PARTITION BY t.id
+                              ORDER BY {dist}, c.cidx) AS rn
+    FROM e t CROSS JOIN
+         (SELECT cidx, cvec, list_dot_product(cvec, cvec) AS cc FROM c{p}) c
+  ) WHERE rn = 1
+),
+c{t} AS (
+  SELECT cidx, list(m ORDER BY pos) AS cvec FROM (
+    SELECT a.cidx, p.pos, round(avg(e.v[p.pos]), 6) AS m
+    FROM a{t} a JOIN e ON e.id = a.id
+    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+    GROUP BY a.cidx, p.pos
+  ) GROUP BY cidx
+)"""
+        )
+    parts.append(
+        f""",
+cf AS (SELECT cidx, cvec, list_dot_product(cvec, cvec) AS cc FROM c{iters}),
+af AS (
+  SELECT id, cidx FROM (
+    SELECT t.id, c.cidx,
+           row_number() OVER (PARTITION BY t.id
+                              ORDER BY {dist}, c.cidx) AS rn
+    FROM e t CROSS JOIN cf c
+  ) WHERE rn = 1
+),
+q AS (SELECT id AS qid, v AS qv, vv FROM e WHERE id IN {_IDS_IN}),
+probes AS (
+  SELECT qid, qv, cidx FROM (
+    SELECT t.qid, t.qv, c.cidx,
+           row_number() OVER (
+             PARTITION BY t.qid
+             ORDER BY t.vv + c.cc - 2 * list_dot_product(t.qv, c.cvec),
+                      c.cidx) AS rn
+    FROM q t CROSS JOIN cf c
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.qid, a.id,
+         round(CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb)
+               ELSE 0.0 END, 6) AS cos
+  FROM af a JOIN probes p ON p.cidx = a.cidx AND a.id <> p.qid
+  JOIN e ON e.id = a.id
+  CROSS JOIN LATERAL (
+    SELECT list_dot_product(e.v, p.qv) AS d,
+           sqrt(list_dot_product(e.v, e.v)) AS na,
+           sqrt(list_dot_product(p.qv, p.qv)) AS nb
+  ) t
+)
+SELECT qid, id, cos, rnk FROM (
+  SELECT qid, id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rnk
+  FROM cand
+) WHERE rnk <= {k}"""
+    )
+    return ORACLE_PRELUDE + "".join(parts)
 
 _TOKS = r""",
 toks AS (
@@ -286,6 +384,7 @@ SELECT qid, id, cos, rnk FROM (
          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rnk
   FROM cand
 ) WHERE rnk <= 5""",
+    "ann_ivf_topk": _ivf_sql(),
     "text_lang_id": ORACLE_PRELUDE
     + _TOKS
     + """,
