@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     analyticsq,
+    olapq,
     coreq,
     crudq,
     eventsq,
@@ -26,6 +27,7 @@ from . import (
 
 _MODULES = [
     analyticsq,
+    olapq,
     coreq,
     crudq,
     eventsq,

@@ -1,0 +1,172 @@
+"""Relational OLAP queries over the TPC-H-ish tables (SURVEY §2.7 /
+§7.4 extensions).
+
+The reference has no relational analytics at all — SURVEY §2.7 lists
+grouping sets, window functions, and multi-way join aggregation as
+"absent; Spark has them built-in". These queries exercise exactly
+those built-ins over the driver's star-schema tables so the engine's
+general-OLAP surface is demonstrated (and value-checked) alongside
+the retrieval operators:
+
+- pricing summary: the classic scan → filter → groupBy aggregate
+  (map-side combinable; one shuffle on a 2-value key).
+- revenue rollup: GROUPING SETS via ``rollup`` — one pass, Spark
+  expands the grouping sets JVM-side.
+- top customers: 3-way join (customer ⨝ orders ⨝ lineitem) +
+  aggregate + distributed top-k; Catalyst/AQE pick broadcast for the
+  dimension side at runtime.
+- running totals / per-user ranks: window functions with
+  deterministic total order (ts, event_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+
+SHIP_CUTOFF = "1998-09-01 00:00:00"
+
+
+def q_olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(SHIP_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_olap_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "revenue",
+            "n_lines",
+        )
+    )
+
+
+def q_olap_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.filter(F.col("user_id") < 50)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(w), 6).alias("running_value"),
+        )
+    )
+
+
+def q_events_rank_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "user_id",
+            "rnk",
+            "event_id",
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+QUERIES = {
+    "olap_pricing_summary": q_olap_pricing_summary,
+    "olap_revenue_rollup": q_olap_revenue_rollup,
+    "olap_top_customers": q_olap_top_customers,
+    "events_running_total": q_events_running_total,
+    "events_rank_per_user": q_events_rank_per_user,
+}
+
+ORACLES = {
+    "olap_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus""",
+    "olap_revenue_rollup": """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "olap_top_customers": """
+SELECT c_custkey, c_name, c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10""",
+    "events_running_total": """
+SELECT event_id, user_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS running_value
+FROM events WHERE user_id < 50""",
+    "events_rank_per_user": """
+SELECT user_id, rnk, event_id, round(value, 6) AS value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+  FROM events
+) WHERE rnk <= 3""",
+}

@@ -40,8 +40,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        if field.dataType.simpleString() == "bigint" and (
+            field.name == "ts" or field.name.endswith("date")
+        ):
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                field.name,
+                F.timestamp_micros(F.expr(f"{field.name} div 1000")),
             )
     return df
