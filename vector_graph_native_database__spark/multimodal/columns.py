@@ -108,3 +108,75 @@ def frame_sample(
         "frame_idx",
         (F.col("frame_offset_units") * fps_every_n_bytes).alias("frame_offset"),
     )
+
+
+FEATURES_SCHEMA = "id string, features array<double>"
+
+
+def byte_histogram_features(
+    binary_df: DataFrame, bins: int = 16, round_to: int = 6
+) -> DataFrame:
+    """Feature-extraction stage → (id, features[bins]).
+
+    A REAL (non-stub) extractor: the normalized byte-value histogram
+    of the payload (bin = byte >> 4 for 16 bins), computed with numpy
+    over Arrow batches in ``mapInPandas`` — the exact plumbing a CNN/
+    CLIP embedding stage would use, with the model swapped for an
+    arithmetic feature so the full path stays oracle-checkable.
+    Empty payloads yield all-zero features.
+    """
+    import numpy as np
+
+    shift = 8 - bins.bit_length() + 1  # 16 bins -> shift 4
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for buf in pdf["payload"]:
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                if len(b) == 0:
+                    feats.append([0.0] * bins)
+                    continue
+                hist = np.bincount(b >> shift, minlength=bins).astype(
+                    np.float64
+                )
+                feats.append(list(hist / len(b)))
+            yield pd.DataFrame({"id": pdf["id"], "features": feats})
+
+    raw = binary_df.select("id", "payload").mapInPandas(
+        extract, schema=FEATURES_SCHEMA
+    )
+    # round JVM-side: Spark/DuckDB round() is HALF_UP, while numpy's
+    # is half-to-even — rounding in numpy would drift from the oracle
+    return raw.select(
+        "id",
+        F.transform("features", lambda x: F.round(x, round_to)).alias(
+            "features"
+        ),
+    )
+
+
+def resize_plan(
+    meta_df: DataFrame, target_w: int = 64, target_h: int = 64
+) -> DataFrame:
+    """Aspect-preserving resize planning → (id, width, height, out_w,
+    out_h, scale). Pure column arithmetic (no UDF): the real resample
+    kernel would run in the same mapInPandas stage as the decoder;
+    the planning math — what the pipeline schema carries — is JVM-side.
+    """
+    scale = F.least(
+        F.lit(float(target_w)) / F.col("width"),
+        F.lit(float(target_h)) / F.col("height"),
+    )
+    return meta_df.select(
+        "id",
+        "width",
+        "height",
+        F.greatest(
+            F.lit(1), F.floor(F.col("width") * scale).cast("int")
+        ).alias("out_w"),
+        F.greatest(
+            F.lit(1), F.floor(F.col("height") * scale).cast("int")
+        ).alias("out_h"),
+        F.round(scale, 6).alias("scale"),
+    )

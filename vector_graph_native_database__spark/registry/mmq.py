@@ -10,7 +10,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..multimodal import attach_binary, fake_decode_image_meta, frame_sample
+from ..multimodal import (
+    attach_binary,
+    byte_histogram_features,
+    fake_decode_image_meta,
+    frame_sample,
+    resize_plan,
+)
 from .common import ORACLE_PRELUDE, model
 
 
@@ -29,10 +35,22 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(attach_binary(nodes))
 
 
+def q_mm_feature_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return byte_histogram_features(attach_binary(nodes))
+
+
+def q_mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return resize_plan(fake_decode_image_meta(attach_binary(nodes)))
+
+
 QUERIES = {
     "mm_binary_stats": q_mm_binary_stats,
     "mm_image_meta": q_mm_image_meta,
     "mm_frame_sample": q_mm_frame_sample,
+    "mm_feature_hist": q_mm_feature_hist,
+    "mm_resize_plan": q_mm_resize_plan,
 }
 
 ORACLES = {
@@ -53,4 +71,36 @@ FROM (
   SELECT id, least(8, greatest(1, octet_length(encode(text)) // 64)) AS nf
   FROM nodes
 ) n CROSS JOIN LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f""",
+    # text is ASCII in the harness (verified), so ascii(substr) == byte
+    "mm_feature_hist": ORACLE_PRELUDE
+    + """,
+bytes_ AS (
+  SELECT id, ascii(substr(text, i.i, 1)) // 16 AS bin
+  FROM nodes CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(1, length(text))) AS i) i
+  WHERE length(text) > 0
+),
+counts AS (SELECT id, bin, count(*) AS c FROM bytes_ GROUP BY id, bin),
+grid AS (
+  SELECT n.id, b.b, length(n.text) AS total
+  FROM nodes n CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b
+)
+SELECT g.id,
+       list(round(CASE WHEN g.total > 0
+                  THEN coalesce(c.c, 0) * 1.0 / g.total
+                  ELSE 0.0 END, 6) ORDER BY g.b) AS features
+FROM grid g LEFT JOIN counts c ON c.id = g.id AND c.bin = g.b
+GROUP BY g.id""",
+    "mm_resize_plan": ORACLE_PRELUDE
+    + """
+SELECT id, width, height,
+       greatest(1, CAST(floor(width * s) AS INT)) AS out_w,
+       greatest(1, CAST(floor(height * s) AS INT)) AS out_h,
+       round(s, 6) AS scale
+FROM (
+  SELECT id, width, height, least(64.0 / width, 64.0 / height) AS s
+  FROM (SELECT id, CAST(64 + (n % 577) AS INT) AS width,
+               CAST(64 + ((n * 31) % 449) AS INT) AS height
+        FROM (SELECT id, octet_length(encode(text)) AS n FROM nodes))
+)""",
 }
