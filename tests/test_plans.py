@@ -12,13 +12,13 @@ from __future__ import annotations
 import pytest
 
 from vector_graph_native_database__spark import registry
+from vector_graph_native_database__spark.plans import plan_string, plan_summary
 
 SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
-    df = registry.all_queries()[name](spark, SF)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return plan_string(registry.all_queries()[name](spark, SF))
 
 
 def test_vector_topk_is_broadcast_plus_distributed_topk(spark):
@@ -74,6 +74,6 @@ def test_crud_mutation_side_broadcasts(spark):
     ["vector_topk", "bm25_topk", "hybrid_search", "dedup_minhash_lsh"],
 )
 def test_no_python_row_udfs_in_hot_paths(spark, name):
-    p = plan_of(spark, name)
-    assert "BatchEvalPython" not in p, "row-at-a-time Python UDF crept in"
-    assert "ArrowEvalPython" not in p
+    s = plan_summary(registry.all_queries()[name](spark, SF))
+    assert s["python_row_udfs"] == 0, "row-at-a-time Python UDF crept in"
+    assert s["python_arrow_udfs"] == 0
