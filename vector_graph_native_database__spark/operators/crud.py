@@ -40,10 +40,19 @@ def upsert(
     deterministically (max over the remaining columns) so the result
     never carries duplicate primary keys.
     """
+    from pyspark.sql.types import MapType
     from pyspark.sql.window import Window
 
-    others = [c for c in batch.columns if c != key]
-    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in others])
+    # maps are not orderable — sort their JSON rendering instead so
+    # dedup stays deterministic for any schema
+    order_cols = [
+        F.desc(F.to_json(f.name))
+        if isinstance(f.dataType, MapType)
+        else F.desc(f.name)
+        for f in batch.schema.fields
+        if f.name != key
+    ]
+    w = Window.partitionBy(key).orderBy(*order_cols)
     deduped = (
         batch.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
