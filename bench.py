@@ -58,12 +58,16 @@ def main() -> None:
     times: dict[str, float] = {}
     extra = [k for k in qs if k in set(os.environ.get(
         "SPARK_GRAFT_BENCH_EXTRA", "").split(",")) and k not in HEADLINE]
+    errors: dict[str, str] = {}
     for name in HEADLINE + extra:
         fn = qs[name]
         t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t0, 3)
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # one bad query must not kill the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     out = {
         "metric": "headline query wall-clock, noop sink",
@@ -72,6 +76,8 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

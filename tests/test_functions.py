@@ -92,3 +92,31 @@ def test_minmax_range(spark):
         for r in minmax_normalize(df, "s").collect()
     }
     assert got == {1: 0.0, 2: 0.5, 3: 1.0}
+
+
+def test_salted_agg_matches_direct(spark):
+    from pyspark.sql import functions as F
+
+    from vector_graph_native_database__spark.operators.skew import salted_agg
+
+    # heavily skewed: key 'hot' holds 90% of rows
+    rows = [("hot", i % 7, float(i)) for i in range(900)]
+    rows += [(f"k{i}", i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, a long, v double")
+    got = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df,
+            "k",
+            {"n": ("count", "a"), "s": ("sum", "v"),
+             "mn": ("min", "v"), "mx": ("max", "v")},
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count("a").alias("n"), F.sum("v").alias("s"),
+             F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want

@@ -155,3 +155,48 @@ def test_stateful_running_totals_accumulate_across_batches(spark):
         assert 2 not in got2  # no new rows for user 2 -> no update emitted
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_incremental_bm25_state_matches_full_recompute(spark):
+    from vector_graph_native_database__spark.operators.bm25 import (
+        bm25_scores,
+        stats_from_posting,
+    )
+    from vector_graph_native_database__spark.streaming import (
+        incremental_bm25_maintenance,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="vgs-bm25inc-")
+    src, state, ckpt = f"{tmp}/src", f"{tmp}/state", f"{tmp}/ckpt"
+    schema = "id string, text string, seq long"
+    try:
+        spark.createDataFrame(
+            [("a", "the quick brown fox", 1), ("b", "lazy dog sleeps", 1)],
+            schema,
+        ).write.mode("append").parquet(src)
+        incremental_bm25_maintenance(spark, src, schema, state, ckpt)
+
+        # batch 2 rewrites a and adds c — only the delta is tokenized
+        spark.createDataFrame(
+            [("a", "quick quick fox jumps", 2), ("c", "the dog barks", 2)],
+            schema,
+        ).write.mode("append").parquet(src)
+        incremental_bm25_maintenance(spark, src, schema, state, ckpt)
+
+        final_corpus = spark.createDataFrame(
+            [("a", "quick quick fox jumps"), ("b", "lazy dog sleeps"),
+             ("c", "the dog barks")],
+            "id string, text string",
+        )
+        want = {
+            r["id"]: round(r["score"], 9)
+            for r in bm25_scores(final_corpus, "quick dog").collect()
+        }
+        stats = stats_from_posting(spark.read.parquet(state))
+        got = {
+            r["id"]: round(r["score"], 9)
+            for r in bm25_scores(final_corpus, "quick dog", stats=stats).collect()
+        }
+        assert got == want and len(got) == 3
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -60,15 +60,31 @@ def corpus_stats(
     these aggregates as real tables and maintains them
     incrementally; either way scoring semantics are identical.
     """
-    posting = (
-        nodes.select("id", F.explode_outer(tokenize("text")).alias("tok"))
-        .groupBy("id", "tok")
-        .agg(F.count(F.col("tok")).alias("tf"))
-    )
+    posting = posting_frame(nodes)
     if persist:
         # CacheManager keys on the canonical logical plan, so every
         # query over the same corpus shares one materialization.
         posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
+    return stats_from_posting(posting)
+
+
+def posting_frame(nodes: DataFrame) -> DataFrame:
+    """(id, text) → posting list (id, tok, tf); zero-token docs keep a
+    null-token row with tf=0 so doc-length stats still see them.
+    This is the frame a deployment persists (partitioned by tok) and
+    the streaming path maintains incrementally (streaming/ingest.py).
+    """
+    return (
+        nodes.select("id", F.explode_outer(tokenize("text")).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.col("tok")).alias("tf"))
+    )
+
+
+def stats_from_posting(
+    posting: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Posting list → the (tf, doclen, df_) triple scoring consumes."""
     doclen = posting.groupBy("id").agg(F.sum("tf").alias("dl"))
     tf = posting.filter(F.col("tok").isNotNull())
     df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))

@@ -1,5 +1,9 @@
 from .windows import tumbling_agg, sliding_agg, session_agg
-from .ingest import stream_events, incremental_index_maintenance
+from .ingest import (
+    stream_events,
+    incremental_index_maintenance,
+    incremental_bm25_maintenance,
+)
 from .stateful import running_user_totals
 
 __all__ = [
@@ -8,5 +12,6 @@ __all__ = [
     "session_agg",
     "stream_events",
     "incremental_index_maintenance",
+    "incremental_bm25_maintenance",
     "running_user_totals",
 ]
