@@ -196,3 +196,76 @@ def test_ivf_topk_finds_cluster_neighbors(spark):
     assert all(n < 20 for n in by_q["0"]), by_q
     assert all(n >= 20 for n in by_q["25"]), by_q
     assert len(by_q["0"]) == 5 and len(by_q["25"]) == 5
+
+
+def test_state_roundtrip_and_partition_pruning(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from vector_graph_native_database__spark.plans import plan_string
+    from vector_graph_native_database__spark.sources import (
+        edges_df,
+        embeddings_df,
+        load_state,
+        nodes_df,
+        save_state,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="vgs-state-")
+    try:
+        n, e, g = (
+            nodes_df(spark, sf_dir),
+            embeddings_df(spark, sf_dir),
+            edges_df(spark, sf_dir),
+        )
+        save_state(tmp, n, e, g, coalesce_small=1)
+        n2, e2, g2 = load_state(spark, tmp)
+        assert n2.count() == n.count()
+        assert e2.count() == e.count()
+        assert sorted(g2.columns) == sorted(g.columns)
+        assert g2.count() == g.count()
+        # the traversal's type filter becomes partition pruning
+        from pyspark.sql import functions as F
+
+        p = plan_string(g2.filter(F.col("type") == "cites"))
+        assert "cites" in p
+        pruned = g2.filter(F.col("type") == "cites").count()
+        direct = g.filter(F.col("type") == "cites").count()
+        assert pruned == direct
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_csv_json_ingest(spark):
+    import shutil
+    import tempfile
+
+    from vector_graph_native_database__spark.sources import (
+        nodes_from_csv,
+        nodes_from_json,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="vgs-ingest-")
+    try:
+        src = spark.createDataFrame(
+            [("1", "hello world", "en"), ("2", "bonjour", "fr")],
+            "id string, text string, lang string",
+        )
+        src.write.option("header", "true").mode("overwrite").csv(f"{tmp}/c")
+        src.write.mode("overwrite").json(f"{tmp}/j")
+        for loader, path in (
+            (nodes_from_csv, f"{tmp}/c"),
+            (nodes_from_json, f"{tmp}/j"),
+        ):
+            got = {
+                r["id"]: (r["text"], dict(r["metadata"]))
+                for r in loader(
+                    spark, path, metadata_cols=["lang"]
+                ).collect()
+            }
+            assert got == {
+                "1": ("hello world", {"lang": "en"}),
+                "2": ("bonjour", {"lang": "fr"}),
+            }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -303,6 +303,46 @@ def simhash_near_pairs(
     )
 
 
+def embedding_cosine_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate near-dup pairs: exact cosine WITHIN each
+    sign-projection LSH bucket → (id_a, id_b, cos), id_a < id_b.
+
+    The scale path the exact variant documents: bucketing bounds each
+    group to vectors that agree on all ``num_planes`` hyperplane
+    signs, so the per-bucket pairwise check replaces the global
+    all-pairs replication. Recall is the LSH trade-off (near-dups
+    split across buckets are missed); precision is exact because the
+    cosine is computed, not estimated. Deterministic md5-derived
+    hyperplanes keep it DuckDB-replayable.
+    """
+    from .ann import hyperplanes, lsh_buckets
+
+    bucketed = lsh_buckets(
+        emb.filter(F.size("vector") == dim),
+        hyperplanes(emb.sparkSession, num_planes, dim),
+    )
+    a = bucketed.select(
+        F.col("node_id").alias("id_a"), F.col("vector").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("node_id").alias("id_b"), F.col("vector").alias("vb"), "bucket"
+    )
+    from ..functions.vectorfn import cosine
+
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame, threshold: float = 0.4, block_size: int = 2048
 ) -> DataFrame:

@@ -49,6 +49,13 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, emb, _ = model(spark, sf_dir)
+    return dedup.embedding_cosine_pairs_lsh(emb, threshold=0.4).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )
+
+
 def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, emb, _ = model(spark, sf_dir)
     return ann.brute_topk(emb, ANN_QUERY_IDS, k=10, round_scores=6)
@@ -95,6 +102,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -315,6 +323,42 @@ FROM (
          sqrt(list_dot_product(CAST(b.vector AS DOUBLE[]),
                                CAST(b.vector AS DOUBLE[]))) AS nb
   FROM emb a JOIN emb b ON a.dim = b.dim AND a.node_id < b.node_id
+)
+WHERE {_COS} >= 0.4""",
+    "dedup_embedding_cosine_lsh": ORACLE_PRELUDE
+    + f""",
+planes AS (
+  SELECT p.p,
+         list_transform(generate_series(0, 63), d ->
+           (('0x' || substr(md5('p' || p.p || 'd' || d), 1, 8))::BIGINT
+            % 2001 - 1000) / 1000.0) AS w
+  FROM (SELECT unnest(generate_series(0, 7)) AS p) p
+),
+proj AS (
+  SELECT e.node_id, e.dim, p.p,
+         list_dot_product(CAST(e.vector AS DOUBLE[]), p.w) AS proj
+  FROM emb e CROSS JOIN planes p
+  WHERE len(e.vector) = 64
+),
+buck AS (
+  SELECT node_id, dim,
+         sum(CASE WHEN proj >= 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+  FROM proj GROUP BY node_id, dim
+),
+be AS (
+  SELECT b.node_id, b.bucket, e.vector
+  FROM buck b JOIN emb e ON e.node_id = b.node_id AND e.dim = b.dim
+)
+SELECT id_a, id_b, round({_COS}, 6) AS cos
+FROM (
+  SELECT a.node_id AS id_a, b.node_id AS id_b,
+         list_dot_product(CAST(a.vector AS DOUBLE[]),
+                          CAST(b.vector AS DOUBLE[])) AS d,
+         sqrt(list_dot_product(CAST(a.vector AS DOUBLE[]),
+                               CAST(a.vector AS DOUBLE[]))) AS na,
+         sqrt(list_dot_product(CAST(b.vector AS DOUBLE[]),
+                               CAST(b.vector AS DOUBLE[]))) AS nb
+  FROM be a JOIN be b ON a.bucket = b.bucket AND a.node_id < b.node_id
 )
 WHERE {_COS} >= 0.4""",
     "ann_brute_topk": ORACLE_PRELUDE
