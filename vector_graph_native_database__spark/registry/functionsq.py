@@ -36,6 +36,30 @@ def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 embed_batch (``encode_batch``, app.py:379-380): the
+    per-text encoder applied over a whole DataFrame — in Spark the
+    batch form IS the operator. Output: per-doc vector L2 norm and
+    nonzero-component count (scalar projections of the batch result
+    so the value hash stays compact)."""
+    from ..functions.textfn import embed_hash_df
+
+    nodes, _, _ = model(spark, sf_dir)
+    emb = embed_hash_df(nodes)
+    return emb.select(
+        "id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "vector", F.lit(0.0), lambda a, x: a + x * x
+                )
+            ),
+            6,
+        ).alias("l2"),
+        F.size(F.filter("vector", lambda x: x != 0)).alias("nnz"),
+    )
+
+
 def q_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, bucket, val) — nonzero components of the L2-normalized
     256-dim hashed bag-of-words embedding (stable md5 bucket hash,
@@ -143,6 +167,7 @@ def q_id_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "tokenize": q_tokenize,
     "embed_hash": q_embed_hash,
+    "embed_batch": q_embed_batch,
     "l2_normalize": q_l2_normalize,
     "dot_product": q_dot_product,
     "cosine_similarity": q_cosine_similarity,
@@ -157,6 +182,23 @@ ORACLES = {
     + f""",
 toks AS (SELECT id, unnest({_TOK}) AS tok FROM nodes)
 SELECT id, tok, count(*) AS cnt FROM toks GROUP BY id, tok ORDER BY id, tok""",
+    "embed_batch": ORACLE_PRELUDE
+    + f""",
+toks AS (SELECT id, unnest({_TOK}) AS tok FROM nodes),
+cnts AS (
+  SELECT id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS bucket,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM toks GROUP BY 1, 2
+),
+agg AS (
+  SELECT id, sqrt(sum(cnt * cnt)) AS nrm, count(*) AS nnz
+  FROM cnts GROUP BY id
+)
+SELECT n.id,
+       round(CASE WHEN a.nrm IS NULL OR a.nrm = 0 THEN 0.0 ELSE 1.0 END, 6)
+         AS l2,
+       CAST(coalesce(a.nnz, 0) AS INT) AS nnz
+FROM nodes n LEFT JOIN agg a ON a.id = n.id""",
     "embed_hash": ORACLE_PRELUDE
     + f""",
 toks AS (SELECT id, unnest({_TOK}) AS tok FROM nodes),

@@ -14,6 +14,28 @@ from ..operators.graph import (
 from .common import ORACLE_PRELUDE, model, sql_bfs_cte
 
 
+def q_adjacency_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4 adjacency_build (app.py:498-510): the type-filtered
+    out-adjacency of each node. Never materialized as a driver dict —
+    represented as a deterministic sorted "dst:weight" join string per
+    source so the value hash is stable across engines."""
+    _, _, edges = model(spark, sf_dir)
+    return (
+        edges.filter(F.col("type") == "cites")
+        .groupBy(F.col("src"))
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat("dst", F.lit(":"), F.col("weight").cast("string"))
+                    )
+                ),
+                ",",
+            ).alias("adj")
+        )
+    )
+
+
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS from '0', depth 3, all edge types."""
     _, _, edges = model(spark, sf_dir)
@@ -77,6 +99,7 @@ SELECT b.id, b.distance, round(b.path_weight, 6) AS path_weight,
 FROM bfsr b, maxw m"""
 
 QUERIES = {
+    "adjacency_build": q_adjacency_build,
     "graph_bfs": q_graph_bfs,
     "graph_bfs_typed": q_graph_bfs_typed,
     "graph_score": q_graph_score,
@@ -86,6 +109,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "adjacency_build": ORACLE_PRELUDE
+    + """
+SELECT src,
+       string_agg(dst || ':' || CAST(weight AS VARCHAR), ','
+                  ORDER BY dst || ':' || CAST(weight AS VARCHAR)) AS adj
+FROM edges WHERE type = 'cites' GROUP BY src""",
     "graph_bfs": ORACLE_PRELUDE
     + sql_bfs_cte("0", 3)
     + "\nSELECT id, distance, round(path_weight, 6) AS path_weight FROM bfsr",
