@@ -193,3 +193,21 @@ def test_stats_and_health(engine):
     assert s["total_nodes"] == 2
     assert s["nodes_with_embeddings"] == 1
     assert s["total_edges"] == 0
+
+
+def test_manual_embeddings_stored_unnormalized_quirk(engine):
+    """SURVEY §4.8.2: user-supplied vectors are stored AS GIVEN (the
+    reference never normalizes them, app.py:763-764), so scoring is
+    raw dot — a big manual vector outranks a unit one."""
+    big = engine.create_node("x", embedding=[10.0, 0.0], auto_embed=False)
+    unit = engine.create_node("y", embedding=[1.0, 0.0], auto_embed=False)
+    q = engine.create_node("q", embedding=[1.0, 0.0], auto_embed=False)
+    from vector_graph_native_database__spark.operators.vector_search import (
+        vector_topk,
+    )
+
+    qvec = engine.spark.createDataFrame([([1.0, 0.0],)], "qvec array<double>")
+    hits = vector_topk(engine.nodes, engine.embeddings, qvec, top_k=10)
+    scores = {r["id"]: r["score"] for r in hits.collect()}
+    assert scores[big] == 10.0 and scores[unit] == 1.0
+    assert scores[big] > scores[q]

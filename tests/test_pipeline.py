@@ -269,3 +269,35 @@ def test_csv_json_ingest(spark):
             }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_mllib_lsh_topk_overlaps_brute_force(spark):
+    import random
+
+    from vector_graph_native_database__spark.operators.ann import (
+        brute_topk,
+        mllib_lsh_topk,
+    )
+
+    rnd = random.Random(11)
+    rows = [
+        (str(i), [rnd.uniform(-1, 1) for _ in range(64)], 64)
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(
+        rows, "node_id string, vector array<float>, dim int"
+    )
+    got = mllib_lsh_topk(emb, ["0"], k=5, dim=64)
+    rows_got = got.collect()
+    assert {r["qid"] for r in rows_got} == {"0"}
+    assert len(rows_got) == 5
+    assert [r["rnk"] for r in sorted(rows_got, key=lambda r: r["rnk"])] == [
+        1, 2, 3, 4, 5,
+    ]
+    # approxNearestNeighbors with unit bucket scale should recover a
+    # decent share of the true (euclidean ~ cosine-on-random) top-5
+    brute = {
+        r["id"] for r in brute_topk(emb, ["0"], k=5).collect()
+    }
+    overlap = brute & {r["id"] for r in rows_got}
+    assert len(overlap) >= 1

@@ -94,6 +94,65 @@ def lsh_buckets(
     )
 
 
+def mllib_lsh_topk(
+    emb: DataFrame,
+    query_ids: list[str],
+    k: int = 5,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib ``BucketedRandomProjectionLSH`` ANN → (qid, id, dist, rnk).
+
+    The packaged alternative to the hand-rolled LSH/IVF paths
+    (Euclidean-distance LSH; ``approxNearestNeighbors`` per query).
+    VectorUDT conversion happens ONLY here at the MLlib boundary —
+    the engine keeps ``array<float>`` everywhere else (SURVEY §7.3).
+    Fixed seed ⇒ deterministic buckets; distances are Euclidean, so
+    ranks differ from the cosine variants on unnormalized corpora.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    base = emb.filter(F.size("vector") == dim).select(
+        "node_id",
+        array_to_vector(F.col("vector").cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(base)
+    hashed = model.transform(base).cache()
+    queries = {r["node_id"]: r["features"] for r in
+               base.filter(F.col("node_id").isin(query_ids)).collect()}
+    spark = emb.sparkSession
+    out = None
+    for qid, qvec in sorted(queries.items()):
+        nn = (
+            model.approxNearestNeighbors(hashed, qvec, k + 1)
+            .filter(F.col("node_id") != qid)
+            .select(
+                F.lit(qid).alias("qid"),
+                F.col("node_id").alias("id"),
+                F.round("distCol", 6).alias("dist"),
+            )
+            .limit(k)
+        )
+        out = nn if out is None else out.unionByName(nn)
+    if out is None:
+        return spark.createDataFrame(
+            [], "qid string, id string, dist double, rnk int"
+        )
+    w = Window.partitionBy("qid").orderBy("dist", "id")
+    return out.withColumn("rnk", F.row_number().over(w))
+
+
 def ivf_centroids(
     emb: DataFrame,
     n_centroids: int = 8,

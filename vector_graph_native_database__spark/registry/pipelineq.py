@@ -68,6 +68,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_mllib_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH ANN (rows-only check — the
+    hash family lives inside MLlib and has no SQL twin; determinism
+    comes from the fixed seed)."""
+    _, emb, _ = model(spark, sf_dir)
+    return ann.mllib_lsh_topk(emb, ANN_QUERY_IDS, k=5, dim=64)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, emb, _ = model(spark, sf_dir)
     return ann.ivf_topk(
@@ -106,6 +114,7 @@ QUERIES = {
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_mllib_lsh_topk": q_ann_mllib_lsh_topk,
     "text_lang_id": q_text_lang_id,
     "text_quality_score": q_text_quality_score,
     "text_token_count": q_text_token_count,
