@@ -211,3 +211,20 @@ def test_manual_embeddings_stored_unnormalized_quirk(engine):
     scores = {r["id"]: r["score"] for r in hits.collect()}
     assert scores[big] == 10.0 and scores[unit] == 1.0
     assert scores[big] > scores[q]
+
+
+def test_empty_engine_operations(engine):
+    """Every read/search path degrades to empty results — not errors —
+    on a fresh engine (the reference's empty-corpus behavior)."""
+    assert engine.vector_search("anything", top_k=5) == []
+    assert engine.bm25_search("anything") == []
+    assert engine.hybrid_search("anything") == []
+    assert engine.stats() == {
+        "total_nodes": 0,
+        "nodes_with_embeddings": 0,
+        "total_edges": 0,
+    }
+    with pytest.raises(KeyError):
+        engine.get_node("nope")
+    with pytest.raises(KeyError):
+        engine.graph_search("nope")

@@ -301,3 +301,24 @@ def test_mllib_lsh_topk_overlaps_brute_force(spark):
     }
     overlap = brute & {r["id"] for r in rows_got}
     assert len(overlap) >= 1
+
+
+def test_concurrent_queries_share_session(spark, sf_dir):
+    """Four different operator families run concurrently on one
+    SparkSession (the serving pattern: FAIR-ish scheduling of
+    independent jobs) and all return their expected results."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from vector_graph_native_database__spark import registry
+
+    qs = registry.all_queries()
+    names = ["vector_topk", "graph_bfs", "stats_counts", "text_token_count"]
+
+    def run(name):
+        return name, qs[name](spark, sf_dir).count()
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        got = dict(pool.map(run, names))
+    assert got["vector_topk"] == 10
+    assert got["stats_counts"] == 1
+    assert got["graph_bfs"] > 0 and got["text_token_count"] > 0
