@@ -84,14 +84,24 @@ def quality_score(
         )
         + F.lit(0.3) * (stop_hits.cast("double") / n_tok)
     )
+    # floor-based half-up rounding: quality/stop_ratio are ratios of
+    # small integers, which land EXACTLY on 6-decimal halfway points
+    # (e.g. 1/128); Spark's round (exact binary expansion) and
+    # DuckDB's (multiply-by-1e6 in double) then disagree. This
+    # expression uses only IEEE double ops, so any engine computes
+    # the identical result — the oracle uses the same formula.
+    def stable_round6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
     return df.select(
         F.col(id_col).alias("id"),
         n_tok.alias("n_tokens"),
-        F.round(
-            F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(0.0),
-            6,
+        stable_round6(
+            F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(0.0)
         ).alias("stop_ratio"),
-        F.round(F.when(n_tok > 0, quality).otherwise(0.0), 6).alias("quality"),
+        stable_round6(F.when(n_tok > 0, quality).otherwise(0.0)).alias(
+            "quality"
+        ),
     )
 
 

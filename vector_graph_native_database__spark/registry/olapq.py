@@ -29,6 +29,23 @@ from ..sources import load_table
 
 SHIP_CUTOFF = "1998-09-01 00:00:00"
 
+# Money sums reach 1e9 at sf0.1, where double summation-order noise
+# (~1e-4 absolute) exceeds the 6-decimal rounding granularity — the
+# Spark and DuckDB sums then round differently. Summing EXACTLY in
+# decimal removes the order dependence: each row's double is cast to
+# DECIMAL(30,10) (deterministic per row, identical in both engines),
+# the decimal sum is exact, and the final round happens in decimal.
+_DEC = "decimal(30,10)"
+
+
+def _dec_sum(col, alias: str):
+    return F.round(F.sum(col.cast(_DEC)), 6).cast("double").alias(alias)
+
+
+def _stable_round6(c):
+    # identical-IEEE-ops rounding; see operators/text_analysis.py
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
 
 def q_olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -37,12 +54,16 @@ def q_olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("sum_disc_price"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "sum_disc_price",
+            ),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _stable_round6(
+                F.sum(F.col("l_discount").cast(_DEC)).cast("double")
+                / F.count("*")
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -53,9 +74,10 @@ def q_olap_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue"),
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
             F.count("*").alias("n_lines"),
         )
         .select(
@@ -76,9 +98,10 @@ def q_olap_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue"),
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -130,10 +153,14 @@ ORACLES = {
     "olap_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 6)
+            AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,10))), 6) AS DOUBLE)
+         AS sum_disc_price,
        round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_discount), 6) AS avg_disc,
+       floor(CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE)
+             / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF}'
@@ -141,13 +168,15 @@ GROUP BY l_returnflag, l_linestatus""",
     "olap_revenue_rollup": """
 SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "olap_top_customers": """
 SELECT c_custkey, c_name, c_mktsegment,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue,
        count(DISTINCT o_orderkey) AS n_orders
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey

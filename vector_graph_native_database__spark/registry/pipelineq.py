@@ -469,13 +469,13 @@ stats AS (
   FROM toks
 )
 SELECT id, n_tok AS n_tokens,
-  round(CASE WHEN n_tok > 0 THEN stop_hits * 1.0 / n_tok ELSE 0.0 END, 6)
-    AS stop_ratio,
-  round(CASE WHEN n_tok > 0 THEN
+  floor((CASE WHEN n_tok > 0 THEN stop_hits * 1.0 / n_tok ELSE 0.0 END)
+        * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+  floor((CASE WHEN n_tok > 0 THEN
     0.4 * least(1.0, n_tok / 100.0)
     + 0.3 * (1.0 - least(1.0, abs(total_chars / n_tok - 5) / 5.0))
     + 0.3 * (stop_hits * 1.0 / n_tok)
-  ELSE 0.0 END, 6) AS quality
+  ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS quality
 FROM stats""",
     "text_token_count": ORACLE_PRELUDE
     + _TOKS
