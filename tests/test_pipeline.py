@@ -322,3 +322,38 @@ def test_concurrent_queries_share_session(spark, sf_dir):
     assert got["vector_topk"] == 10
     assert got["stats_counts"] == 1
     assert got["graph_bfs"] > 0 and got["text_token_count"] > 0
+
+
+def test_sql_frontend(spark, sf_dir):
+    """Free capability the reference lacks: ANSI SQL over the model
+    views, optimized by Catalyst like any DataFrame plan."""
+    from vector_graph_native_database__spark.sql import register_views, sql
+
+    names = register_views(spark, sf_dir)
+    assert {"nodes", "embeddings", "edges"} <= set(names)
+    got = sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n.lang, count(*) AS n_docs,
+               count(e.node_id) AS n_embedded
+        FROM nodes n LEFT JOIN embeddings e ON e.node_id = n.id
+        GROUP BY n.lang ORDER BY n_docs DESC
+        """,
+    ).collect()
+    assert sum(r["n_docs"] for r in got) == spark.table("nodes").count()
+    top3 = sql(
+        spark,
+        sf_dir,
+        """
+        WITH deg AS (
+          SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY src
+        ), ranked AS (
+          SELECT id, out_deg,
+                 rank() OVER (ORDER BY out_deg DESC, id) AS rnk
+          FROM deg
+        )
+        SELECT * FROM ranked WHERE rnk <= 3
+        """,
+    ).collect()
+    assert len(top3) == 3 and top3[0]["out_deg"] >= top3[-1]["out_deg"]
