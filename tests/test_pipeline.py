@@ -357,3 +357,53 @@ def test_sql_frontend(spark, sf_dir):
         """,
     ).collect()
     assert len(top3) == 3 and top3[0]["out_deg"] >= top3[-1]["out_deg"]
+
+
+def test_asof_join_semantics(spark):
+    from vector_graph_native_database__spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("e1", 1, 100), ("e2", 1, 200), ("e3", 2, 50)],
+        "event_id string, user_id int, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 150, 20.0), (2, 60, 99.0)],
+        "user_id int, ts long, value double",
+    )
+    # default <=: e1 ties with right@100 -> matched; e3 has no prior
+    got = {
+        r["event_id"]: (r["asof_value"], r["asof_ts"])
+        for r in asof_join(left, right, ts="ts", by="user_id").collect()
+    }
+    assert got["e1"] == (10.0, 100)
+    assert got["e2"] == (20.0, 150)
+    assert got["e3"] == (None, None)
+    # strict <: the tie no longer matches
+    strict = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(
+            left, right, ts="ts", by="user_id", strict=True
+        ).collect()
+    }
+    assert strict["e1"] is None and strict["e2"] == 20.0
+
+
+def test_range_join_binned_boundaries(spark):
+    from vector_graph_native_database__spark.operators.asof import (
+        range_join_binned,
+    )
+
+    points = spark.createDataFrame(
+        [("p1", 0), ("p2", 3599), ("p3", 3600), ("p4", 7200)],
+        "pid string, ts long",
+    )
+    intervals = spark.createDataFrame(
+        [("i1", 0, 3600), ("i2", 3600, 7200)],
+        "iid string, start long, end long",
+    )
+    got = {
+        (r["iid"], r["pid"])
+        for r in range_join_binned(points, intervals).collect()
+    }
+    # half-open [start, end): 3600 belongs to i2 only; 7200 to neither
+    assert got == {("i1", "p1"), ("i1", "p2"), ("i2", "p3")}

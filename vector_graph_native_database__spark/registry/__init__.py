@@ -23,6 +23,7 @@ from . import (
     mmq,
     pipelineq,
     searchq,
+    temporalq,
 )
 
 _MODULES = [
@@ -36,6 +37,7 @@ _MODULES = [
     mmq,
     pipelineq,
     searchq,
+    temporalq,
 ]
 
 
