@@ -88,3 +88,90 @@ def hybrid_search(
         .orderBy(F.desc("final_score"), F.asc("id"))
         .limit(top_k)
     )
+
+
+def rrf_hybrid(
+    nodes: DataFrame,
+    embeddings: DataFrame,
+    edges: DataFrame,
+    query: DataFrame,
+    query_text: str,
+    graph_start_id: str | None = None,
+    graph_depth: int = 2,
+    k_rrf: int = 60,
+    n_per_ranker: int = 100,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of vector, BM25, and graph rankers
+    → (id, text, rrf_score).
+
+    The reference's PDF advertises RRF fusion of BM25 into hybrid but
+    the code never implements it (``app.py:670-671``; SURVEY §4.8.3)
+    — this delivers the promised capability as an extension.
+    ``rrf = Σ_rankers 1/(k + rank)`` over each ranker's top
+    ``n_per_ranker`` list (ranks on 6dp-rounded scores, ties by id,
+    so ranks are engine-reproducible integers). Per-ranker lists come
+    from ``orderBy().limit()`` — TakeOrderedAndProject, so no global
+    sort; the rank window then runs over n_per_ranker rows only.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.vectorfn import minmax_normalize  # noqa: F401
+    from .bm25 import bm25_scores
+    from .vector_search import score_embeddings
+
+    def ranked(df: DataFrame, score_col: str, name: str) -> DataFrame:
+        top = (
+            df.select("id", F.round(score_col, 6).alias("s"))
+            .orderBy(F.desc("s"), F.asc("id"))
+            .limit(n_per_ranker)
+        )
+        w = Window.orderBy(F.desc("s"), F.asc("id"))
+        return top.select("id", F.row_number().over(w).alias(f"r_{name}"))
+
+    vec = ranked(
+        score_embeddings(embeddings, query).select(
+            F.col("node_id").alias("id"), "score"
+        ),
+        "score",
+        "v",
+    )
+    bm = ranked(
+        bm25_scores(nodes, query_text).filter(F.round("score", 6) > 0),
+        "score",
+        "b",
+    )
+    rankers = vec.join(bm, "id", "full_outer")
+    if graph_start_id is not None:
+        g = ranked(
+            graph_score(
+                graph_bfs(edges, graph_start_id, graph_depth),
+                graph_start_id,
+                graph_depth,
+            ).select("id", "g_score"),
+            "g_score",
+            "g",
+        )
+        rankers = rankers.join(g, "id", "full_outer")
+    else:
+        rankers = rankers.withColumn("r_g", F.lit(None).cast("int"))
+
+    def contrib(col: str):
+        return F.coalesce(
+            F.lit(1.0) / (F.lit(k_rrf) + F.col(col)), F.lit(0.0)
+        )
+
+    rrf = contrib("r_v") + contrib("r_b") + contrib("r_g")
+    return (
+        rankers.join(nodes.select("id", "text"), "id")
+        .select(
+            "id",
+            "text",
+            (F.floor(rrf * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "rrf_score"
+            ),
+        )
+        .filter(F.col("rrf_score") > 0)
+        .orderBy(F.desc("rrf_score"), F.asc("id"))
+        .limit(top_k)
+    )

@@ -59,6 +59,24 @@ SQL_TOKENS = (
 )
 
 
+def stable_round6(c):
+    """Engine-identical half-up rounding of a double expression.
+
+    Spark's round() decides on the exact binary expansion while
+    DuckDB's multiplies by 1e6 in double — they disagree on values
+    that print as 6-decimal halfway points. floor(x*1e6+0.5)/1e6 is
+    pure IEEE double arithmetic, so every engine computes the same
+    bits. SQL twin: ``floor(x * 1000000.0 + 0.5) / 1000000.0``.
+    """
+    from pyspark.sql import functions as F
+
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def sql_stable_round6(expr: str) -> str:
+    return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+
 def sql_bfs_cte(start: str, depth: int, edge_type: str | None = None) -> str:
     """Recursive-CTE twin of operators.graph.graph_bfs.
 

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources import load_table
+from .common import stable_round6
 
 SHIP_CUTOFF = "1998-09-01 00:00:00"
 
@@ -42,11 +43,6 @@ def _dec_sum(col, alias: str):
     return F.round(F.sum(col.cast(_DEC)), 6).cast("double").alias(alias)
 
 
-def _stable_round6(c):
-    # identical-IEEE-ops rounding; see operators/text_analysis.py
-    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-
-
 def q_olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -60,7 +56,7 @@ def q_olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_disc_price",
             ),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            _stable_round6(
+            stable_round6(
                 F.sum(F.col("l_discount").cast(_DEC)).cast("double")
                 / F.count("*")
             ).alias("avg_disc"),
@@ -141,12 +137,29 @@ def q_events_rank_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of value per event_type (sort-based exact
+    percentile with linear interpolation — Spark's percentile() and
+    DuckDB's quantile_cont agree bit-for-bit on identical inputs)."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("p")
+    )
+    return pct.select(
+        "event_type",
+        stable_round6(F.col("p")[0]).alias("p50"),
+        stable_round6(F.col("p")[1]).alias("p90"),
+        stable_round6(F.col("p")[2]).alias("p99"),
+    )
+
+
 QUERIES = {
     "olap_pricing_summary": q_olap_pricing_summary,
     "olap_revenue_rollup": q_olap_revenue_rollup,
     "olap_top_customers": q_olap_top_customers,
     "events_running_total": q_events_running_total,
     "events_rank_per_user": q_events_rank_per_user,
+    "events_value_percentiles": q_events_value_percentiles,
 }
 
 ORACLES = {
@@ -184,6 +197,16 @@ JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name, c_mktsegment
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 10""",
+    "events_value_percentiles": """
+WITH pct AS (
+  SELECT event_type, quantile_cont(value, [0.5, 0.9, 0.99]) AS p
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       floor(p[1] * 1000000.0 + 0.5) / 1000000.0 AS p50,
+       floor(p[2] * 1000000.0 + 0.5) / 1000000.0 AS p90,
+       floor(p[3] * 1000000.0 + 0.5) / 1000000.0 AS p99
+FROM pct""",
     "events_running_total": """
 SELECT event_id, user_id,
        round(sum(value) OVER (

@@ -102,6 +102,22 @@ def q_hybrid_graph_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF-promised RRF fusion of vector + BM25 + graph (extension —
+    the reference code never ships it; SURVEY §4.8.3)."""
+    nodes, emb, edges = model(spark, sf_dir)
+    return hybrid.rrf_hybrid(
+        nodes,
+        emb,
+        edges,
+        query_vec(spark, sf_dir),
+        BM25_QUERY,
+        graph_start_id="0",
+        graph_depth=2,
+        top_k=15,
+    )
+
+
 _TOK = SQL_TOKENS.format(col="text")
 _QTOK = SQL_TOKENS.format(col=f"'{BM25_QUERY}'")
 
@@ -175,6 +191,7 @@ QUERIES = {
     "hybrid_search": q_hybrid_search,
     "hybrid_vector_only": q_hybrid_vector_only,
     "hybrid_graph_only": q_hybrid_graph_only,
+    "hybrid_rrf": q_hybrid_rrf,
 }
 
 ORACLES = {
@@ -212,4 +229,47 @@ ORDER BY round(c.score, 6) DESC, n.id ASC LIMIT 15""",
     "hybrid_graph_only": _HYBRID_SQL_TMPL.format(
         bfs=sql_bfs_cte("0", 2), graph_scores=_G_SCORES_D2, vw=0.0, gw=1.0, k=15
     ),
+    "hybrid_rrf": ORACLE_PRELUDE
+    + SQL_SCORED
+    + _BM25_CTES
+    + sql_bfs_cte("0", 2)
+    + """,
+gsc AS (
+  SELECT b.id,
+         CASE WHEN b.id = '0' THEN 1.0
+         ELSE ((2 - b.distance + 1) / 3.0)
+              * (0.5 + 0.5 * CASE WHEN m.mw > 0
+                             THEN b.path_weight / m.mw ELSE 0.0 END)
+         END AS g_score
+  FROM bfsr b, (SELECT max(path_weight) AS mw FROM bfsr) m
+),
+vr AS (
+  SELECT id, row_number() OVER (ORDER BY s DESC, id ASC) AS r FROM (
+    SELECT id, round(score, 6) AS s FROM scored
+    ORDER BY round(score, 6) DESC, id ASC LIMIT 100)
+),
+br AS (
+  SELECT id, row_number() OVER (ORDER BY s DESC, id ASC) AS r FROM (
+    SELECT id, round(score, 6) AS s FROM contrib
+    WHERE round(score, 6) > 0
+    ORDER BY round(score, 6) DESC, id ASC LIMIT 100)
+),
+gr AS (
+  SELECT id, row_number() OVER (ORDER BY s DESC, id ASC) AS r FROM (
+    SELECT id, round(g_score, 6) AS s FROM gsc
+    ORDER BY round(g_score, 6) DESC, id ASC LIMIT 100)
+),
+fused AS (
+  SELECT n.id, n.text,
+         floor((coalesce(1.0 / (60 + vr.r), 0.0)
+                + coalesce(1.0 / (60 + br.r), 0.0)
+                + coalesce(1.0 / (60 + gr.r), 0.0)) * 1000000.0 + 0.5)
+           / 1000000.0 AS rrf_score
+  FROM nodes n
+  LEFT JOIN vr ON vr.id = n.id
+  LEFT JOIN br ON br.id = n.id
+  LEFT JOIN gr ON gr.id = n.id
+)
+SELECT * FROM fused WHERE rrf_score > 0
+ORDER BY rrf_score DESC, id ASC LIMIT 15""",
 }
