@@ -1,0 +1,158 @@
+"""Sampling / splitting / chunking operators for training-data pipelines.
+
+Not part of the reference surface (the reference has no sampling of
+any kind) — these are the corpus-preparation operators a 100 TB
+training pipeline needs. Everything is DETERMINISTIC, keyed on a
+stable md5-derived bucket of the row id, so (a) runs are reproducible
+across clusters and engines, (b) the DuckDB oracle replays them
+bit-for-bit, and (c) re-running on a grown corpus keeps previous
+assignments stable (hash-based splits don't reshuffle old rows the
+way `df.sample(seed)` does when partitioning changes).
+
+Scale design:
+- bucket = md5-prefix of (salt || id) mod 10_000: a narrow projection
+  plus a filter — no shuffle at all for `hash_sample` and
+  `train_eval_split`; Catalyst evaluates it scan-side.
+- stratified_sample: one window (shuffle on the group key) with a
+  deterministic (bucket, id) order; skew lives in the group key, so
+  groups are the unit of parallelism — fine when groups >> executors.
+- chunk_documents: tokenize → per-row chunk-start array → explode.
+  Pure per-row work (no shuffle); output size is bounded by
+  ceil(n_tok/stride) rows per doc.
+- corpus_clean: quality filter (scan-side) → one groupBy on the
+  128-bit content hash for keep-min-id dedup → left-semi join back.
+  The groupBy is map-side combinable; the semi-join is broadcastable
+  when the surviving keeper set is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.textfn import tokenize
+from .text_analysis import quality_score
+
+BUCKETS = 10_000
+
+
+def stable_bucket(col, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 10000) from md5(salt || id).
+
+    15 hex chars = 60 bits — positive int64 in Spark and DuckDB; the
+    oracle twin is ``('0x' || substr(md5(salt || id), 1, 15))::BIGINT
+    % 10000``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % BUCKETS
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str = "id", salt: str = "s1"
+) -> DataFrame:
+    """Deterministic Bernoulli-by-hash sample: keep rows whose bucket
+    falls below fraction·10000. Unlike ``df.sample``, membership is a
+    pure function of the id — stable across runs, partitionings, and
+    engines."""
+    return df.filter(stable_bucket(id_col, salt) < int(fraction * BUCKETS))
+
+
+def train_eval_split(
+    df: DataFrame, train_frac: float = 0.9, id_col: str = "id",
+    salt: str = "split",
+) -> DataFrame:
+    """→ (id, split): 'train' | 'eval' assignment by hash threshold."""
+    thr = int(train_frac * BUCKETS)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(stable_bucket(id_col, salt) < thr, F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-group quota sample: the n_per_group rows with the smallest
+    (bucket, id) per group — a deterministic uniform draw within each
+    stratum. → original columns + rk (1-based rank within group)."""
+    w = Window.partitionBy(group_col).orderBy(
+        stable_bucket(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_per_group)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size token windows with overlap (training-sample prep).
+
+    → (id, start, chunk_text, n_chunk_tokens): chunks begin at token
+    positions 1, 1+stride, … ≤ max(1, n−size+1), plus a final chunk
+    clamped to end at the last token so no tail tokens are dropped.
+    Requires stride ≤ size for gap-free coverage.
+    """
+    if stride > size:
+        raise ValueError("stride must be <= size for gap-free coverage")
+    toks = df.select(
+        F.col(id_col).alias("id"), tokenize(text_col).alias("toks")
+    )
+    last_start = F.greatest(F.lit(1), F.size("toks") - F.lit(size - 1))
+    starts = F.array_distinct(
+        F.concat(
+            F.sequence(F.lit(1), last_start, F.lit(stride)),
+            F.array(last_start),
+        )
+    )
+    return (
+        toks.select("id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "id",
+            "start",
+            F.array_join(
+                F.slice("toks", F.col("start"), F.lit(size)), " "
+            ).alias("chunk_text"),
+            F.size(F.slice("toks", F.col("start"), F.lit(size))).alias(
+                "n_chunk_tokens"
+            ),
+        )
+    )
+
+
+def corpus_clean(
+    df: DataFrame,
+    min_quality: float = 0.5,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Composed corpus-preparation pipeline: quality gate + exact
+    content dedup (keep the min-id representative of each surviving
+    text). → (id, n_tokens, quality) of the retained documents."""
+    q = quality_score(df, id_col, text_col)
+    passing = q.filter(F.col("quality") >= min_quality)
+    hashed = (
+        df.select(F.col(id_col).alias("id"), F.md5(text_col).alias("th"))
+        .join(passing.select("id"), "id", "left_semi")
+    )
+    keepers = hashed.groupBy("th").agg(F.min("id").alias("id"))
+    return passing.join(keepers.select("id"), "id", "left_semi").select(
+        "id", "n_tokens", "quality"
+    )

@@ -22,6 +22,7 @@ from . import (
     graphq,
     mmq,
     pipelineq,
+    samplingq,
     searchq,
     temporalq,
 )
@@ -36,6 +37,7 @@ _MODULES = [
     graphq,
     mmq,
     pipelineq,
+    samplingq,
     searchq,
     temporalq,
 ]

@@ -1,0 +1,130 @@
+"""Sampling / splitting / chunking queries (training-pipeline §7.4).
+
+Deterministic hash-bucketed sampling means every one of these has an
+EXACT DuckDB oracle — the bucket expression is md5-derived and spelled
+identically in both engines (same trick as dedup/LSH hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import sampling
+from .common import ORACLE_PRELUDE, model
+
+_BUCKET = "('0x' || substr(md5('{salt}' || id), 1, 15))::BIGINT % 10000"
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return sampling.hash_sample(
+        nodes.select("id", "lang", "source", "n_chars"), fraction=0.1
+    )
+
+
+def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return sampling.train_eval_split(nodes, train_frac=0.9)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return sampling.stratified_sample(
+        nodes.select("id", "source"), group_col="source", n_per_group=5
+    )
+
+
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return sampling.chunk_documents(nodes, size=32, stride=24)
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return sampling.corpus_clean(nodes, min_quality=0.5)
+
+
+QUERIES = {
+    "sample_hash": q_sample_hash,
+    "split_train_eval": q_split_train_eval,
+    "sample_stratified": q_sample_stratified,
+    "doc_chunk": q_doc_chunk,
+    "corpus_clean": q_corpus_clean,
+}
+
+_TOKS = r""",
+toks AS (
+  SELECT id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM nodes
+)"""
+
+# Mirror of operators.text_analysis.quality_score (same as the
+# text_quality_score oracle in pipelineq).
+_QUALITY = """,
+qstats AS (
+  SELECT id, len(t) AS n_tok,
+         CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+           AS total_chars,
+         len(list_filter(t, x -> list_contains(
+           ['a','and','das','de','der','die','el','et','la','le','les',
+            'of','que','the','to','und','y','zu'], x))) AS stop_hits
+  FROM toks
+),
+quality AS (
+  SELECT id, n_tok AS n_tokens,
+    floor((CASE WHEN n_tok > 0 THEN
+      0.4 * least(1.0, n_tok / 100.0)
+      + 0.3 * (1.0 - least(1.0, abs(total_chars / n_tok - 5) / 5.0))
+      + 0.3 * (stop_hits * 1.0 / n_tok)
+    ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS quality
+  FROM qstats
+)"""
+
+ORACLES = {
+    "sample_hash": ORACLE_PRELUDE
+    + f"""
+SELECT id, lang, source, n_chars FROM nodes
+WHERE {_BUCKET.format(salt='s1')} < 1000""",
+    "split_train_eval": ORACLE_PRELUDE
+    + f"""
+SELECT id,
+       CASE WHEN {_BUCKET.format(salt='split')} < 9000
+            THEN 'train' ELSE 'eval' END AS split
+FROM nodes""",
+    "sample_stratified": ORACLE_PRELUDE
+    + f""",
+ranked AS (
+  SELECT id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_BUCKET.format(salt='strat')}, id) AS rk
+  FROM nodes
+)
+SELECT id, source, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5""",
+    "doc_chunk": ORACLE_PRELUDE
+    + _TOKS
+    + """,
+starts AS (
+  SELECT id, t,
+         unnest(list_distinct(list_append(
+           generate_series(1, greatest(1, len(t) - 31), 24),
+           greatest(1, len(t) - 31)))) AS start
+  FROM toks
+)
+SELECT id, CAST(start AS INT) AS start,
+       array_to_string(list_slice(t, start, start + 31), ' ') AS chunk_text,
+       CAST(len(list_slice(t, start, start + 31)) AS INT) AS n_chunk_tokens
+FROM starts""",
+    "corpus_clean": ORACLE_PRELUDE
+    + _TOKS
+    + _QUALITY
+    + """,
+passing AS (
+  SELECT q.id, q.n_tokens, q.quality, md5(n.text) AS th
+  FROM quality q JOIN nodes n ON n.id = q.id
+  WHERE q.quality >= 0.5
+),
+keepers AS (SELECT th, min(id) AS id FROM passing GROUP BY th)
+SELECT p.id, p.n_tokens, p.quality
+FROM passing p JOIN keepers k ON k.id = p.id""",
+}
