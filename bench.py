@@ -40,6 +40,9 @@ HEADLINE = [
     "text_quality_score",
     "doc_fingerprint",
     "events_session",
+    # corpus preparation: chunking + composed clean pipeline
+    "doc_chunk",
+    "corpus_clean",
 ]
 
 

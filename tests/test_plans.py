@@ -77,3 +77,26 @@ def test_no_python_row_udfs_in_hot_paths(spark, name):
     s = plan_summary(registry.all_queries()[name](spark, SF))
     assert s["python_row_udfs"] == 0, "row-at-a-time Python UDF crept in"
     assert s["python_arrow_udfs"] == 0
+
+
+@pytest.mark.parametrize(
+    "name", ["sample_hash", "split_train_eval", "doc_chunk"]
+)
+def test_sampling_and_chunking_are_shuffle_free(spark, name):
+    # hash-bucket membership and per-row chunk explode must evaluate
+    # scan-side: at 100 TB these are the ops that touch every row, and
+    # a single stray Exchange makes them corpus-sized shuffles
+    s = plan_summary(registry.all_queries()[name](spark, SF))
+    assert s["exchanges"] == 0
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
+
+
+def test_stratified_sample_shuffles_once_on_group_key(spark):
+    s = plan_summary(registry.all_queries()["sample_stratified"](spark, SF))
+    assert s["exchanges"] == 1  # the window's partitionBy — nothing else
+
+
+def test_corpus_clean_dedup_joins_stay_broadcast(spark):
+    s = plan_summary(registry.all_queries()["corpus_clean"](spark, SF))
+    assert s["sort_merge_joins"] == 0
+    assert s["exchanges"] <= 1  # only the content-hash groupBy
