@@ -107,3 +107,41 @@ def test_sssp_hop_bound(spark):
     )
     got = {r["id"]: r["min_weight"] for r in sssp_k(e, "a", 1).collect()}
     assert got == {"a": 0.0, "m": 1.0, "z": 10.0}
+
+
+def test_kmv_exact_below_k(spark):
+    from vector_graph_native_database__spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("g1", f"u{i}") for i in range(10)] + [("g1", "u0")] * 5,
+        "g string, v string",
+    )
+    (row,) = kmv_distinct(df, "g", "v", k=64).collect()
+    # fewer than k distinct values ⇒ the sketch saw everything: exact
+    assert row["est_distinct"] == 10.0 and row["exact_distinct"] == 10
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    from vector_graph_native_database__spark.operators.sketch import kmv_distinct
+
+    n = 2000
+    df = spark.createDataFrame(
+        [("g1", f"user-{i}") for i in range(n)], "g string, v string"
+    )
+    (row,) = kmv_distinct(df, "g", "v", k=256).collect()
+    # KMV standard error ≈ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert abs(row["est_distinct"] - n) / n < 0.25
+    assert row["exact_distinct"] == n
+    # determinism: rerun gives the identical estimate
+    (again,) = kmv_distinct(df, "g", "v", k=256).collect()
+    assert again["est_distinct"] == row["est_distinct"]
+
+
+def test_native_hll_agrees_with_kmv_target(spark):
+    # the engine-native sketch (no cross-engine oracle possible) stays
+    # available for 100 TB one-pass counts; sanity-pin its error here
+    df = spark.createDataFrame(
+        [(f"user-{i % 500}",) for i in range(5000)], "v string"
+    )
+    got = df.agg(F.approx_count_distinct("v").alias("d")).collect()[0]["d"]
+    assert abs(got - 500) / 500 < 0.1

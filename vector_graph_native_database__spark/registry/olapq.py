@@ -153,10 +153,41 @@ def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_olap_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^2 grouping sets over (priority, order year) in one pass —
+    Spark expands CUBE JVM-side; money sums in exact decimal."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("o_year", F.year("o_orderdate").cast("string"))
+        .cube("o_orderpriority", "o_year")
+        .agg(
+            _dec_sum(F.col("o_totalprice"), "total_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias(
+                "o_orderpriority"
+            ),
+            F.coalesce("o_year", F.lit("ALL")).alias("o_year"),
+            "total_price",
+            "n_orders",
+        )
+    )
+
+
+def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
 QUERIES = {
     "olap_pricing_summary": q_olap_pricing_summary,
     "olap_revenue_rollup": q_olap_revenue_rollup,
     "olap_top_customers": q_olap_top_customers,
+    "olap_cube_orders": q_olap_cube_orders,
+    "approx_distinct_kmv": q_approx_distinct_kmv,
     "events_running_total": q_events_running_total,
     "events_rank_per_user": q_events_rank_per_user,
     "events_value_percentiles": q_events_value_percentiles,
@@ -197,6 +228,39 @@ JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name, c_mktsegment
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 10""",
+    "olap_cube_orders": """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 6) AS DOUBLE)
+         AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderpriority, year(o_orderdate))""",
+    "approx_distinct_kmv": """
+WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5('kmv' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM pairs
+),
+kept AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+  FROM hashed
+),
+est AS (
+  SELECT event_type, count(*) AS n_kept, max(u) AS u_k
+  FROM kept WHERE rn <= 64 GROUP BY event_type
+),
+exact AS (SELECT event_type, count(*) AS exact_distinct FROM pairs
+          GROUP BY event_type)
+SELECT e.event_type,
+       floor((CASE WHEN e.n_kept < 64 THEN CAST(e.n_kept AS DOUBLE)
+                   ELSE 63.0 / e.u_k END) * 1000000.0 + 0.5) / 1000000.0
+         AS est_distinct,
+       x.exact_distinct
+FROM est e JOIN exact x ON x.event_type = e.event_type""",
     "events_value_percentiles": """
 WITH pct AS (
   SELECT event_type, quantile_cont(value, [0.5, 0.9, 0.99]) AS p
