@@ -100,3 +100,31 @@ def test_corpus_clean_dedup_joins_stay_broadcast(spark):
     s = plan_summary(registry.all_queries()["corpus_clean"](spark, SF))
     assert s["sort_merge_joins"] == 0
     assert s["exchanges"] <= 1  # only the content-hash groupBy
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    # bucketing is the 100 TB answer for recurring id-keyed joins:
+    # co-located buckets join with zero shuffle on either side
+    from vector_graph_native_database__spark.sources.sinks import save_bucketed
+    from vector_graph_native_database__spark.sources import nodes_df, embeddings_df
+
+    SFD = "/root/testdata/sf0.001"
+    save_bucketed(
+        nodes_df(spark, SFD), "b_nodes", ["id"], 8,
+        sort_cols=["id"], path=str(tmp_path / "b_nodes"),
+    )
+    save_bucketed(
+        embeddings_df(spark, SFD).withColumnRenamed("node_id", "id"),
+        "b_emb", ["id"], 8, sort_cols=["id"], path=str(tmp_path / "b_emb"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_nodes").join(spark.table("b_emb"), "id")
+        s = plan_summary(joined)
+        assert s["exchanges"] == 0, "bucketed join must not shuffle"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_nodes")
+        spark.sql("DROP TABLE IF EXISTS b_emb")

@@ -112,3 +112,30 @@ def _to_nodes(
         F.col(text_col).cast("string").alias("text"),
         metadata.alias("metadata"),
     )
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Write a hash-bucketed (optionally per-bucket-sorted) table.
+
+    Bucketing is the pre-shuffle: two tables bucketed on the same key
+    with the same bucket count join WITHOUT an Exchange — at 100 TB
+    that turns every recurring id-keyed join (score⨝details,
+    embedding attach, CRUD merge) from a full shuffle into a local
+    zip of co-located buckets. Bucket count is chosen per deployment
+    (here 32 = local core count; thousands on a real cluster).
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
