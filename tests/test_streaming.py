@@ -200,3 +200,109 @@ def test_incremental_bm25_state_matches_full_recompute(spark):
         assert got == want and len(got) == 3
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_watermark_drops_late_data_across_restarts(spark):
+    """Append-mode windowed agg: a row arriving after the watermark
+    passed its window is dropped; the finalized window emits without
+    it. Driven as three checkpointed availableNow runs (watermark
+    state persists in the checkpoint)."""
+    from datetime import datetime as dt
+
+    from vector_graph_native_database__spark.streaming.windows import (
+        tumbling_agg,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="vgs-late-")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    schema = "ts timestamp, event_type string, value double"
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src).withWatermark(
+            "ts", "10 minutes"
+        )
+        q = (
+            tumbling_agg(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return {
+                r["window_start"]: (r["n"], r["sum_value"])
+                for r in spark.read.parquet(out).collect()
+            }
+        except Exception:
+            return {}
+
+    try:
+        # batch 0: two rows in the 10:00 window + one at 12:05 that
+        # will advance the watermark to 11:55
+        got = run(
+            [
+                (dt(2024, 1, 1, 10, 5), "x", 1.0),
+                (dt(2024, 1, 1, 10, 30), "x", 2.0),
+                (dt(2024, 1, 1, 12, 5), "x", 4.0),
+            ]
+        )
+        # the availableNow run ends with a no-data micro-batch that
+        # advances the watermark to 11:55 and finalizes 10:00-11:00
+        assert got == {"2024-01-01 10:00:00": (2, 3.0)}
+        # run 2: 10:45 is LATE (watermark passed its window) → dropped;
+        # 13:30 advances the watermark and finalizes the 12:00 window
+        got = run(
+            [
+                (dt(2024, 1, 1, 10, 45), "x", 8.0),
+                (dt(2024, 1, 1, 13, 30), "x", 16.0),
+            ]
+        )
+        assert got["2024-01-01 10:00:00"] == (2, 3.0)  # late row absent
+        assert got["2024-01-01 12:00:00"] == (1, 4.0)
+        # run 3: finalize the 13:00 window; the dropped late row never
+        # resurfaces anywhere
+        got = run([(dt(2024, 1, 1, 15, 0), "x", 32.0)])
+        assert got["2024-01-01 13:00:00"] == (1, 16.0)
+        assert got["2024-01-01 10:00:00"] == (2, 3.0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_dedup_within_watermark(spark):
+    from datetime import datetime as dt
+
+    from vector_graph_native_database__spark.streaming.ingest import (
+        dedup_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="vgs-sdedup-")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    schema = "event_id long, ts timestamp, value double"
+    try:
+        spark.createDataFrame(
+            [
+                (1, dt(2024, 1, 1, 10, 0), 1.0),
+                (1, dt(2024, 1, 1, 10, 5), 1.0),  # dup within horizon
+                (2, dt(2024, 1, 1, 10, 10), 2.0),
+            ],
+            schema,
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            dedup_stream(stream, ["event_id"])
+            .writeStream.format("memory")
+            .queryName("sdedup_test")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.sql("SELECT event_id FROM sdedup_test").collect()
+        assert sorted(r["event_id"] for r in got) == [1, 2]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

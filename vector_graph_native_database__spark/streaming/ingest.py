@@ -147,3 +147,23 @@ def incremental_bm25_maintenance(
     )
     q.awaitTermination()
     return q
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark_col: str = "ts",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only for the
+    watermark horizon — the streaming twin of ``dedup_exact``.
+    Unbounded-state ``dropDuplicates`` on a stream grows state with
+    corpus cardinality and is a non-starter at 100 TB; bounding by
+    event-time delay is the scale-safe contract (duplicates farther
+    apart than ``delay`` in event time may both survive, by design).
+    """
+    return events.withWatermark(
+        watermark_col, delay
+    ).dropDuplicatesWithinWatermark(key_cols)
