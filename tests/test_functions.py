@@ -120,3 +120,28 @@ def test_salted_agg_matches_direct(spark):
         .collect()
     }
     assert got == want
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    from vector_graph_native_database__spark.functions.vectorfn import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", [0.5, -1.0, 0.25, 0.003]),
+            ("b", [2.0, 2.0, -2.0, 0.0]),
+            ("z", [0.0, 0.0, 0.0, 0.0]),  # zero vector → scale 0
+        ],
+        "id string, vector array<float>",
+    )
+    scale, q = quantize_int8("vector")
+    rows = df.select("id", scale.alias("s"), q.alias("q"), "vector").collect()
+    for r in rows:
+        if r["s"] == 0:
+            assert all(c == 0 for c in r["q"])
+            continue
+        for orig, code in zip(r["vector"], r["q"]):
+            assert -127 <= code <= 127
+            # dequantized value within half a quantization step
+            assert abs(code * r["s"] / 127.0 - orig) <= r["s"] / 254.0 + 1e-9

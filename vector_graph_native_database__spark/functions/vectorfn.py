@@ -75,3 +75,26 @@ def minmax_normalize(
         )
         .drop("__mn", "__mx")
     )
+
+
+def quantize_int8(vec: Column | str) -> tuple[Column, Column]:
+    """Symmetric int8 scalar quantization → (scale, qvec).
+
+    q_i = floor(v_i·127/scale + 0.5) with scale = max|v| (zero vector
+    → scale 0, all-zero codes). 4× smaller than float32 at 100 TB
+    embedding-store scale; dequantization is q_i·scale/127 with max
+    abs error scale/254. floor(x+0.5) is pure IEEE double arithmetic,
+    so the DuckDB oracle (`floor(x*127/scale + 0.5)`) computes
+    identical codes.
+    """
+    v = _d(vec)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(x * F.lit(127.0) / scale + F.lit(0.5)).cast(
+                "int"
+            ),
+        )
+    )
+    return scale, q

@@ -21,6 +21,7 @@ from .common import (
     SQL_TOKENS,
     model,
     query_vec,
+    stable_round6,
 )
 
 _TOK = SQL_TOKENS.format(col="text")
@@ -164,7 +165,21 @@ def q_id_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.select("id", F.expr("uuid()").alias("gen_id"))
 
 
+def q_vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding store —
+    4× compression for the 100 TB vector tier; codes engine-portable
+    via the floor(x+0.5) IEEE rounding trick."""
+    from ..functions.vectorfn import quantize_int8
+
+    _, emb, _ = model(spark, sf_dir)
+    scale, q = quantize_int8("vector")
+    return emb.select(
+        "node_id", stable_round6(scale).alias("scale"), q.alias("qvec")
+    )
+
+
 QUERIES = {
+    "vec_quantize_int8": q_vec_quantize_int8,
     "tokenize": q_tokenize,
     "embed_hash": q_embed_hash,
     "embed_batch": q_embed_batch,
@@ -178,6 +193,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "vec_quantize_int8": ORACLE_PRELUDE
+    + """,
+dv AS (
+  SELECT node_id, CAST(vector AS DOUBLE[]) AS v,
+         list_max(list_transform(CAST(vector AS DOUBLE[]),
+                                 x -> abs(x))) AS scale
+  FROM emb
+)
+SELECT node_id,
+       floor(scale * 1000000.0 + 0.5) / 1000000.0 AS scale,
+       CASE WHEN scale = 0
+            THEN list_transform(v, x -> 0)
+            ELSE list_transform(
+              v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INT)) END
+         AS qvec
+FROM dv""",
     "tokenize": ORACLE_PRELUDE
     + f""",
 toks AS (SELECT id, unnest({_TOK}) AS tok FROM nodes)
