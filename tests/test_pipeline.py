@@ -407,3 +407,22 @@ def test_range_join_binned_boundaries(spark):
     }
     # half-open [start, end): 3600 belongs to i2 only; 7200 to neither
     assert got == {("i1", "p1"), ("i1", "p2"), ("i2", "p3")}
+
+
+def test_ann_int8_recall_vs_exact(spark, sf_dir):
+    from vector_graph_native_database__spark.sources import embeddings_df
+
+    emb = embeddings_df(spark, sf_dir)
+    qids = ["0", "10"]
+    exact = {
+        (r["qid"], r["id"])
+        for r in ann.brute_topk(emb, qids, k=10, round_scores=6).collect()
+    }
+    quant = {
+        (r["qid"], r["id"])
+        for r in ann.brute_topk_int8(emb, qids, k=10).collect()
+    }
+    # int8 quantization error is ~0.4% of scale per component; top-10
+    # membership should survive nearly intact
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"recall {recall}"

@@ -305,3 +305,41 @@ def lsh_bucketed_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", F.col("node_id").alias("id"), "cos", "rnk")
     )
+
+
+def brute_topk_int8(
+    emb: DataFrame,
+    query_ids: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k over the int8-QUANTIZED store
+    → (qid, id, cos, rnk).
+
+    The per-vector quantization scales cancel in the cosine ratio
+    (cos = Σq_a·q_b / (√Σq_a²·√Σq_b²)), so search runs entirely on
+    integer codes — the 4×-smaller tier from
+    ``functions.vectorfn.quantize_int8`` is directly searchable, no
+    dequantization pass. Scores are stable-rounded to 6dp BEFORE
+    ranking so the rank order is engine-identical.
+    """
+    from ..functions.vectorfn import quantize_int8
+
+    _, q8 = quantize_int8("vector")
+    qemb = emb.select("node_id", "dim", q8.alias("qv"))
+    q = qemb.filter(F.col("node_id").isin(query_ids)).select(
+        F.col("node_id").alias("qid"), F.col("qv").alias("qq"), "dim"
+    )
+    rounded = F.floor(cosine("qv", "qq") * F.lit(1e6) + F.lit(0.5)) / F.lit(
+        1e6
+    )
+    scored = (
+        qemb.join(F.broadcast(q), "dim")
+        .filter(F.col("node_id") != F.col("qid"))
+        .withColumn("cos", rounded)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("node_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", F.col("node_id").alias("id"), "cos", "rnk")
+    )

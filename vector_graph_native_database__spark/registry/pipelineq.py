@@ -84,6 +84,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k over the int8-quantized embedding tier —
+    proves the 4×-compressed store is searchable without
+    dequantization (scales cancel in the cosine ratio)."""
+    _, emb, _ = model(spark, sf_dir)
+    return ann.brute_topk_int8(emb, ANN_QUERY_IDS, k=10)
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, _, _ = model(spark, sf_dir)
     return text_analysis.lang_id(nodes)
@@ -115,6 +123,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_mllib_lsh_topk": q_ann_mllib_lsh_topk,
+    "ann_int8_topk": q_ann_int8_topk,
     "text_lang_id": q_text_lang_id,
     "text_quality_score": q_text_quality_score,
     "text_token_count": q_text_token_count,
@@ -438,6 +447,36 @@ SELECT qid, id, cos, rnk FROM (
   FROM cand
 ) WHERE rnk <= 5""",
     "ann_ivf_topk": _ivf_sql(),
+    "ann_int8_topk": ORACLE_PRELUDE
+    + f""",
+dv AS (
+  SELECT node_id, dim,
+         CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(v, x -> floor(x * 127.0 / s + 0.5)) END
+           AS qv
+  FROM (SELECT node_id, dim, CAST(vector AS DOUBLE[]) AS v,
+               list_max(list_transform(CAST(vector AS DOUBLE[]),
+                                       x -> abs(x))) AS s
+        FROM emb)
+),
+q8 AS (SELECT node_id AS qid, qv AS qq, dim FROM dv
+       WHERE node_id IN {_IDS_IN}),
+cand8 AS (
+  SELECT q.qid, e.node_id AS id,
+         floor((CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb)
+                ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM dv e JOIN q8 q ON e.dim = q.dim AND e.node_id <> q.qid
+  CROSS JOIN LATERAL (
+    SELECT list_dot_product(e.qv, q.qq) AS d,
+           sqrt(list_dot_product(e.qv, e.qv)) AS na,
+           sqrt(list_dot_product(q.qq, q.qq)) AS nb
+  ) t
+)
+SELECT qid, id, cos, rnk FROM (
+  SELECT qid, id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rnk
+  FROM cand8
+) WHERE rnk <= 10""",
     "text_lang_id": ORACLE_PRELUDE
     + _TOKS
     + """,
