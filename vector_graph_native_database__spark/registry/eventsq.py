@@ -37,13 +37,63 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the JSON props column —
+    ``get_json_object`` is Catalyst-native (no UDF); the path reaches
+    the scan as an ordinary projected expression."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k - k % 10).alias("k_decade"),
+    )
+
+
+def q_events_pivot_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user feature row: sum(value) pivoted over the event
+    types — one shuffle; the explicit value list keeps the output
+    schema static (no extra distinct pass, required for streaming and
+    for deterministic columns at 100 TB)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 6))
+    )
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
+    "events_props_extract": q_events_props_extract,
+    "events_pivot_user_type": q_events_pivot_user_type,
 }
 
 ORACLES = {
+    "events_props_extract": """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+       CAST(json_extract(props, '$.k') AS INTEGER)
+         - CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_decade
+FROM events""",
+    "events_pivot_user_type": """
+SELECT user_id,
+       round(sum(CASE WHEN event_type = 'click' THEN value END), 6)
+         AS click,
+       round(sum(CASE WHEN event_type = 'error' THEN value END), 6)
+         AS error,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6)
+         AS purchase,
+       round(sum(CASE WHEN event_type = 'signup' THEN value END), 6)
+         AS signup,
+       round(sum(CASE WHEN event_type = 'view' THEN value END), 6)
+         AS view
+FROM events GROUP BY user_id""",
     "events_tumbling": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n, round(sum(value), 6) AS sum_value
