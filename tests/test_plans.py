@@ -128,3 +128,10 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_nodes")
         spark.sql("DROP TABLE IF EXISTS b_emb")
+
+
+def test_gap_sessionization_single_shuffle(spark):
+    # lag-window, cumsum-window, and the (user_id, sid) groupBy all
+    # run on the user_id partitioning — one Exchange total
+    s = plan_summary(registry.all_queries()["events_sessionize_gap"](spark, SF))
+    assert s["exchanges"] == 1

@@ -66,7 +66,45 @@ def q_events_pivot_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative session counter) —
+    the window-function twin of session_window, needed when session
+    IDENTITY matters (joins back to member events), not just the agg.
+    One shuffle on user_id; both windows share the same partitioning
+    so Catalyst plans a single Exchange."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    new_sess = F.when(
+        F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    sid = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.count("*").alias("n_events"),
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("duration_sec"),
+        )
+        .select("user_id", "session_start", "n_events", "duration_sec")
+    )
+
+
 QUERIES = {
+    "events_sessionize_gap": q_events_sessionize_gap,
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
@@ -75,6 +113,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_sessionize_gap": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS f
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+         AS duration_sec
+FROM sess GROUP BY user_id, sid""",
     "events_props_extract": """
 SELECT event_id,
        CAST(json_extract(props, '$.k') AS INTEGER) AS k,
