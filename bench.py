@@ -43,6 +43,7 @@ HEADLINE = [
     # corpus preparation: chunking + composed clean pipeline
     "doc_chunk",
     "corpus_clean",
+    "corpus_pipeline_summary",
 ]
 
 

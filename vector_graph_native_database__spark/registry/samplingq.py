@@ -44,12 +44,37 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.corpus_clean(nodes, min_quality=0.5)
 
 
+def q_corpus_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE lazy plan: quality
+    gate + exact dedup → overlapping token chunking → deterministic
+    train/eval split → per-split summary. Catalyst fuses the stages;
+    nothing materializes in between — the shape a 100 TB corpus build
+    actually runs."""
+    from pyspark.sql import functions as F2
+
+    nodes, _, _ = model(spark, sf_dir)
+    kept = sampling.corpus_clean(nodes, min_quality=0.5)
+    docs = nodes.join(kept.select("id"), "id", "left_semi")
+    chunks = sampling.chunk_documents(docs, size=32, stride=24)
+    split = sampling.train_eval_split(docs, train_frac=0.9)
+    return (
+        chunks.join(split, "id")
+        .groupBy("split")
+        .agg(
+            F2.countDistinct("id").alias("n_docs"),
+            F2.count("*").alias("n_chunks"),
+            F2.sum("n_chunk_tokens").alias("n_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "sample_hash": q_sample_hash,
     "split_train_eval": q_split_train_eval,
     "sample_stratified": q_sample_stratified,
     "doc_chunk": q_doc_chunk,
     "corpus_clean": q_corpus_clean,
+    "corpus_pipeline_summary": q_corpus_pipeline_summary,
 }
 
 _TOKS = r""",
@@ -127,4 +152,39 @@ passing AS (
 keepers AS (SELECT th, min(id) AS id FROM passing GROUP BY th)
 SELECT p.id, p.n_tokens, p.quality
 FROM passing p JOIN keepers k ON k.id = p.id""",
+    "corpus_pipeline_summary": ORACLE_PRELUDE
+    + _TOKS
+    + _QUALITY
+    + f""",
+passing AS (
+  SELECT q.id, md5(n.text) AS th
+  FROM quality q JOIN nodes n ON n.id = q.id
+  WHERE q.quality >= 0.5
+),
+keepers AS (SELECT th, min(id) AS id FROM passing GROUP BY th),
+docs AS (SELECT p.id FROM passing p JOIN keepers k ON k.id = p.id),
+starts AS (
+  SELECT t.id,
+         unnest(list_distinct(list_append(
+           generate_series(1, greatest(1, len(t.t) - 31), 24),
+           greatest(1, len(t.t) - 31)))) AS start,
+         t.t
+  FROM toks t JOIN docs d ON d.id = t.id
+),
+chunks AS (
+  SELECT id, len(list_slice(t, start, start + 31)) AS n_chunk_tokens
+  FROM starts
+),
+split AS (
+  SELECT d.id,
+         CASE WHEN {_BUCKET.format(salt='split')} < 9000
+              THEN 'train' ELSE 'eval' END AS split
+  FROM (SELECT id FROM docs) d
+)
+SELECT s.split,
+       count(DISTINCT c.id) AS n_docs,
+       count(*) AS n_chunks,
+       CAST(sum(c.n_chunk_tokens) AS BIGINT) AS n_tokens
+FROM chunks c JOIN split s ON s.id = c.id
+GROUP BY s.split""",
 }
