@@ -130,6 +130,22 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_emb")
 
 
+def test_no_complex_typed_columns_in_any_registry_output(spark):
+    # The driver's correctness gate canonicalizes results with pandas
+    # sort_values, which cannot order list/map/struct cells — an
+    # array-typed output column ERRs the driver row even when the
+    # operator is correct (vec_quantize_int8 in round 1). Pin every
+    # registry output to scalar columns so the hazard can't regress.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in registry.all_queries().items():
+        for field in fn(spark, SF).schema.fields:
+            if isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{field.name}: {field.dataType.simpleString()}")
+    assert not offenders, f"complex-typed registry outputs: {offenders}"
+
+
 def test_gap_sessionization_single_shuffle(spark):
     # lag-window, cumsum-window, and the (user_id, sid) groupBy all
     # run on the user_id partitioning — one Exchange total

@@ -159,23 +159,33 @@ def q_json_metadata_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_id_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UUID ids (SURVEY §4.8.7: deliberately NOT the reference's
-    collision-prone timestamp ids). Nondeterministic → rows-only."""
+    """Deterministic content-derived ids: ``node-<md5(id)>``.
+
+    SURVEY §4.8.7: the reference's timestamp ids (``app.py:756``) are
+    collision-prone and nondeterministic; random UUIDs fix collisions
+    but cannot be value-checked. Hash-derived ids are collision-safe
+    AND replayable by the DuckDB oracle, so the operator gets a full
+    hash check instead of a rows-only pass."""
     nodes, _, _ = model(spark, sf_dir)
-    return nodes.select("id", F.expr("uuid()").alias("gen_id"))
+    return nodes.select(
+        "id", F.concat(F.lit("node-"), F.md5(F.col("id"))).alias("gen_id")
+    )
 
 
 def q_vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of the embedding store —
     4× compression for the 100 TB vector tier; codes engine-portable
-    via the floor(x+0.5) IEEE rounding trick."""
+    via the floor(x+0.5) IEEE rounding trick. Output is flattened to
+    scalar rows (node_id, scale, idx, code) — complex-typed columns
+    are banned from registry outputs (driver canonicalizer sorts with
+    pandas, which cannot order lists)."""
     from ..functions.vectorfn import quantize_int8
 
     _, emb, _ = model(spark, sf_dir)
     scale, q = quantize_int8("vector")
     return emb.select(
         "node_id", stable_round6(scale).alias("scale"), q.alias("qvec")
-    )
+    ).select("node_id", "scale", F.posexplode("qvec").alias("idx", "code"))
 
 
 QUERIES = {
@@ -203,12 +213,12 @@ dv AS (
 )
 SELECT node_id,
        floor(scale * 1000000.0 + 0.5) / 1000000.0 AS scale,
-       CASE WHEN scale = 0
-            THEN list_transform(v, x -> 0)
-            ELSE list_transform(
-              v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INT)) END
-         AS qvec
-FROM dv""",
+       i.i - 1 AS idx,
+       CASE WHEN scale = 0 THEN 0
+            ELSE CAST(floor(v[i.i] * 127.0 / scale + 0.5) AS INT) END
+         AS code
+FROM dv CROSS JOIN LATERAL
+  (SELECT unnest(generate_series(1, len(v))) AS i) i""",
     "tokenize": ORACLE_PRELUDE
     + f""",
 toks AS (SELECT id, unnest({_TOK}) AS tok FROM nodes)
@@ -303,4 +313,7 @@ SELECT id, round(score, 6) AS score FROM scored WHERE score > 0 ORDER BY id""",
     + """
 SELECT id, '{"lang":"' || lang || '","source":"' || source || '"}' AS meta_json
 FROM nodes ORDER BY id""",
+    "id_gen": ORACLE_PRELUDE
+    + """
+SELECT id, 'node-' || md5(id) AS gen_id FROM nodes ORDER BY id""",
 }

@@ -36,8 +36,14 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_feature_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flattened to scalar rows (id, bin, val): complex-typed columns
+    are banned from registry outputs (driver canonicalizer sorts with
+    pandas, which cannot order lists)."""
+    from pyspark.sql import functions as F
+
     nodes, _, _ = model(spark, sf_dir)
-    return byte_histogram_features(attach_binary(nodes))
+    feats = byte_histogram_features(attach_binary(nodes))
+    return feats.select("id", F.posexplode("features").alias("bin", "val"))
 
 
 def q_mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,12 +91,11 @@ grid AS (
   SELECT n.id, b.b, length(n.text) AS total
   FROM nodes n CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) b
 )
-SELECT g.id,
-       list(round(CASE WHEN g.total > 0
-                  THEN coalesce(c.c, 0) * 1.0 / g.total
-                  ELSE 0.0 END, 6) ORDER BY g.b) AS features
-FROM grid g LEFT JOIN counts c ON c.id = g.id AND c.bin = g.b
-GROUP BY g.id""",
+SELECT g.id, CAST(g.b AS INT) AS bin,
+       round(CASE WHEN g.total > 0
+             THEN coalesce(c.c, 0) * 1.0 / g.total
+             ELSE 0.0 END, 6) AS val
+FROM grid g LEFT JOIN counts c ON c.id = g.id AND c.bin = g.b""",
     "mm_resize_plan": ORACLE_PRELUDE
     + """
 SELECT id, width, height,

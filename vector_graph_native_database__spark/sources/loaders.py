@@ -38,6 +38,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Runtime-settable SQL conf: events.parquet stores TIMESTAMP(NANOS),
+    # which Spark refuses to read unless nanos are mapped to long. Set it
+    # here (not only at session build) so the loader works in ANY session,
+    # including ones the caller constructed without session.py.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.dataType.simpleString() == "bigint" and (
