@@ -44,6 +44,23 @@ def test_pagerank_sums_to_one_and_ranks_sink_highest(spark):
     assert ranks["c"] > ranks["a"] == pytest.approx(ranks["b"], abs=1e-12)
 
 
+def test_pagerank_zero_and_null_out_weight_treated_as_dangling(spark):
+    # a's only out-edge has weight 0 and b's has NULL weight: neither
+    # can distribute mass along edges, so both must behave as dangling
+    # (mass redistributed) instead of producing NULL shares that
+    # silently drop rank mass. Ranks must still sum to 1.
+    e = edges_df(
+        spark, [("a", "c", "t", 0.0), ("b", "c", "t", 1.0), ("c", "a", "t", 2.0)]
+    ).withColumn(
+        "weight",
+        F.when(F.col("src") == "b", F.lit(None)).otherwise(F.col("weight")),
+    )
+    v = verts_df(spark, ["a", "b", "c"])
+    ranks = {r["id"]: r["rank"] for r in pagerank(v, e, iterations=8).collect()}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+    assert all(r is not None and r > 0 for r in ranks.values())
+
+
 def test_pagerank_weighted_split(spark):
     # a splits 3:1 between b and c; after 1 iteration from uniform:
     # rank(b) = (1-d)/3 + d*( (1/3)*0.75 + dang/3 ) with dang = ranks of b,c = 2/3

@@ -388,6 +388,25 @@ def test_asof_join_semantics(spark):
     assert strict["e1"] is None and strict["e2"] == 20.0
 
 
+def test_asof_join_duplicate_ts_pick_is_deterministic(spark):
+    # two right rows share (user_id, ts): the window tiebreak must
+    # pick the same one regardless of input order / partitioning
+    from vector_graph_native_database__spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("e1", 1, 200)], "event_id string, user_id int, ts long"
+    )
+    dup_rows = [(1, 100, 10.0), (1, 100, 20.0), (1, 100, 15.0)]
+    picks = set()
+    for perm in (dup_rows, dup_rows[::-1], dup_rows[1:] + dup_rows[:1]):
+        right = spark.createDataFrame(
+            perm, "user_id int, ts long, value double"
+        ).repartition(3)
+        got = asof_join(left, right, ts="ts", by="user_id").collect()
+        picks.add(got[0]["asof_value"])
+    assert len(picks) == 1, f"nondeterministic duplicate-ts pick: {picks}"
+
+
 def test_range_join_binned_boundaries(spark):
     from vector_graph_native_database__spark.operators.asof import (
         range_join_binned,

@@ -69,20 +69,27 @@ def pagerank(
     plan stays linear in the iteration count.
     """
     n_df = vertices.agg(F.count("*").alias("__n"))
+    # NULL weights count as 0; a node whose out-weights sum to 0 has
+    # no mass to distribute along edges, so it must be treated as
+    # DANGLING (its rank routed through the teleport redistribution)
+    # — otherwise share = w/0 is NULL and its mass silently vanishes.
     out_w = edges.groupBy(F.col("src").alias("id")).agg(
-        F.sum("weight").alias("out_w")
+        F.sum(F.coalesce("weight", F.lit(0.0))).alias("out_w")
     )
     # (src, dst, share-of-src's-out-weight), reused every iteration
     shares = (
         edges.join(out_w, edges["src"] == out_w["id"])
+        .filter(F.col("out_w") > 0)
         .select(
             edges["src"],
             edges["dst"],
-            (F.col("weight") / F.col("out_w")).alias("share"),
+            (F.coalesce("weight", F.lit(0.0)) / F.col("out_w")).alias(
+                "share"
+            ),
         )
         .localCheckpoint(eager=False)
     )
-    has_out = out_w.select("id")
+    has_out = out_w.filter(F.col("out_w") > 0).select("id")
 
     ranks = (
         vertices.crossJoin(F.broadcast(n_df))

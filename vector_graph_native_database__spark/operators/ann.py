@@ -106,11 +106,21 @@ def mllib_lsh_topk(
     """MLlib ``BucketedRandomProjectionLSH`` ANN → (qid, id, dist, rnk).
 
     The packaged alternative to the hand-rolled LSH/IVF paths
-    (Euclidean-distance LSH; ``approxNearestNeighbors`` per query).
-    VectorUDT conversion happens ONLY here at the MLlib boundary —
-    the engine keeps ``array<float>`` everywhere else (SURVEY §7.3).
-    Fixed seed ⇒ deterministic buckets; distances are Euclidean, so
-    ranks differ from the cosine variants on unnormalized corpora.
+    (Euclidean-distance LSH). VectorUDT conversion happens ONLY here
+    at the MLlib boundary — the engine keeps ``array<float>``
+    everywhere else (SURVEY §7.3). Fixed seed ⇒ deterministic
+    buckets; distances are Euclidean, so ranks differ from the cosine
+    variants on unnormalized corpora.
+
+    ONE ``approxSimilarityJoin`` of the query frame against the
+    corpus (bucket-collision equi-join on the exploded hash tables,
+    query side tiny → broadcast) + a per-qid rank window over the
+    surviving candidates. The plan is independent of |queries| —
+    unlike a per-query ``approxNearestNeighbors`` driver loop, whose
+    unionByName chain grows linearly and serializes the scans.
+    Candidates are bucket collisions only (no adjacent-bucket
+    probing), so extremely isolated vectors can return <k rows —
+    the standard LSH recall trade, tunable via num_hash_tables.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
@@ -128,29 +138,22 @@ def mllib_lsh_topk(
         numHashTables=num_hash_tables,
         seed=seed,
     ).fit(base)
-    hashed = model.transform(base).cache()
-    queries = {r["node_id"]: r["features"] for r in
-               base.filter(F.col("node_id").isin(query_ids)).collect()}
-    spark = emb.sparkSession
-    out = None
-    for qid, qvec in sorted(queries.items()):
-        nn = (
-            model.approxNearestNeighbors(hashed, qvec, k + 1)
-            .filter(F.col("node_id") != qid)
-            .select(
-                F.lit(qid).alias("qid"),
-                F.col("node_id").alias("id"),
-                F.round("distCol", 6).alias("dist"),
-            )
-            .limit(k)
-        )
-        out = nn if out is None else out.unionByName(nn)
-    if out is None:
-        return spark.createDataFrame(
-            [], "qid string, id string, dist double, rnk int"
-        )
+    queries = base.filter(F.col("node_id").isin(query_ids))
+    # no distance cutoff: rank, not radius, bounds the output
+    pairs = model.approxSimilarityJoin(
+        queries, base, float("inf"), distCol="distCol"
+    )
     w = Window.partitionBy("qid").orderBy("dist", "id")
-    return out.withColumn("rnk", F.row_number().over(w))
+    return (
+        pairs.select(
+            F.col("datasetA.node_id").alias("qid"),
+            F.col("datasetB.node_id").alias("id"),
+            F.round("distCol", 6).alias("dist"),
+        )
+        .filter(F.col("qid") != F.col("id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
 
 
 def ivf_centroids(

@@ -54,6 +54,7 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
           for c in vals],
         F.lit(None).cast(right.schema[ts].dataType).alias("__r_ts"),
+        F.lit(None).cast("long").alias("__tie"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
     )
     rhs = right.select(
@@ -62,13 +63,23 @@ def asof_join(
         F.lit(0).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in vals],
         F.col(ts).alias("__r_ts"),
+        # deterministic tiebreak among right rows sharing (by, ts):
+        # without it, last(ignorenulls) picks whichever duplicate the
+        # partitioning happened to order last — nondeterministic
+        # across runs. Hash of the value columns is arbitrary but
+        # stable, which is all a tiebreak needs.
+        F.xxhash64(*([F.col(c) for c in vals] or [F.col(ts)])).alias(
+            "__tie"
+        ),
         F.lit(None).cast(lhs.schema["__l"].dataType).alias("__l"),
     )
     # ties: side 0 (right) sorts before side 1 (left) for `<=`
     # semantics; strict mode flips the order so a tied right row is
-    # not yet visible to the left row.
+    # not yet visible to the left row. __tie only discriminates
+    # same-(by, ts) right rows (left rows carry NULL).
     order = [F.col(ts).asc(), F.col("__side").asc() if not strict
-             else F.col("__side").desc()]
+             else F.col("__side").desc(),
+             F.col("__tie").asc_nulls_first()]
     w = (
         Window.partitionBy(by)
         .orderBy(*order)

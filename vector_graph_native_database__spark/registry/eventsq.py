@@ -103,7 +103,52 @@ def q_events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming exercise in batch clothing:
+    events.parquet as a file-source STREAM (explicit schema, as
+    streaming sources require) → ``trigger(availableNow=True)`` →
+    exactly-once parquet sink via checkpointed ``writeStream`` → the
+    batch tumbling aggregation over the replayed sink. Results are
+    value-identical to ``events_tumbling`` (same oracle SQL), so the
+    driver gate verifies the streaming read/sink path, not just the
+    batch one. The sink is a fresh temp dir per call; a deployment
+    points it at a real table and keeps the checkpoint for
+    incremental restarts (see streaming/ingest.py).
+    """
+    import os
+    import tempfile
+
+    from ..streaming.ingest import EVENTS_SCHEMA
+
+    # same runtime conf as sources/loaders.py: the parquet footer says
+    # TIMESTAMP(NANOS), which must map to long for the explicit schema
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = tempfile.mkdtemp(prefix="events_stream_replay_")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    replayed = spark.read.parquet(sink).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return tumbling_agg(replayed).withColumn(
+        "sum_value", F.round("sum_value", 6)
+    )
+
+
 QUERIES = {
+    "events_stream_replay": q_events_stream_replay,
     "events_sessionize_gap": q_events_sessionize_gap,
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
@@ -155,6 +200,11 @@ SELECT user_id,
          AS view
 FROM events GROUP BY user_id""",
     "events_tumbling": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2""",
+    # stream replay must reproduce the batch tumbling agg exactly
+    "events_stream_replay": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2""",

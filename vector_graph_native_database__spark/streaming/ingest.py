@@ -11,9 +11,26 @@ progress via checkpointing.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+
+def _read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Prior accumulated state, or None if none was ever written.
+
+    Absence is decided by an explicit existence probe (local-fs here;
+    a deployment swaps in the Hadoop FileSystem API for object
+    stores) — NOT by catching read errors: a transient IO failure,
+    permission problem, or corrupt footer must raise, never be
+    silently treated as 'no prior state' (which would replace the
+    accumulated state with just the current batch — data loss).
+    """
+    if not os.path.exists(state_dir):
+        return None
+    return spark.read.parquet(state_dir)
 
 # events.parquet stores ts as TIMESTAMP(NANOS) (physical INT64); Spark
 # has no nanosecond timestamp, so read it as long and convert to a
@@ -75,13 +92,18 @@ def incremental_index_maintenance(
         new_emb = embed_hash_df(latest).select(
             F.col("id").alias("node_id"), "vector", "dim"
         )
-        try:
-            current = spark.read.parquet(state_dir)
-            merged = upsert(current, new_emb, "node_id")
-        except Exception:
-            merged = new_emb
+        current = _read_state(spark, state_dir)
+        merged = (
+            upsert(current, new_emb, "node_id")
+            if current is not None
+            else new_emb
+        )
+        # two-step swap: stage, then rewrite the live dir from the
+        # staged copy. A crash between the writes leaves _next intact
+        # for recovery, but the rewrite itself is NOT atomic — a
+        # production deployment replaces this with a transactional
+        # table commit (see SCALING.md).
         merged.write.mode("overwrite").parquet(state_dir + "_next")
-        # atomic-ish swap: rewrite state from the staged copy
         spark.read.parquet(state_dir + "_next").write.mode(
             "overwrite"
         ).parquet(state_dir)
@@ -127,13 +149,14 @@ def incremental_bm25_maintenance(
             F.max_by("text", "seq").alias("text")
         )
         fresh = posting_frame(latest)
-        try:
-            current = spark.read.parquet(state_dir)
-            merged = current.join(
+        current = _read_state(spark, state_dir)
+        merged = (
+            current.join(
                 F.broadcast(latest.select("id")), "id", "left_anti"
             ).unionByName(fresh)
-        except Exception:
-            merged = fresh
+            if current is not None
+            else fresh
+        )
         merged.write.mode("overwrite").parquet(state_dir + "_next")
         spark.read.parquet(state_dir + "_next").write.mode(
             "overwrite"
