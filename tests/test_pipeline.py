@@ -388,6 +388,33 @@ def test_asof_join_semantics(spark):
     assert strict["e1"] is None and strict["e2"] == 20.0
 
 
+def test_pq_topk_finds_cluster_members(spark):
+    # 8 well-separated clusters of 5 near-identical vectors: cluster
+    # members quantize to identical PQ codes, so the query's own
+    # cluster must fill the top-k (ties broken by id)
+    import random
+
+    from vector_graph_native_database__spark.operators.ann import pq_topk
+
+    rnd = random.Random(7)
+    rows = []
+    for g in range(8):
+        center = [rnd.uniform(-1, 1) for _ in range(64)]
+        for j in range(5):
+            rows.append(
+                (
+                    str(g * 10 + j),
+                    [x + rnd.uniform(-0.01, 0.01) for x in center],
+                    64,
+                )
+            )
+    emb = spark.createDataFrame(
+        rows, "node_id string, vector array<float>, dim int"
+    )
+    got = pq_topk(emb, ["0"], k=4, m=4, ksub=8, iters=2)
+    assert {r["id"] for r in got.collect()} == {"1", "2", "3", "4"}
+
+
 def test_asof_join_duplicate_ts_pick_is_deterministic(spark):
     # two right rows share (user_id, ts): the window tiebreak must
     # pick the same one regardless of input order / partitioning

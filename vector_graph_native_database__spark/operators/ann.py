@@ -276,6 +276,168 @@ def ivf_topk(
     )
 
 
+def _subvectors(emb: DataFrame, m: int, dim: int) -> DataFrame:
+    """(id, sm, sv, vv): each vector split into ``m`` contiguous
+    subvectors of dim/m components (1 row per subspace)."""
+    sub = dim // m
+    return (
+        emb.filter(F.size("vector") == dim)
+        .select(F.col("node_id").alias("id"), "vector")
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sm"),
+            "vector",
+        )
+        .select(
+            "id",
+            "sm",
+            F.transform(
+                F.slice("vector", F.col("sm") * sub + 1, F.lit(sub)),
+                lambda x: x.cast("double"),
+            ).alias("sv"),
+        )
+        .withColumn("vv", dot("sv", "sv"))
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization codebooks → (sm, cidx, cvec).
+
+    One deterministic Lloyd run PER SUBSPACE, all subspaces trained
+    in the same plan (the subspace id ``sm`` is just another grouping
+    key — m separate k-means runs cost the same shuffles as one).
+    Seeding and 6-decimal centroid rounding follow ivf_centroids so
+    the DuckDB oracle replays training bit-for-bit. Each round is one
+    broadcast of m·ksub small centroids + one groupBy.
+    """
+    e = _subvectors(emb, m, dim)
+    wseed = Window.partitionBy("sm").orderBy(F.col("id").cast("long"))
+    centroids = (
+        e.withColumn("rn", F.row_number().over(wseed))
+        .filter(F.col("rn") <= ksub)
+        .select(
+            "sm", (F.col("rn") - 1).alias("cidx"), F.col("sv").alias("cvec")
+        )
+    )
+    for _ in range(iters):
+        c = centroids.withColumn("cc", dot("cvec", "cvec"))
+        assign = (
+            e.join(F.broadcast(c), "sm")
+            .withColumn(
+                "dist", F.col("vv") + F.col("cc") - 2 * dot("sv", "cvec")
+            )
+            .groupBy("id", "sm")
+            .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("cidx"))
+        )
+        centroids = (
+            assign.join(e, ["id", "sm"])
+            .select("sm", "cidx", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sm", "cidx", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mv"))
+            .groupBy("sm", "cidx")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("cvec")
+            )
+        )
+    return centroids
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[str],
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ compressed-domain top-k (ADC) → (qid, id, adist, rnk).
+
+    The compressed-domain variant of the reference's full-scan search
+    (``app.py:394-444``): vectors are stored as m log2(ksub)-bit
+    codes (64 × f32 → 4 × 1 byte here, 64× smaller — the difference
+    between a 100 TB vector tier and a 1.6 TB one), and a query scans
+    CODES, not vectors: per query it builds an m×ksub distance table
+    (query subvector ↔ codebook centroid), then each approximate
+    distance is m table lookups summed. The scan is still O(N·m) rows, but the
+    rows are bytes and the lookup join broadcasts the tiny table; at
+    deployment scale the codes table is additionally partitioned by
+    an IVF coarse cell (IVF-PQ) so a query prunes to nprobe/C of the
+    codes. Partial distances are summed in a fixed subspace order
+    (sorted fold from 0.0) so the oracle's explicit left-to-right
+    chain computes identical IEEE doubles.
+    """
+    e = _subvectors(emb, m, dim)
+    cb = pq_train(emb, m, ksub, iters, dim).withColumn(
+        "cc", dot("cvec", "cvec")
+    )
+    codes = (
+        e.join(F.broadcast(cb), "sm")
+        .withColumn(
+            "dist", F.col("vv") + F.col("cc") - 2 * dot("sv", "cvec")
+        )
+        .groupBy("id", "sm")
+        .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("code"))
+    )
+    q = e.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("qid"),
+        "sm",
+        F.col("sv").alias("qsv"),
+        F.col("vv").alias("qvv"),
+    )
+    tables = q.join(F.broadcast(cb), "sm").select(
+        "qid",
+        "sm",
+        "cidx",
+        (
+            F.col("qvv") + F.col("cc") - 2 * dot("qsv", "cvec")
+        ).alias("d"),
+    )
+    # codes and tables share lineage (both derive from e) — alias to
+    # disambiguate the self-join
+    cd, tb = codes.alias("cd"), tables.alias("tb")
+    cand = (
+        cd.join(
+            F.broadcast(tb),
+            (F.col("cd.sm") == F.col("tb.sm"))
+            & (F.col("cd.code") == F.col("tb.cidx")),
+        )
+        .select(
+            F.col("tb.qid").alias("qid"),
+            F.col("cd.id").alias("id"),
+            F.col("tb.sm").alias("psm"),
+            F.col("tb.d").alias("d"),
+        )
+        .filter(F.col("id") != F.col("qid"))
+        .groupBy("qid", "id")
+        .agg(F.array_sort(F.collect_list(F.struct("psm", "d"))).alias("ds"))
+    )
+    adist = F.aggregate(
+        F.transform("ds", lambda s: s["d"]), F.lit(0.0), lambda a, x: a + x
+    )
+    wk = Window.partitionBy("qid").orderBy("adist", "id")
+    return (
+        cand.select(
+            "qid",
+            "id",
+            (F.floor(adist * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "adist"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     query_ids: list[str],

@@ -119,6 +119,91 @@ def token_counts(
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition / symbol filters →
+    (id, dup_bigram_frac, top_tok_frac, symbol_ratio, flagged).
+
+    - ``dup_bigram_frac``: fraction of token bigrams that repeat an
+      earlier bigram (1 − distinct/total) — boilerplate detector.
+    - ``top_tok_frac``: share of the most frequent token — degenerate
+      repetition detector.
+    - ``symbol_ratio``: non-alphanumeric-non-space chars per token —
+      markup/garbage detector.
+    - ``flagged``: any rule past its (Gopher-ish) threshold.
+
+    Pure per-row column expressions, map-only at any scale. The
+    top-token pass is O(tokens · distinct-tokens) per row — bounded
+    by document length, never a corpus-wide shuffle. The token array
+    is bound ONCE via the 1-element-struct-array trick (HOF lambdas
+    have no common-subexpression elimination; a captured derived
+    expression re-evaluates per element — the O(d²) hazard
+    documented on l2_normalize/quantize). Ratios use floor-based
+    half-up rounding (see quality_score) for engine-identical values.
+    """
+
+    def metrics(s: Column) -> Column:
+        t = s["t"]
+        n = F.size(t)
+        bigrams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat(
+                    F.get(t, i), F.lit(" "), F.get(t, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top_cnt = F.when(
+            n > 0,
+            F.array_max(
+                F.transform(
+                    F.array_distinct(t),
+                    lambda w: F.size(F.filter(t, lambda x: x == w)),
+                )
+            ),
+        ).otherwise(F.lit(0))
+        return F.struct(
+            n.alias("n"),
+            F.size(bigrams).alias("n_bi"),
+            F.size(F.array_distinct(bigrams)).alias("n_bi_distinct"),
+            top_cnt.alias("top_cnt"),
+        )
+
+    packed = F.array(F.struct(tokenize(text_col).alias("t")))
+    m = F.transform(packed, metrics)[0]
+    n_tok = m["n"]
+    dup_frac = F.when(
+        m["n_bi"] > 0,
+        F.lit(1.0) - m["n_bi_distinct"].cast("double") / m["n_bi"],
+    ).otherwise(0.0)
+    top_frac = F.when(
+        n_tok > 0, m["top_cnt"].cast("double") / n_tok
+    ).otherwise(0.0)
+    n_sym = F.length(
+        F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", "")
+    )
+    sym_ratio = F.when(
+        n_tok > 0, n_sym.cast("double") / n_tok
+    ).otherwise(0.0)
+
+    def r6(c: Column) -> Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        r6(dup_frac).alias("dup_bigram_frac"),
+        r6(top_frac).alias("top_tok_frac"),
+        r6(sym_ratio).alias("symbol_ratio"),
+        (
+            (r6(dup_frac) > 0.2)
+            | (r6(top_frac) > 0.2)
+            | (r6(sym_ratio) > 0.5)
+        ).alias("flagged"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, id_col: str = "id", text_col: str = "text"
 ) -> DataFrame:

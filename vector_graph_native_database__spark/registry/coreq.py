@@ -86,6 +86,58 @@ def q_edge_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternate-format source/sink, end to end: nodes → JSON-lines
+    sink (``df.write.json``) → ``nodes_from_json`` ingest adapter →
+    model projection. Value-equal to scanning the original nodes,
+    proving the JSONL export/ingest path is lossless for the model
+    schema (the reference's only interchange format is its JSON REST
+    payloads; this is the bulk equivalent)."""
+    import os
+    import tempfile
+
+    from ..sources.sinks import nodes_from_json
+
+    nodes, _, _ = model(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="nodes_jsonl_"), "nodes")
+    nodes.select("id", "text", "lang", "source").write.mode(
+        "overwrite"
+    ).json(path)
+    back = nodes_from_json(
+        spark, path, metadata_cols=["lang", "source"]
+    )
+    return back.select(
+        "id",
+        "text",
+        F.col("metadata")["lang"].alias("lang"),
+        F.col("metadata")["source"].alias("source"),
+    )
+
+
+def q_io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV drop ingest, end to end: nodes → headered CSV sink →
+    ``nodes_from_csv`` adapter → model projection (text verified
+    newline/quote/comma-free in the harness corpus, so default CSV
+    quoting round-trips losslessly)."""
+    import os
+    import tempfile
+
+    from ..sources.sinks import nodes_from_csv
+
+    nodes, _, _ = model(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="nodes_csv_"), "nodes")
+    nodes.select("id", "text", "lang", "n_chars").write.mode(
+        "overwrite"
+    ).option("header", "true").csv(path)
+    back = nodes_from_csv(spark, path, metadata_cols=["lang", "n_chars"])
+    return back.select(
+        "id",
+        "text",
+        F.col("metadata")["lang"].alias("lang"),
+        F.col("metadata")["n_chars"].cast("int").alias("n_chars"),
+    )
+
+
 QUERIES = {
     "scan_nodes": q_scan_nodes,
     "scan_embeddings": q_scan_embeddings,
@@ -95,6 +147,8 @@ QUERIES = {
     "dim_match_filter": q_dim_match_filter,
     "node_get_with_edges": q_node_get_with_edges,
     "edge_get": q_edge_get,
+    "io_jsonl_roundtrip": q_io_jsonl_roundtrip,
+    "io_csv_roundtrip": q_io_csv_roundtrip,
 }
 
 ORACLES = {
@@ -133,4 +187,9 @@ FROM nodes n CROSS JOIN (
 WHERE n.id = '5'""",
     "edge_get": ORACLE_PRELUDE
     + "\nSELECT id, src, dst, type, weight FROM edges WHERE id = 'e-0-1'",
+    # the round-trips must reproduce the source table exactly
+    "io_jsonl_roundtrip": ORACLE_PRELUDE
+    + "\nSELECT id, text, lang, source FROM nodes ORDER BY id",
+    "io_csv_roundtrip": ORACLE_PRELUDE
+    + "\nSELECT id, text, lang, n_chars FROM nodes ORDER BY id",
 }

@@ -153,6 +153,38 @@ def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the hot-keyed events table
+    (5 event types × 20k rows each at sf0.1 — the exact shape where a
+    direct groupBy funnels each hot key through one reducer). Results
+    are value-identical to the direct aggregate because the aggs are
+    decomposable; sums run in exact decimal so the two-phase
+    summation order can't drift from the oracle's single-pass sum."""
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast(_DEC)
+    )
+    out = salted_agg(
+        ev,
+        "event_type",
+        {
+            "n": ("count", "event_id"),
+            "sum_value": ("sum", "value_dec"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("sum_value", 6).cast("double").alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
 def q_olap_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All 2^2 grouping sets over (priority, order year) in one pass —
     Spark expands CUBE JVM-side; money sums in exact decimal."""
@@ -187,6 +219,7 @@ QUERIES = {
     "olap_revenue_rollup": q_olap_revenue_rollup,
     "olap_top_customers": q_olap_top_customers,
     "olap_cube_orders": q_olap_cube_orders,
+    "skew_salted_agg": q_skew_salted_agg,
     "approx_distinct_kmv": q_approx_distinct_kmv,
     "events_running_total": q_events_running_total,
     "events_rank_per_user": q_events_rank_per_user,
@@ -236,6 +269,13 @@ SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
        count(*) AS n_orders
 FROM orders
 GROUP BY CUBE (o_orderpriority, year(o_orderdate))""",
+    "skew_salted_agg": """
+SELECT event_type, count(event_id) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(30,10))), 6) AS DOUBLE)
+         AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY event_type""",
     "approx_distinct_kmv": """
 WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
 hashed AS (

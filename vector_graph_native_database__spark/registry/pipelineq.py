@@ -84,6 +84,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, emb, _ = model(spark, sf_dir)
+    return ann.pq_topk(
+        emb, ANN_QUERY_IDS, k=5, m=4, ksub=16, iters=2, dim=64
+    )
+
+
 def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k over the int8-quantized embedding tier —
     proves the 4×-compressed store is searchable without
@@ -107,6 +114,11 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.token_counts(nodes)
 
 
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return text_analysis.repetition_stats(nodes)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, _, _ = model(spark, sf_dir)
     return text_analysis.doc_fingerprint(nodes)
@@ -122,11 +134,13 @@ QUERIES = {
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "ann_mllib_lsh_topk": q_ann_mllib_lsh_topk,
     "ann_int8_topk": q_ann_int8_topk,
     "text_lang_id": q_text_lang_id,
     "text_quality_score": q_text_quality_score,
     "text_token_count": q_text_token_count,
+    "text_gopher_quality": q_text_gopher_quality,
     "doc_fingerprint": q_doc_fingerprint,
 }
 
@@ -222,6 +236,103 @@ SELECT qid, id, cos, rnk FROM (
 ) WHERE rnk <= {k}"""
     )
     return ORACLE_PRELUDE + "".join(parts)
+
+def _pq_sql(
+    m: int = 4, ksub: int = 16, iters: int = 2, k: int = 5, dim: int = 64
+) -> str:
+    """Unrolled PQ training + ADC scan — the per-subspace twin of
+    _ivf_sql (same seed rule, same 6dp centroid rounding, same
+    argmin tie-break). The final approximate distance sums the m
+    subspace partials in explicit left-to-right order, matching the
+    Spark side's sorted fold from 0.0 (bit-identical IEEE)."""
+    sub = dim // m
+    dist = "t.vv + c.cc - 2 * list_dot_product(t.sv, c.cvec)"
+    parts = [
+        f""",
+es AS (
+  SELECT node_id AS id, CAST(vector AS DOUBLE[]) AS v
+  FROM emb WHERE len(vector) = {dim}
+),
+e AS (
+  SELECT id, s.sm AS sm,
+         list_slice(v, s.sm * {sub} + 1, s.sm * {sub} + {sub}) AS sv,
+         list_dot_product(list_slice(v, s.sm * {sub} + 1,
+                                     s.sm * {sub} + {sub}),
+                          list_slice(v, s.sm * {sub} + 1,
+                                     s.sm * {sub} + {sub})) AS vv
+  FROM es CROSS JOIN
+       (SELECT unnest(generate_series(0, {m - 1})) AS sm) s
+),
+c0 AS (
+  SELECT sm, rn - 1 AS cidx, sv AS cvec FROM (
+    SELECT sm, sv,
+           row_number() OVER (PARTITION BY sm
+                              ORDER BY CAST(id AS BIGINT)) AS rn
+    FROM e
+  ) WHERE rn <= {ksub}
+)"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f""",
+a{t} AS (
+  SELECT id, sm, cidx FROM (
+    SELECT t.id, t.sm, c.cidx,
+           row_number() OVER (PARTITION BY t.id, t.sm
+                              ORDER BY {dist}, c.cidx) AS rn
+    FROM e t JOIN (SELECT sm, cidx, cvec,
+                          list_dot_product(cvec, cvec) AS cc
+                   FROM c{p}) c ON c.sm = t.sm
+  ) WHERE rn = 1
+),
+c{t} AS (
+  SELECT sm, cidx, list(mv ORDER BY pos) AS cvec FROM (
+    SELECT a.sm, a.cidx, p.pos, round(avg(e.sv[p.pos]), 6) AS mv
+    FROM a{t} a JOIN e ON e.id = a.id AND e.sm = a.sm
+    CROSS JOIN (SELECT unnest(generate_series(1, {sub})) AS pos) p
+    GROUP BY a.sm, a.cidx, p.pos
+  ) GROUP BY sm, cidx
+)"""
+        )
+    chain = " + ".join(f"ds[{i + 1}]" for i in range(m))
+    parts.append(
+        f""",
+cf AS (SELECT sm, cidx, cvec, list_dot_product(cvec, cvec) AS cc
+       FROM c{iters}),
+codes AS (
+  SELECT id, sm, cidx AS code FROM (
+    SELECT t.id, t.sm, c.cidx,
+           row_number() OVER (PARTITION BY t.id, t.sm
+                              ORDER BY {dist}, c.cidx) AS rn
+    FROM e t JOIN cf c ON c.sm = t.sm
+  ) WHERE rn = 1
+),
+q AS (SELECT id AS qid, sm, sv AS qsv, vv AS qvv FROM e
+      WHERE id IN {_IDS_IN}),
+tbl AS (
+  SELECT q.qid, q.sm, c.cidx,
+         q.qvv + c.cc - 2 * list_dot_product(q.qsv, c.cvec) AS d
+  FROM q JOIN cf c ON c.sm = q.sm
+),
+cand AS (
+  SELECT t.qid, s.id, list(t.d ORDER BY s.sm) AS ds
+  FROM codes s JOIN tbl t ON t.sm = s.sm AND t.cidx = s.code
+  WHERE s.id <> t.qid
+  GROUP BY t.qid, s.id
+)
+SELECT qid, id, adist, rnk FROM (
+  SELECT qid, id,
+         floor(({chain}) * 1000000.0 + 0.5) / 1000000.0 AS adist,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY floor(({chain}) * 1000000.0 + 0.5) / 1000000.0,
+                    id) AS rnk
+  FROM cand
+) WHERE rnk <= {k}"""
+    )
+    return ORACLE_PRELUDE + "".join(parts)
+
 
 _TOKS = r""",
 toks AS (
@@ -447,6 +558,7 @@ SELECT qid, id, cos, rnk FROM (
   FROM cand
 ) WHERE rnk <= 5""",
     "ann_ivf_topk": _ivf_sql(),
+    "ann_pq_topk": _pq_sql(),
     "ann_int8_topk": ORACLE_PRELUDE
     + f""",
 dv AS (
@@ -524,6 +636,38 @@ SELECT n.id, len(t.t) AS ws_tokens,
          AS subword_tokens,
        length(n.text) AS n_chars
 FROM nodes n JOIN toks t ON t.id = n.id""",
+    "text_gopher_quality": ORACLE_PRELUDE
+    + _TOKS
+    + r""",
+m AS (
+  SELECT n.id,
+         len(t.t) AS n,
+         CASE WHEN len(t.t) >= 2
+              THEN list_transform(generate_series(1, len(t.t) - 1),
+                                  i -> t.t[i] || ' ' || t.t[i + 1])
+              ELSE []::VARCHAR[] END AS bigrams,
+         CASE WHEN len(t.t) > 0
+              THEN list_max(list_transform(list_distinct(t.t),
+                   w -> len(list_filter(t.t, x -> x = w))))
+              ELSE 0 END AS top_cnt,
+         length(regexp_replace(n.text, '[A-Za-z0-9 ]', '', 'g')) AS n_sym
+  FROM nodes n JOIN toks t ON t.id = n.id
+),
+r AS (
+  SELECT id,
+    floor((CASE WHEN len(bigrams) > 0
+           THEN 1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams)
+           ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_bigram_frac,
+    floor((CASE WHEN n > 0 THEN top_cnt * 1.0 / n ELSE 0.0 END)
+          * 1000000.0 + 0.5) / 1000000.0 AS top_tok_frac,
+    floor((CASE WHEN n > 0 THEN n_sym * 1.0 / n ELSE 0.0 END)
+          * 1000000.0 + 0.5) / 1000000.0 AS symbol_ratio
+  FROM m
+)
+SELECT id, dup_bigram_frac, top_tok_frac, symbol_ratio,
+       (dup_bigram_frac > 0.2 OR top_tok_frac > 0.2 OR symbol_ratio > 0.5)
+         AS flagged
+FROM r""",
     "doc_fingerprint": ORACLE_PRELUDE
     + _TOKS
     + _sh_cte(2, "sh")
