@@ -137,6 +137,34 @@ def chunk_documents(
     )
 
 
+def pps_sample(
+    df: DataFrame,
+    frac: float = 0.5,
+    weight_col: str = "n_chars",
+    id_col: str = "id",
+    salt: str = "pps",
+) -> DataFrame:
+    """Probability-proportional-to-size Bernoulli sample →
+    (id, weight).
+
+    Row i survives with p_i = frac · w_i / max(w) — the
+    length-weighted draw a token-budgeted training mix uses (long
+    documents carry more tokens, so equal-probability sampling
+    under-represents them). Membership is a pure function of the id
+    hash: deterministic across runs, partitionings, and engines, and
+    map-only at any scale (one broadcast max).
+    """
+    mx = df.agg(F.max(weight_col).alias("__mx"))
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .filter(
+            stable_bucket(id_col, salt)
+            < F.lit(frac * BUCKETS) * F.col(weight_col) / F.col("__mx")
+        )
+        .select(F.col(id_col).alias("id"), F.col(weight_col).alias("weight"))
+    )
+
+
 def corpus_clean(
     df: DataFrame,
     min_quality: float = 0.5,

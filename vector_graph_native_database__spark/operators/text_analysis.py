@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.textfn import tokenize
 from .dedup import stable_hash60
@@ -201,6 +202,64 @@ def repetition_stats(
             | (r6(top_frac) > 0.2)
             | (r6(sym_ratio) > 0.5)
         ).alias("flagged"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 100, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary head → (rnk, tok, cnt, df).
+
+    The tokenizer-training primer (BPE/WordPiece vocab building
+    starts exactly here): total count + document frequency per token,
+    top-k by count. One map-side-combinable groupBy(tok) +
+    ``TakeOrderedAndProject``; the rank window then runs over the k
+    survivors only, never the vocabulary.
+    """
+    from .bm25 import posting_frame
+
+    posting = posting_frame(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    ).filter(F.col("tok").isNotNull())
+    agg = posting.groupBy("tok").agg(
+        F.sum("tf").alias("cnt"), F.count("*").alias("df")
+    )
+    top = agg.orderBy(F.desc("cnt"), F.asc("tok")).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "rnk", "tok", "cnt", "df"
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k tf-idf keywords → (id, rnk, tok, tfidf).
+
+    tfidf = tf · ln(N/df) over the same posting frame BM25 uses;
+    ranking compares the ROUNDED score (ties → token order) so the
+    oracle's rank is bit-identical. One groupBy(id, tok), one
+    groupBy(tok), one per-document rank window.
+    """
+    from .bm25 import posting_frame
+
+    posting = posting_frame(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    ).filter(F.col("tok").isNotNull())
+    n_docs = df.agg(F.count("*").alias("__n"))
+    dfq = posting.groupBy("tok").agg(F.count("*").alias("df"))
+    tfidf = F.floor(
+        (F.col("tf") * F.log(F.col("__n") / F.col("df"))) * F.lit(1e6)
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        posting.join(F.broadcast(dfq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("id", "rnk", "tok", "tfidf")
     )
 
 

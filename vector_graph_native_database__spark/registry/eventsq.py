@@ -147,8 +147,50 @@ def q_events_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregation through the REAL streaming
+    engine in append mode — the semantics, not just the plumbing:
+    with a 1-hour watermark, only windows whose end is at or before
+    (max event time − 1 hour) are finalized and emitted by the
+    closing no-data micro-batch of an ``availableNow`` run; the tail
+    windows stay in state. That cutoff is a pure function of the
+    data, so the DuckDB oracle reproduces it exactly — the driver
+    gate thereby value-checks Spark's late-data/watermark behavior.
+    """
+    import os
+    import tempfile
+
+    from ..streaming.ingest import EVENTS_SCHEMA
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = tempfile.mkdtemp(prefix="events_stream_windows_")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        tumbling_agg(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).withColumn(
+        "sum_value", F.round("sum_value", 6)
+    )
+
+
 QUERIES = {
     "events_stream_replay": q_events_stream_replay,
+    "events_stream_windows": q_events_stream_windows,
     "events_sessionize_gap": q_events_sessionize_gap,
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
@@ -203,6 +245,19 @@ FROM events GROUP BY user_id""",
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2""",
+    # append-mode emission cutoff: window_end <= max(ts) - watermark,
+    # all in microseconds (Spark truncates the nanos parquet ts to µs)
+    "events_stream_windows": """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+g AS (
+  SELECT date_trunc('hour', ts) AS ws, event_type,
+         count(*) AS n, round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       n, sum_value
+FROM g, mx
+WHERE epoch_us(ws) + 3600000000 <= epoch_us(m) - 3600000000""",
     # stream replay must reproduce the batch tumbling agg exactly
     "events_stream_replay": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

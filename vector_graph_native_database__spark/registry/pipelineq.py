@@ -119,6 +119,16 @@ def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.repetition_stats(nodes)
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return text_analysis.vocab_topk(nodes, k=100)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return text_analysis.tfidf_top_terms(nodes, k=3)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, _, _ = model(spark, sf_dir)
     return text_analysis.doc_fingerprint(nodes)
@@ -141,6 +151,8 @@ QUERIES = {
     "text_quality_score": q_text_quality_score,
     "text_token_count": q_text_token_count,
     "text_gopher_quality": q_text_gopher_quality,
+    "vocab_topk": q_vocab_topk,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "doc_fingerprint": q_doc_fingerprint,
 }
 
@@ -636,6 +648,43 @@ SELECT n.id, len(t.t) AS ws_tokens,
          AS subword_tokens,
        length(n.text) AS n_chars
 FROM nodes n JOIN toks t ON t.id = n.id""",
+    "vocab_topk": ORACLE_PRELUDE
+    + _TOKS
+    + """,
+posting AS (
+  SELECT id, tok, count(*) AS tf
+  FROM (SELECT id, unnest(t) AS tok FROM toks)
+  GROUP BY id, tok
+),
+vocab AS (
+  SELECT tok, sum(tf) AS cnt, count(*) AS df FROM posting GROUP BY tok
+)
+SELECT rnk, tok, cnt, df FROM (
+  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS INT) AS rnk,
+         tok, CAST(cnt AS BIGINT) AS cnt, df
+  FROM vocab
+) WHERE rnk <= 100""",
+    "tfidf_top_terms": ORACLE_PRELUDE
+    + _TOKS
+    + """,
+posting AS (
+  SELECT id, tok, count(*) AS tf
+  FROM (SELECT id, unnest(t) AS tok FROM toks)
+  GROUP BY id, tok
+),
+nd AS (SELECT count(*) AS n FROM nodes),
+dfq AS (SELECT tok, count(*) AS df FROM posting GROUP BY tok)
+SELECT id, rnk, tok, tfidf FROM (
+  SELECT p.id, p.tok,
+         floor((p.tf * ln(nd.n * 1.0 / d.df)) * 1000000.0 + 0.5)
+           / 1000000.0 AS tfidf,
+         row_number() OVER (
+           PARTITION BY p.id
+           ORDER BY floor((p.tf * ln(nd.n * 1.0 / d.df)) * 1000000.0 + 0.5)
+                    / 1000000.0 DESC,
+                    p.tok ASC) AS rnk
+  FROM posting p JOIN dfq d ON d.tok = p.tok CROSS JOIN nd
+) WHERE rnk <= 3""",
     "text_gopher_quality": ORACLE_PRELUDE
     + _TOKS
     + r""",

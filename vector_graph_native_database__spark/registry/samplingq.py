@@ -39,6 +39,11 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.chunk_documents(nodes, size=32, stride=24)
 
 
+def q_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return sampling.pps_sample(nodes, frac=0.5, weight_col="n_chars")
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, _, _ = model(spark, sf_dir)
     return sampling.corpus_clean(nodes, min_quality=0.5)
@@ -72,6 +77,7 @@ QUERIES = {
     "sample_hash": q_sample_hash,
     "split_train_eval": q_split_train_eval,
     "sample_stratified": q_sample_stratified,
+    "sample_pps": q_sample_pps,
     "doc_chunk": q_doc_chunk,
     "corpus_clean": q_corpus_clean,
     "corpus_pipeline_summary": q_corpus_pipeline_summary,
@@ -126,6 +132,11 @@ ranked AS (
   FROM nodes
 )
 SELECT id, source, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5""",
+    "sample_pps": ORACLE_PRELUDE
+    + f"""
+SELECT id, n_chars AS weight
+FROM nodes, (SELECT max(n_chars) AS mx FROM nodes)
+WHERE {_BUCKET.format(salt='pps')} < 0.5 * 10000 * n_chars / mx""",
     "doc_chunk": ORACLE_PRELUDE
     + _TOKS
     + """,
