@@ -1,0 +1,117 @@
+"""Corpus-curation operators: clusters, decontamination, unigram LM,
+centroids, kNN join, MMR rerank — semantics on synthetic fixtures."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from vector_graph_native_database__spark.operators import ann, curation
+
+
+def test_dedup_cluster_assign_transitive(spark):
+    # a≈b, b≈c (shared text), d distinct: one cluster {a,b,c}, keeper=min
+    rows = [
+        ("a", "alpha beta gamma delta epsilon zeta"),
+        ("b", "alpha beta gamma delta epsilon zeta"),
+        ("c", "alpha beta gamma delta epsilon zeta"),
+        ("d", "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r["id"]: r for r in curation.dedup_cluster_assign(df).collect()}
+    assert set(got) == {"a", "b", "c"}  # d is in no pair
+    assert all(r["cluster"] == "a" for r in got.values())
+    assert got["a"]["keep"] == 1
+    assert got["b"]["keep"] == 0 and got["c"]["keep"] == 0
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    # id 0 is eval (0 % 41 == 0); id 5 shares a 3-shingle with it,
+    # id 7 shares nothing.
+    rows = [
+        ("0", "the quick brown fox jumps"),
+        ("5", "lo the quick brown cat"),
+        ("7", "completely different words here"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r["id"]: r for r in curation.decontaminate(df, k=3).collect()}
+    assert set(got) == {"5"}
+    assert got["5"]["shared_shingles"] == 1  # "the quick brown"
+    assert got["5"]["eval_docs"] == 1
+
+
+def test_unigram_logprob_matches_hand_computation(spark):
+    # corpus: "x x y" + "y z" → counts x=2, y=2, z=1, total=5
+    df = spark.createDataFrame(
+        [("1", "x x y"), ("2", "y z")], "id string, text string"
+    )
+    got = {r["id"]: r for r in curation.unigram_logprob(df).collect()}
+    lp1 = (2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    lp2 = (math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert got["1"]["n_tokens"] == 3
+    assert abs(got["1"]["avg_logprob"] - lp1) < 1e-6
+    assert abs(got["2"]["avg_logprob"] - lp2) < 1e-6
+
+
+def test_centroids_by_group_elementwise_mean(spark):
+    emb = spark.createDataFrame(
+        [("1", [1.0, 3.0], 2), ("2", [3.0, 5.0], 2), ("3", [10.0, 20.0], 2)],
+        "node_id string, vector array<double>, dim int",
+    )
+    labels = spark.createDataFrame(
+        [("1", "en"), ("2", "en"), ("3", "fr")], "id string, lang string"
+    )
+    got = curation.centroids_by_group(emb, labels, dim=2).collect()
+    vals = {(r["label"], r["idx"]): r["centroid"] for r in got}
+    assert vals == {
+        ("en", 0): 2.0,
+        ("en", 1): 4.0,
+        ("fr", 0): 10.0,
+        ("fr", 1): 20.0,
+    }
+
+
+def _rand_emb(spark, n=30, dim=8, seed=7):
+    import random
+
+    rnd = random.Random(seed)
+    rows = [
+        (str(i), [rnd.uniform(-1, 1) for _ in range(dim)], dim)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "node_id string, vector array<double>, dim int"
+    )
+
+
+def test_knn_join_ranks_within_bucket(spark):
+    emb = _rand_emb(spark, dim=8)
+    got = ann.knn_join_topk(emb, k=3, num_planes=2, dim=8).collect()
+    assert got, "2 planes over 30 docs must yield bucket collisions"
+    per = {}
+    for r in got:
+        assert r["id_a"] != r["id_b"]
+        assert -1.000001 <= r["cos"] <= 1.000001
+        per.setdefault(r["id_a"], []).append((r["rnk"], r["cos"]))
+    for ranks in per.values():
+        ranks.sort()
+        assert [r for r, _ in ranks] == list(range(1, len(ranks) + 1))
+        cs = [c for _, c in ranks]
+        assert cs == sorted(cs, reverse=True)  # rank order follows score
+
+
+def test_mmr_first_pick_is_most_relevant_and_diversifies(spark):
+    emb = _rand_emb(spark, n=25, dim=8)
+    got = ann.mmr_rerank(emb, ["0"], n_candidates=10, k=4).collect()
+    assert len(got) == 4
+    picks = sorted(got, key=lambda r: r["pick"])
+    assert [r["pick"] for r in picks] == [1, 2, 3, 4]
+    assert len({r["id"] for r in picks}) == 4  # no repeats
+    # pick 1 must be the argmax of rounded relevance
+    top1 = ann.brute_topk(emb, ["0"], k=1).collect()[0]
+    assert picks[0]["id"] == top1["id"]
+    # mmr scores are non-increasing in pick order for a fixed query
+    # (greedy over a shrinking candidate set with growing penalty)
+    scores = [r["mmr"] for r in picks]
+    assert all(a >= b - 1e-9 for a, b in zip(scores, scores[1:]))

@@ -508,3 +508,128 @@ def brute_topk_int8(
         .filter(F.col("rnk") <= k)
         .select("qid", F.col("node_id").alias("id"), "cos", "rnk")
     )
+
+
+def knn_join_topk(
+    emb: DataFrame,
+    k: int = 3,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate doc-to-doc k-nearest-neighbor JOIN
+    → (id_a, id_b, cos, rnk): for every vector, its top-k cosine
+    neighbors among same-LSH-bucket candidates.
+
+    This is the all-documents variant of ``lsh_bucketed_topk`` (batch
+    queries): the self-join is an equi-join on the sign-projection
+    bucket, so comparisons are bounded by bucket occupancy, never
+    N². Scores are stable-rounded to 6dp BEFORE ranking, with id as
+    the tiebreak, so the ranking is engine-portable. At 100 TB the
+    bucketed table is written partitioned by bucket and each bucket's
+    pairwise block runs independently — same recall trade-off as any
+    single-probe LSH (neighbors split across buckets are missed).
+    """
+    bucketed = lsh_buckets(
+        emb.filter(F.size("vector") == dim),
+        hyperplanes(emb.sparkSession, num_planes, dim),
+    )
+    a = bucketed.select(
+        F.col("node_id").alias("id_a"), F.col("vector").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("node_id").alias("id_b"), F.col("vector").alias("vb"), "bucket"
+    )
+    rounded = F.floor(cosine("va", "vb") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("cos", rounded)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("id_a", "id_b", "cos", "rnk")
+    )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_ids: list[str],
+    n_candidates: int = 20,
+    k: int = 5,
+    lam: float = 0.75,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k per query
+    → (qid, id, mmr, pick).
+
+    Stage 1 (distributed): exact cosine top-``n_candidates`` per
+    query (broadcast query side, rank-filter window — brute_topk's
+    plan). Stage 2 (per-group greedy): within each query's candidate
+    set, iteratively pick argmax of ``lam·rel − (1−lam)·max_sim_to_
+    selected``. The greedy loop runs in one Arrow-batched
+    ``applyInPandas`` per query group — each group holds only
+    n_candidates rows, so stage 2 is embarrassingly parallel across
+    queries and O(k·n²) in a tiny n. All comparisons use 6dp-rounded
+    scores with id tiebreaks, so the greedy trace is deterministic
+    and engine-portable (the DuckDB oracle unrolls the same k picks
+    as CTEs). ``lam`` should be exactly representable in binary
+    (0.75 → 1−lam = 0.25 exactly) so both engines compute identical
+    coefficient products.
+    """
+    import math
+
+    q = emb.filter(F.col("node_id").isin(query_ids)).select(
+        F.col("node_id").alias("qid"), F.col("vector").alias("qvec"), "dim"
+    )
+    rel6 = F.floor(cosine("vector", "qvec") * F.lit(1e6) + F.lit(0.5)) / F.lit(
+        1e6
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("node_id"))
+    cand = (
+        emb.join(F.broadcast(q), "dim")
+        .filter(F.col("node_id") != F.col("qid"))
+        .withColumn("rel", rel6)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n_candidates)
+        .select("qid", F.col("node_id").alias("id"), "vector", "rel")
+    )
+
+    def greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        m = np.stack(pdf["vector"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sim = (m / norms[:, None]) @ (m / norms[:, None]).T
+        sim = np.floor(sim * 1e6 + 0.5) / 1e6
+        rel = pdf["rel"].to_numpy()
+        ids = pdf["id"].to_numpy()
+        n = len(pdf)
+        selected: list[int] = []
+        rows = []
+        for pick in range(1, min(k, n) + 1):
+            best_i, best_s = -1, -math.inf
+            for i in range(n):
+                if i in selected:
+                    continue
+                pen = max(sim[i][j] for j in selected) if selected else 0.0
+                s = lam * rel[i] - (1 - lam) * pen
+                s = math.floor(s * 1e6 + 0.5) / 1e6
+                # ids are pre-sorted, so first-wins = min-id tiebreak
+                if s > best_s:
+                    best_i, best_s = i, s
+            selected.append(best_i)
+            rows.append(
+                {
+                    "qid": pdf["qid"].iloc[0],
+                    "id": ids[best_i],
+                    "mmr": best_s,
+                    "pick": pick,
+                }
+            )
+        return pd.DataFrame(rows, columns=["qid", "id", "mmr", "pick"])
+
+    return cand.groupBy("qid").applyInPandas(
+        greedy, "qid string, id string, mmr double, pick int"
+    )

@@ -1,0 +1,169 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+Not part of the reference surface — these extend the dedup/text
+families (BASELINE.json north star) with the steps a real pretraining
+corpus build runs between "near-dup pairs found" and "corpus shipped":
+
+- dedup cluster assignment: near-dup PAIRS → duplicate CLUSTERS
+  (connected components over the pair graph) → one canonical keeper
+  per cluster. Pairs alone don't dedup a corpus; transitive closure
+  does.
+- eval-set decontamination: flag training documents that share k-token
+  shingles with a held-out eval split (the n-gram-overlap check every
+  published pretraining pipeline runs before training).
+- corpus unigram log-prob: score each document by the mean log
+  probability of its tokens under the corpus unigram LM (the cheap
+  perplexity proxy used for quality filtering).
+
+Scale design: every op is shuffle-minimal — shingle joins are
+equi-joins on a 60-bit hash (never on raw strings, never all-pairs);
+cluster assignment reuses the pointer-jumping components operator
+(O(log diameter) rounds); the unigram LM is one vocabulary aggregate
+joined back by token hash. All hashing is md5-derived so the DuckDB
+oracle replays bit-for-bit. (Per-source quota sampling already lives
+in operators/sampling.py as ``stratified_sample``.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import tokenize
+from .analytics import connected_components
+from .dedup import minhash_lsh_dedup, shingles, stable_hash60
+
+
+def dedup_cluster_assign(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs → duplicate clusters → (id, cluster, keep).
+
+    MinHash-LSH pairs (verified Jaccard ≥ threshold) form an
+    undirected graph; connected components assign each involved doc
+    its cluster id (= min doc id in the component, string order); the
+    canonical keeper is the doc equal to its cluster id. Docs in no
+    pair are untouched (not emitted — they are all keepers).
+
+    Pointer-jumping components converge in O(log diameter) rounds, so
+    even pathological duplicate chains (quote-of-quote-of-quote) cost
+    ~6 rounds at 100 TB, each one equi-join shuffle.
+    """
+    pairs = minhash_lsh_dedup(df, id_col, text_col, threshold=threshold)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(verts, edges)
+    return comp.select(
+        "id",
+        F.col("component").alias("cluster"),
+        (F.col("id") == F.col("component")).cast("int").alias("keep"),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 3,
+    eval_mod: int = 41,
+) -> DataFrame:
+    """Flag train docs sharing k-token shingles with the eval split
+    → (id, shared_shingles, eval_docs).
+
+    The eval split is the deterministic holdout ``doc_id % eval_mod
+    == 0`` (same rule ``split_train_eval`` exposes); a train doc is
+    contaminated when any distinct k-shingle of it appears in any
+    eval doc. Output counts the distinct shared shingles and the
+    number of eval docs hit.
+
+    The join key is the 60-bit shingle hash, not the shingle string —
+    at 100 TB that shrinks shuffle width ~10× and the eval side
+    (shingles of the holdout, ~1/eval_mod of the corpus) stays small
+    enough that AQE picks a broadcast. One equi-join, no all-pairs.
+    """
+    sh = shingles(df, id_col, text_col, k).withColumn(
+        "h", stable_hash60("shingle")
+    )
+    is_eval = F.col("id").cast("int") % eval_mod == 0
+    ev = sh.filter(is_eval).select(F.col("id").alias("eval_id"), "h").distinct()
+    tr = sh.filter(~is_eval).select("id", "h")
+    return (
+        tr.join(ev, "h")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("h").alias("shared_shingles"),
+            F.countDistinct("eval_id").alias("eval_docs"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Mean corpus-unigram log-probability per document
+    → (id, n_tokens, avg_logprob).
+
+    The corpus unigram LM is the vocabulary count table normalized by
+    total token count; a document's score is the mean ln p(token).
+    Low scores = rare-token-heavy docs (a cheap perplexity proxy for
+    quality filtering). Two aggregates and one equi-join on the token
+    hash: the vocabulary frame is vocabulary-sized (≪ corpus) and
+    broadcast-eligible; the total-count frame is one row.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
+    ).withColumn("h", stable_hash60("tok"))
+    vocab = toks.groupBy("h").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    return (
+        toks.join(vocab, "h")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(F.log(F.col("cnt") / F.col("n_total"))).alias("lp"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            (F.floor(F.col("lp") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+def centroids_by_group(
+    emb: DataFrame,
+    labels: DataFrame,
+    label_col: str = "lang",
+    dim: int = 64,
+) -> DataFrame:
+    """Element-wise mean embedding per label → (label, idx, centroid).
+
+    ``labels`` maps node_id → label (e.g. the documents' lang
+    column). Exploding to (label, idx, value) rows keeps the
+    aggregation a plain scalar groupBy — map-side combinable, no
+    array state — and the output driver-canonicalizable. At 100 TB
+    this is the canonical per-class summary: one shuffle keyed by
+    (label, idx), |labels|·dim output rows."""
+    joined = emb.filter(F.size("vector") == dim).join(
+        labels.select(F.col("id").alias("node_id"), F.col(label_col).alias("label")),
+        "node_id",
+    )
+    return (
+        joined.select("label", F.posexplode("vector").alias("idx", "v"))
+        .groupBy("label", "idx")
+        .agg(
+            (F.floor(F.avg("v") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "centroid"
+            )
+        )
+    )

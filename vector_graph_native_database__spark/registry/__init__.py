@@ -17,6 +17,7 @@ from . import (
     olapq,
     coreq,
     crudq,
+    curationq,
     eventsq,
     functionsq,
     graphq,
@@ -32,6 +33,7 @@ _MODULES = [
     olapq,
     coreq,
     crudq,
+    curationq,
     eventsq,
     functionsq,
     graphq,

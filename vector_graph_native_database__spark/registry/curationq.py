@@ -1,0 +1,304 @@
+"""Corpus-curation queries: dedup clusters, decontamination, quota
+sampling, unigram-LM scoring, per-label centroids, kNN join, MMR.
+
+The second wave of beyond-the-reference pipeline operators
+(BASELINE.json north star): where pipelineq's dedup family ends at
+near-dup PAIRS, these run the rest of a pretraining corpus build —
+transitive duplicate clusters with canonical keepers, eval-set
+n-gram decontamination, per-source mixture quotas, cheap LM quality
+scores, per-class embedding summaries, all-docs neighbor joins, and
+diversified (MMR) reranking. Every query has a full DuckDB oracle;
+iterative pieces (connected components, greedy MMR picks) are
+unrolled as recursive/sequential CTEs exactly like the PageRank and
+IVF oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import ann, curation
+from .common import ORACLE_PRELUDE, model, sql_stable_round6
+from .pipelineq import _COS, _H60, _IDS_IN, _TOKS, _sh_cte
+
+EVAL_MOD = 41
+KNN_K = 3
+MMR_K = 5
+MMR_N_CAND = 20
+MMR_LAM = 0.75  # 1 − λ = 0.25 exactly, identical in both engines
+
+
+def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return curation.dedup_cluster_assign(nodes, threshold=0.8)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return curation.decontaminate(nodes, k=3, eval_mod=EVAL_MOD)
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return curation.unigram_logprob(nodes)
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, emb, _ = model(spark, sf_dir)
+    return curation.centroids_by_group(emb, nodes, label_col="lang", dim=64)
+
+
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, emb, _ = model(spark, sf_dir)
+    return ann.knn_join_topk(emb, k=KNN_K, num_planes=8, dim=64)
+
+
+def q_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, emb, _ = model(spark, sf_dir)
+    return ann.mmr_rerank(
+        emb, _MMR_IDS, n_candidates=MMR_N_CAND, k=MMR_K, lam=MMR_LAM
+    )
+
+
+_MMR_IDS = ["0", "100", "200", "300", "400"]
+
+
+QUERIES = {
+    "dedup_cluster_assign": q_dedup_cluster_assign,
+    "decontaminate": q_decontaminate,
+    "text_unigram_logprob": q_text_unigram_logprob,
+    "embedding_centroids": q_embedding_centroids,
+    "ann_knn_join": q_ann_knn_join,
+    "ann_mmr_rerank": q_ann_mmr_rerank,
+}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+# MinHash-LSH verified pairs at threshold 0.8 — the same chain as
+# pipelineq's dedup_minhash_lsh oracle, ending in a `pairs` CTE.
+_MINHASH_PAIRS = (
+    _TOKS
+    + _sh_cte(2, "sh")
+    + f""",
+perms AS (SELECT unnest(generate_series(0, 11)) AS perm),
+mh AS (
+  SELECT s.id, p.perm,
+         min({_H60.format(x="p.perm || '|' || s.shingle")}) AS minhash
+  FROM sh s CROSS JOIN perms p GROUP BY s.id, p.perm
+),
+banded AS (
+  SELECT id, perm // 4 AS band,
+         string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm) AS sig
+  FROM mh GROUP BY id, perm // 4
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.id = c.id_a
+  JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sizes a ON a.id = i.id_a JOIN sizes b ON b.id = i.id_b
+  WHERE i.i * 1.0 / (a.n + b.n - i.i) >= 0.8
+)"""
+)
+
+# Sign-projection LSH buckets over 64-dim embeddings — the same chain
+# as pipelineq's dedup_embedding_cosine_lsh oracle, ending in `be`.
+_BUCKETS = f""",
+planes AS (
+  SELECT p.p,
+         list_transform(generate_series(0, 63), d ->
+           (('0x' || substr(md5('p' || p.p || 'd' || d), 1, 8))::BIGINT
+            % 2001 - 1000) / 1000.0) AS w
+  FROM (SELECT unnest(generate_series(0, 7)) AS p) p
+),
+proj AS (
+  SELECT e.node_id, e.dim, p.p,
+         list_dot_product(CAST(e.vector AS DOUBLE[]), p.w) AS proj
+  FROM emb e CROSS JOIN planes p
+  WHERE len(e.vector) = 64
+),
+buck AS (
+  SELECT node_id, dim,
+         sum(CASE WHEN proj >= 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+  FROM proj GROUP BY node_id, dim
+),
+be AS (
+  SELECT b.node_id, b.bucket, e.vector
+  FROM buck b JOIN emb e ON e.node_id = b.node_id AND e.dim = b.dim
+)"""
+
+
+def _mmr_sql(k: int = MMR_K, n_cand: int = MMR_N_CAND) -> str:
+    """Greedy MMR unrolled as k sequential argmax CTEs.
+
+    Mirrors operators.ann.mmr_rerank exactly: 6dp-floor-rounded
+    relevance and pairwise sims, mmr = 0.75·rel − 0.25·max_sim,
+    rounded before the argmax, min-id tiebreak.
+    """
+    mmr1 = sql_stable_round6("0.75 * rel")
+    ctes = [
+        f""",
+candraw AS (
+  SELECT q.node_id AS qid, e.node_id AS id, e.vector,
+         list_dot_product(CAST(e.vector AS DOUBLE[]),
+                          CAST(q.vector AS DOUBLE[])) AS d,
+         sqrt(list_dot_product(CAST(e.vector AS DOUBLE[]),
+                               CAST(e.vector AS DOUBLE[]))) AS na,
+         sqrt(list_dot_product(CAST(q.vector AS DOUBLE[]),
+                               CAST(q.vector AS DOUBLE[]))) AS nb
+  FROM emb e JOIN emb q ON e.dim = q.dim AND e.node_id <> q.node_id
+  WHERE q.node_id IN {_IDS_IN}
+),
+cand AS (
+  SELECT qid, id, vector, rel FROM (
+    SELECT qid, id, vector,
+           {sql_stable_round6(_COS)} AS rel,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY {sql_stable_round6(_COS)} DESC, id) AS rn
+    FROM candraw
+  ) WHERE rn <= {n_cand}
+),
+simraw AS (
+  SELECT a.qid, a.id AS ia, b.id AS ib,
+         list_dot_product(CAST(a.vector AS DOUBLE[]),
+                          CAST(b.vector AS DOUBLE[])) AS d,
+         sqrt(list_dot_product(CAST(a.vector AS DOUBLE[]),
+                               CAST(a.vector AS DOUBLE[]))) AS na,
+         sqrt(list_dot_product(CAST(b.vector AS DOUBLE[]),
+                               CAST(b.vector AS DOUBLE[]))) AS nb
+  FROM cand a JOIN cand b ON a.qid = b.qid
+),
+simm AS (
+  SELECT qid, ia, ib, {sql_stable_round6(_COS)} AS s FROM simraw
+),
+p1 AS (
+  SELECT qid, id, mmr, 1 AS pick FROM (
+    SELECT qid, id, {mmr1} AS mmr,
+           row_number() OVER (
+             PARTITION BY qid ORDER BY {mmr1} DESC, id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+sel1 AS (SELECT qid, id FROM p1)"""
+    ]
+    for t in range(2, k + 1):
+        mmrt = sql_stable_round6("0.75 * c.rel - 0.25 * pen.p")
+        ctes.append(
+            f""",
+p{t} AS (
+  SELECT qid, id, mmr, {t} AS pick FROM (
+    SELECT c.qid, c.id, {mmrt} AS mmr,
+           row_number() OVER (
+             PARTITION BY c.qid ORDER BY {mmrt} DESC, c.id) AS rn
+    FROM cand c
+    JOIN (
+      SELECT sm.qid, sm.ia AS id, max(sm.s) AS p
+      FROM simm sm JOIN sel{t - 1} s ON s.qid = sm.qid AND s.id = sm.ib
+      GROUP BY sm.qid, sm.ia
+    ) pen ON pen.qid = c.qid AND pen.id = c.id
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sel{t - 1} s WHERE s.qid = c.qid AND s.id = c.id)
+  ) WHERE rn = 1
+),
+sel{t} AS (SELECT qid, id FROM sel{t - 1} UNION ALL SELECT qid, id FROM p{t})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT qid, id, mmr, pick FROM p{t}" for t in range(1, k + 1)
+    )
+    return ORACLE_PRELUDE + "".join(ctes) + "\n" + union
+
+
+ORACLES = {
+    "dedup_cluster_assign": ORACLE_PRELUDE
+    + _MINHASH_PAIRS
+    + """,
+verts AS (SELECT id_a AS id FROM pairs UNION SELECT id_b AS id FROM pairs),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT id AS root, id AS node FROM verts
+  UNION
+  SELECT r.root, s.dst AS node FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT root AS id, min(node) AS cluster,
+       CAST(root = min(node) AS INT) AS keep
+FROM reach GROUP BY root""",
+    "decontaminate": ORACLE_PRELUDE
+    + _TOKS
+    + _sh_cte(3, "sh")
+    + f""",
+shh AS (SELECT id, {_H60.format(x="shingle")} AS h FROM sh),
+ev AS (
+  SELECT DISTINCT id AS eval_id, h FROM shh
+  WHERE CAST(id AS INT) % {EVAL_MOD} = 0
+),
+tr AS (SELECT id, h FROM shh WHERE CAST(id AS INT) % {EVAL_MOD} <> 0)
+SELECT t.id, count(DISTINCT t.h) AS shared_shingles,
+       count(DISTINCT e.eval_id) AS eval_docs
+FROM tr t JOIN ev e ON e.h = t.h
+GROUP BY t.id""",
+    "text_unigram_logprob": ORACLE_PRELUDE
+    + _TOKS
+    + f""",
+tokh AS (
+  SELECT id, {_H60.format(x="tok")} AS h
+  FROM (SELECT id, unnest(t) AS tok FROM toks)
+),
+vocab AS (SELECT h, count(*) AS cnt FROM tokh GROUP BY h),
+tot AS (SELECT sum(cnt) AS n_total FROM vocab)
+SELECT t.id, count(*) AS n_tokens,
+       {sql_stable_round6("avg(ln(v.cnt * 1.0 / tot.n_total))")} AS avg_logprob
+FROM tokh t JOIN vocab v ON v.h = t.h CROSS JOIN tot
+GROUP BY t.id""",
+    "embedding_centroids": ORACLE_PRELUDE
+    + """,
+dv AS (
+  SELECT e.node_id, CAST(e.vector AS DOUBLE[]) AS v
+  FROM emb e WHERE len(e.vector) = 64
+)
+SELECT n.lang AS label, i.i - 1 AS idx,
+       """
+    + sql_stable_round6("avg(dv.v[i.i])")
+    + """ AS centroid
+FROM dv JOIN nodes n ON n.id = dv.node_id
+CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(dv.v))) AS i) i
+GROUP BY n.lang, i.i""",
+    "ann_knn_join": ORACLE_PRELUDE
+    + _BUCKETS
+    + f""",
+knnraw AS (
+  SELECT a.node_id AS id_a, b.node_id AS id_b,
+         list_dot_product(CAST(a.vector AS DOUBLE[]),
+                          CAST(b.vector AS DOUBLE[])) AS d,
+         sqrt(list_dot_product(CAST(a.vector AS DOUBLE[]),
+                               CAST(a.vector AS DOUBLE[]))) AS na,
+         sqrt(list_dot_product(CAST(b.vector AS DOUBLE[]),
+                               CAST(b.vector AS DOUBLE[]))) AS nb
+  FROM be a JOIN be b
+    ON a.bucket = b.bucket AND a.node_id <> b.node_id
+)
+SELECT id_a, id_b, cos, rnk FROM (
+  SELECT id_a, id_b, {sql_stable_round6(_COS)} AS cos,
+         row_number() OVER (
+           PARTITION BY id_a
+           ORDER BY {sql_stable_round6(_COS)} DESC, id_b) AS rnk
+  FROM knnraw
+) WHERE rnk <= {KNN_K}""",
+    "ann_mmr_rerank": _mmr_sql(),
+}
