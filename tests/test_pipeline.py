@@ -243,6 +243,7 @@ def test_csv_json_ingest(spark):
     from vector_graph_native_database__spark.sources import (
         nodes_from_csv,
         nodes_from_json,
+        nodes_from_orc,
     )
 
     tmp = tempfile.mkdtemp(prefix="vgs-ingest-")
@@ -253,9 +254,11 @@ def test_csv_json_ingest(spark):
         )
         src.write.option("header", "true").mode("overwrite").csv(f"{tmp}/c")
         src.write.mode("overwrite").json(f"{tmp}/j")
+        src.write.mode("overwrite").orc(f"{tmp}/o")
         for loader, path in (
             (nodes_from_csv, f"{tmp}/c"),
             (nodes_from_json, f"{tmp}/j"),
+            (nodes_from_orc, f"{tmp}/o"),
         ):
             got = {
                 r["id"]: (r["text"], dict(r["metadata"]))

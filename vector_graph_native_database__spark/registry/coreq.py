@@ -138,6 +138,29 @@ def q_io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC drop ingest, end to end: nodes → ORC sink →
+    ``nodes_from_orc`` adapter → model projection. ORC preserves
+    column types, so unlike CSV no re-cast is needed on read."""
+    import os
+    import tempfile
+
+    from ..sources.sinks import nodes_from_orc
+
+    nodes, _, _ = model(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="nodes_orc_"), "nodes")
+    nodes.select("id", "text", "lang", "n_chars").write.mode(
+        "overwrite"
+    ).orc(path)
+    back = nodes_from_orc(spark, path, metadata_cols=["lang", "n_chars"])
+    return back.select(
+        "id",
+        "text",
+        F.col("metadata")["lang"].alias("lang"),
+        F.col("metadata")["n_chars"].cast("int").alias("n_chars"),
+    )
+
+
 QUERIES = {
     "scan_nodes": q_scan_nodes,
     "scan_embeddings": q_scan_embeddings,
@@ -149,6 +172,7 @@ QUERIES = {
     "edge_get": q_edge_get,
     "io_jsonl_roundtrip": q_io_jsonl_roundtrip,
     "io_csv_roundtrip": q_io_csv_roundtrip,
+    "io_orc_roundtrip": q_io_orc_roundtrip,
 }
 
 ORACLES = {
@@ -191,5 +215,7 @@ WHERE n.id = '5'""",
     "io_jsonl_roundtrip": ORACLE_PRELUDE
     + "\nSELECT id, text, lang, source FROM nodes ORDER BY id",
     "io_csv_roundtrip": ORACLE_PRELUDE
+    + "\nSELECT id, text, lang, n_chars FROM nodes ORDER BY id",
+    "io_orc_roundtrip": ORACLE_PRELUDE
     + "\nSELECT id, text, lang, n_chars FROM nodes ORDER BY id",
 }

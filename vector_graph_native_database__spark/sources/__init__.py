@@ -5,6 +5,7 @@ from .sinks import (
     load_state,
     nodes_from_csv,
     nodes_from_json,
+    nodes_from_orc,
 )
 
 __all__ = [
@@ -17,4 +18,5 @@ __all__ = [
     "load_state",
     "nodes_from_csv",
     "nodes_from_json",
+    "nodes_from_orc",
 ]

@@ -92,6 +92,20 @@ def nodes_from_json(
     return _to_nodes(raw, id_col, text_col, metadata_cols)
 
 
+def nodes_from_orc(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "id",
+    text_col: str = "text",
+    metadata_cols: list[str] | None = None,
+) -> DataFrame:
+    """ORC drop → nodes(id, text, metadata map). Native ORC reader —
+    columnar with predicate pushdown, so model projections prune at
+    the stripe level just like parquet."""
+    raw = spark.read.orc(path)
+    return _to_nodes(raw, id_col, text_col, metadata_cols)
+
+
 def _to_nodes(
     raw: DataFrame,
     id_col: str,
