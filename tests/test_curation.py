@@ -115,3 +115,59 @@ def test_mmr_first_pick_is_most_relevant_and_diversifies(spark):
     # (greedy over a shrinking candidate set with growing penalty)
     scores = [r["mmr"] for r in picks]
     assert all(a >= b - 1e-9 for a, b in zip(scores, scores[1:]))
+
+
+def test_funnel_stage_ordering(spark, sf_dir):
+    from vector_graph_native_database__spark.registry.olapq import (
+        q_events_funnel,
+    )
+
+    row = q_events_funnel(spark, sf_dir).collect()[0]
+    # stage counts can only narrow, and some users reach each stage
+    # in the harness corpus
+    assert (
+        row["users_view"]
+        >= row["users_click_after_view"]
+        >= row["users_purchase_after_click"]
+        >= 0
+    )
+    assert row["users_view"] > 0
+
+
+def test_cohort_retention_offsets_nonnegative(spark, sf_dir):
+    from vector_graph_native_database__spark.registry.olapq import (
+        q_events_cohort_retention,
+    )
+
+    rows = q_events_cohort_retention(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert r["users"] > 0
+    # offset-0 cell of a cohort counts every user of that cohort, so
+    # it dominates any later offset of the same cohort
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r["users"]
+    for cells in by_cohort.values():
+        assert 0 in cells
+        assert cells[0] == max(cells.values())
+
+
+def test_pmi_bigrams_scores_collocation_highest(spark):
+    from vector_graph_native_database__spark.operators.text_analysis import (
+        pmi_bigrams,
+    )
+
+    # "aa bb" always adjacent (perfect collocation); "cc" floods the
+    # unigram mass so independent pairs score near/below zero.
+    docs = [(str(i), "aa bb " + "cc " * 8) for i in range(6)]
+    df = spark.createDataFrame(docs, "id string, text string")
+    got = pmi_bigrams(df, min_count=5, k=10).collect()
+    assert got
+    top = got[0]
+    assert (top["a"], top["b"]) == ("aa", "bb")
+    # PMI(aa,bb) = ln(c_ab·N/(c_a·c_b)) = ln(6·60/36) = ln(10)
+    import math
+
+    assert abs(top["pmi"] - math.log(10)) < 1e-6

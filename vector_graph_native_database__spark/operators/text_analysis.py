@@ -288,3 +288,59 @@ def doc_fingerprint(
             F.coalesce("n_shingles", F.lit(0).cast("long")).alias("n_shingles"),
         )
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k token collocations by pointwise mutual information
+    → (a, b, c_ab, pmi).
+
+    PMI(a,b) = ln(c_ab · N / (c_a · c_b)) over adjacent token pairs;
+    high-PMI pairs are multiword expressions ("new york") — the
+    standard corpus-analysis companion to the vocabulary report.
+    Bigram extraction is a map-only array transform; the three count
+    frames are vocabulary-sized aggregates (map-combinable); the
+    final top-k is a TakeOrderedAndProject on (rounded PMI desc,
+    a, b) — no global sort materialization. min_count guards the
+    low-frequency PMI explosion (hapax pairs score arbitrarily high).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokenize(text_col).alias("toks")
+    )
+    big = toks.select(
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] as a, toks[i] as b))"
+                ),
+            ).otherwise(F.array())
+        ).alias("p")
+    ).select("p.a", "p.b")
+    uni = toks.select(F.explode("toks").alias("a")).groupBy("a").agg(
+        F.count("*").alias("c_a")
+    )
+    n_total = uni.agg(F.sum("c_a").alias("n"))
+    pair = big.groupBy("a", "b").agg(F.count("*").alias("c_ab")).filter(
+        F.col("c_ab") >= min_count
+    )
+    unib = uni.select(F.col("a").alias("b"), F.col("c_a").alias("c_b"))
+    pmi6 = F.floor(
+        F.log(F.col("c_ab") * F.col("n") / (F.col("c_a") * F.col("c_b")))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    return (
+        pair.join(uni, "a")
+        .join(unib, "b")
+        .crossJoin(F.broadcast(n_total))
+        .select("a", "b", "c_ab", pmi6.alias("pmi"))
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(k)
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import ann, curation
+from ..operators import ann, curation, text_analysis
 from .common import ORACLE_PRELUDE, model, sql_stable_round6
 from .pipelineq import _COS, _H60, _IDS_IN, _TOKS, _sh_cte
 
@@ -42,6 +42,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, _, _ = model(spark, sf_dir)
     return curation.unigram_logprob(nodes)
+
+
+def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return text_analysis.pmi_bigrams(nodes, min_count=5, k=50)
 
 
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,6 +73,7 @@ QUERIES = {
     "dedup_cluster_assign": q_dedup_cluster_assign,
     "decontaminate": q_decontaminate,
     "text_unigram_logprob": q_text_unigram_logprob,
+    "text_pmi_bigrams": q_text_pmi_bigrams,
     "embedding_centroids": q_embedding_centroids,
     "ann_knn_join": q_ann_knn_join,
     "ann_mmr_rerank": q_ann_mmr_rerank,
@@ -253,6 +259,33 @@ SELECT t.id, count(DISTINCT t.h) AS shared_shingles,
        count(DISTINCT e.eval_id) AS eval_docs
 FROM tr t JOIN ev e ON e.h = t.h
 GROUP BY t.id""",
+    "text_pmi_bigrams": ORACLE_PRELUDE
+    + _TOKS
+    + """,
+big AS (
+  SELECT t[i.i] AS a, t[i.i + 1] AS b
+  FROM toks CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(1, len(t) - 1)) AS i) i
+  WHERE len(t) >= 2
+),
+uni AS (
+  SELECT a, count(*) AS c_a
+  FROM (SELECT unnest(t) AS a FROM toks) GROUP BY a
+),
+tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS n FROM uni),
+pairs AS (
+  SELECT a, b, count(*) AS c_ab FROM big GROUP BY a, b
+  HAVING count(*) >= 5
+)
+SELECT p.a, p.b, p.c_ab,
+       """
+    + sql_stable_round6("ln(p.c_ab * t.n / (ua.c_a * ub.c_a))")
+    + """ AS pmi
+FROM pairs p
+JOIN uni ua ON ua.a = p.a
+JOIN uni ub ON ub.a = p.b
+CROSS JOIN tot t
+ORDER BY pmi DESC, p.a, p.b LIMIT 50""",
     "text_unigram_logprob": ORACLE_PRELUDE
     + _TOKS
     + f""",

@@ -153,6 +153,56 @@ def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-stage funnel view→click→purchase per user: a user
+    advances to a stage only if their earliest event of that type
+    comes at-or-after their earliest event of the previous stage.
+    One groupBy(user) with conditional min aggregates (map-side
+    combinable — the classic single-shuffle funnel at any scale),
+    then a one-row count aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stage = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_view"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") >= F.col("t_click")
+    )
+    return stage.agg(
+        F.count(F.when(s1, 1)).alias("users_view"),
+        F.count(F.when(s2, 1)).alias("users_click_after_view"),
+        F.count(F.when(s3, 1)).alias("users_purchase_after_click"),
+    )
+
+
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-active epoch
+    week, counted per (cohort_week, week_offset). Week index =
+    epoch-µs integer-division (identical arithmetic in both
+    engines — no calendar/locale week rules). Two aggregates + one
+    equi-join on user_id; all frames are |users|-sized after the
+    first distinct, so the join is broadcast-eligible at any corpus
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 604800000000").alias("wk"),
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("users"))
+    )
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over the hot-keyed events table
     (5 event types × 20k rows each at sf0.1 — the exact shape where a
@@ -224,6 +274,8 @@ QUERIES = {
     "events_running_total": q_events_running_total,
     "events_rank_per_user": q_events_rank_per_user,
     "events_value_percentiles": q_events_value_percentiles,
+    "events_funnel": q_events_funnel,
+    "events_cohort_retention": q_events_cohort_retention,
 }
 
 ORACLES = {
@@ -301,6 +353,32 @@ SELECT e.event_type,
          AS est_distinct,
        x.exact_distinct
 FROM est e JOIN exact x ON x.event_type = e.event_type""",
+    "events_funnel": """
+WITH stage AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS users_view,
+       count(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                       AND t_click >= t_view THEN 1 END)
+         AS users_click_after_view,
+       count(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                       AND t_click >= t_view AND t_purchase IS NOT NULL
+                       AND t_purchase >= t_click THEN 1 END)
+         AS users_purchase_after_click
+FROM stage""",
+    "events_cohort_retention": """
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+),
+cohort AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY user_id)
+SELECT c.cohort_week, u.wk - c.cohort_week AS week_offset,
+       count(DISTINCT u.user_id) AS users
+FROM uw u JOIN cohort c ON c.user_id = u.user_id
+GROUP BY c.cohort_week, u.wk - c.cohort_week""",
     "events_value_percentiles": """
 WITH pct AS (
   SELECT event_type, quantile_cont(value, [0.5, 0.9, 0.99]) AS p
