@@ -44,6 +44,12 @@ HEADLINE = [
     "doc_chunk",
     "corpus_clean",
     "corpus_pipeline_summary",
+    # curation wave 2: clusters / decontamination / kNN join / MMR
+    "dedup_cluster_assign",
+    "decontaminate",
+    "ann_knn_join",
+    "ann_mmr_rerank",
+    "text_pmi_bigrams",
 ]
 
 

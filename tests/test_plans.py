@@ -151,3 +151,24 @@ def test_gap_sessionization_single_shuffle(spark):
     # run on the user_id partitioning — one Exchange total
     s = plan_summary(registry.all_queries()["events_sessionize_gap"](spark, SF))
     assert s["exchanges"] == 1
+
+
+def test_pmi_bigrams_distributed_topk_and_broadcast_counts(spark):
+    p = plan_of(spark, "text_pmi_bigrams")
+    assert "TakeOrderedAndProject" in p  # top-50 never a global sort
+    assert "SortMergeJoin" not in p  # unigram frames stay broadcast
+    assert "CartesianProduct" not in p  # 1-row total is BNLJ-broadcast
+
+
+def test_knn_join_never_cartesian(spark):
+    p = plan_of(spark, "ann_knn_join")
+    # the self-join must be keyed on the LSH bucket, not all-pairs
+    assert "CartesianProduct" not in p
+
+
+def test_funnel_single_user_shuffle(spark):
+    s = plan_summary(registry.all_queries()["events_funnel"](spark, SF))
+    # groupBy(user) then one-row agg: partial aggregation makes the
+    # second exchange single-row; no joins at all
+    assert s["sort_merge_joins"] == 0 and s["broadcast_hash_joins"] == 0
+    assert s["exchanges"] <= 2

@@ -53,6 +53,15 @@ def dedup_cluster_assign(
     ~6 rounds at 100 TB, each one equi-join shuffle.
     """
     pairs = minhash_lsh_dedup(df, id_col, text_col, threshold=threshold)
+    return cluster_from_pairs(pairs)
+
+
+def cluster_from_pairs(pairs: DataFrame) -> DataFrame:
+    """(id_a, id_b) near-dup pairs → (id, cluster, keep).
+
+    Takes ANY pair frame — a deployment persists the pair output of
+    its dedup pass and feeds it here directly, paying only the
+    component rounds instead of recomputing signatures."""
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     verts = (
         edges.select(F.col("src").alias("id"))
