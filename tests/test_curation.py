@@ -171,3 +171,43 @@ def test_pmi_bigrams_scores_collocation_highest(spark):
     import math
 
     assert abs(top["pmi"] - math.log(10)) < 1e-6
+
+
+def test_keep_best_per_cluster_picks_argmax(spark):
+    clusters = spark.createDataFrame(
+        [("a", "a", 1), ("b", "a", 0), ("c", "c", 1), ("d", "c", 0)],
+        "id string, cluster string, keep int",
+    )
+    quality = spark.createDataFrame(
+        [("a", 0.2), ("b", 0.9), ("c", 0.5), ("d", 0.5)],
+        "id string, quality double",
+    )
+    got = {
+        r["cluster"]: r
+        for r in curation.keep_best_per_cluster(clusters, quality).collect()
+    }
+    assert got["a"]["best_id"] == "b"  # highest quality wins
+    assert got["a"]["best_quality"] == 0.9
+    assert got["a"]["n_members"] == 2
+    assert got["c"]["best_id"] == "c"  # tie → min id
+
+
+def test_neighbor_embedding_agg_weighted_mean(spark):
+    from vector_graph_native_database__spark.operators.analytics import (
+        neighbor_embedding_agg,
+    )
+
+    edges = spark.createDataFrame(
+        [("e1", "u", "v", "t", 1.0), ("e2", "u", "w", "t", 3.0)],
+        "id string, src string, dst string, type string, weight double",
+    )
+    emb = spark.createDataFrame(
+        [("v", [2.0, 0.0], 2), ("w", [6.0, 4.0], 2)],
+        "node_id string, vector array<double>, dim int",
+    )
+    got = {
+        (r["id"], r["idx"]): r["nvec"]
+        for r in neighbor_embedding_agg(edges, emb, dim=2).collect()
+    }
+    # (1*2 + 3*6)/4 = 5.0 ; (1*0 + 3*4)/4 = 3.0
+    assert got == {("u", 0): 5.0, ("u", 1): 3.0}

@@ -274,3 +274,33 @@ def sssp_k(
         )
         frontier = improved
     return best
+
+
+def neighbor_embedding_agg(
+    edges: DataFrame, emb: DataFrame, dim: int = 64
+) -> DataFrame:
+    """Weighted mean of out-neighbor embeddings per node
+    → (id, idx, nvec): the one-hop GNN-style feature aggregation
+    nvec(u) = Σ_v w(u,v)·x(v) / Σ_v w(u,v) over edges u→v.
+
+    The graph×vector fusion op: one equi-join (edges ⋈ embeddings on
+    dst) then a scalar groupBy on (src, idx) after posexplode —
+    map-side combinable, no array aggregation state. Output size is
+    |nodes|·dim rows, the inherent cost of materializing a feature
+    matrix; at 100 TB both sides shuffle on their join/group keys
+    once. Requires positive edge weights (the model guarantees it);
+    a zero-weight neighborhood would yield NULL, not 0.
+    """
+    e = edges.select("src", "dst", "weight")
+    v = emb.filter(F.size("vector") == dim).select(
+        F.col("node_id").alias("dst"), "vector"
+    )
+    ex = e.join(v, "dst").select(
+        "src", "weight", F.posexplode("vector").alias("idx", "x")
+    )
+    nv = F.sum(F.col("weight") * F.col("x")) / F.sum("weight")
+    return (
+        ex.groupBy("src", "idx")
+        .agg((F.floor(nv * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("nvec"))
+        .select(F.col("src").alias("id"), "idx", "nvec")
+    )

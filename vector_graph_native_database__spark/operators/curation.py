@@ -176,3 +176,36 @@ def centroids_by_group(
             )
         )
     )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame, quality: DataFrame, score_col: str = "quality"
+) -> DataFrame:
+    """Duplicate clusters × quality scores → one representative per
+    cluster: (cluster, best_id, best_quality, n_members).
+
+    The min-id keeper rule (``dedup_cluster_assign``) is arbitrary;
+    real pipelines keep the HIGHEST-QUALITY member of each duplicate
+    cluster. One window over the cluster partitioning computes both
+    the argmax (row_number over rounded score desc, id asc — the
+    6dp-rounded score makes the ordering engine-portable) and the
+    cluster size. Cluster count ≪ corpus, so this is a small-frame
+    op regardless of corpus scale."""
+    from pyspark.sql import Window
+
+    j = clusters.select("id", "cluster").join(
+        quality.select("id", F.col(score_col).alias("q")), "id"
+    )
+    w = Window.partitionBy("cluster")
+    wr = w.orderBy(F.desc("q"), F.asc("id"))
+    return (
+        j.withColumn("rk", F.row_number().over(wr))
+        .withColumn("n_members", F.count("*").over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster",
+            F.col("id").alias("best_id"),
+            F.col("q").alias("best_quality"),
+            "n_members",
+        )
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators.analytics import (
     connected_components,
     degrees,
+    neighbor_embedding_agg,
     pagerank,
     sssp_k,
     triangle_count,
@@ -60,6 +61,11 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp_k(edges, "0", SSSP_HOPS).select(
         "id", F.round("min_weight", 6).alias("min_weight")
     )
+
+
+def q_graph_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, emb, edges = model(spark, sf_dir)
+    return neighbor_embedding_agg(edges, emb, dim=64)
 
 
 def _pagerank_sql() -> str:
@@ -108,6 +114,7 @@ QUERIES = {
     "graph_connected_components": q_graph_connected_components,
     "graph_triangles": q_graph_triangles,
     "graph_sssp": q_graph_sssp,
+    "graph_neighbor_agg": q_graph_neighbor_agg,
 }
 
 ORACLES = {
@@ -147,4 +154,17 @@ JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b""",
     + sql_bfs_cte("0", SSSP_HOPS)
     + """
 SELECT id, round(min(w), 6) AS min_weight FROM walk GROUP BY id""",
+    "graph_neighbor_agg": ORACLE_PRELUDE
+    + """,
+dv AS (
+  SELECT node_id, CAST(vector AS DOUBLE[]) AS v
+  FROM emb WHERE len(vector) = 64
+)
+SELECT e.src AS id, i.i - 1 AS idx,
+       floor((sum(e.weight * dv.v[i.i]) / sum(e.weight))
+             * 1000000.0 + 0.5) / 1000000.0 AS nvec
+FROM edges e
+JOIN dv ON dv.node_id = e.dst
+CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(dv.v))) AS i) i
+GROUP BY e.src, i.i""",
 }

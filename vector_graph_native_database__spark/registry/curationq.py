@@ -34,6 +34,15 @@ def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.dedup_cluster_assign(nodes, threshold=0.8)
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: cluster assignment × quality scoring → the
+    highest-quality representative of every duplicate cluster."""
+    nodes, _, _ = model(spark, sf_dir)
+    clusters = curation.dedup_cluster_assign(nodes, threshold=0.8)
+    quality = text_analysis.quality_score(nodes)
+    return curation.keep_best_per_cluster(clusters, quality)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, _, _ = model(spark, sf_dir)
     return curation.decontaminate(nodes, k=3, eval_mod=EVAL_MOD)
@@ -71,6 +80,7 @@ _MMR_IDS = ["0", "100", "200", "300", "400"]
 
 QUERIES = {
     "dedup_cluster_assign": q_dedup_cluster_assign,
+    "dedup_keep_best": q_dedup_keep_best,
     "decontaminate": q_decontaminate,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_pmi_bigrams": q_text_pmi_bigrams,
@@ -245,6 +255,45 @@ reach AS (
 SELECT root AS id, min(node) AS cluster,
        CAST(root = min(node) AS INT) AS keep
 FROM reach GROUP BY root""",
+    "dedup_keep_best": ORACLE_PRELUDE
+    + _MINHASH_PAIRS
+    + """,
+verts AS (SELECT id_a AS id FROM pairs UNION SELECT id_b AS id FROM pairs),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT id AS root, id AS node FROM verts
+  UNION
+  SELECT r.root, s.dst AS node FROM reach r JOIN sym s ON s.src = r.node
+),
+clus AS (SELECT root AS id, min(node) AS cluster FROM reach GROUP BY root),
+qstats AS (
+  SELECT id, len(t) AS n_tok,
+         CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+           AS total_chars,
+         len(list_filter(t, x -> list_contains(
+           ['a','and','das','de','der','die','el','et','la','le','les',
+            'of','que','the','to','und','y','zu'], x))) AS stop_hits
+  FROM toks
+),
+q AS (
+  SELECT id,
+         floor((CASE WHEN n_tok > 0 THEN
+           0.4 * least(1.0, n_tok / 100.0)
+           + 0.3 * (1.0 - least(1.0, abs(total_chars / n_tok - 5) / 5.0))
+           + 0.3 * (stop_hits * 1.0 / n_tok)
+         ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS qv
+  FROM qstats
+)
+SELECT cluster, id AS best_id, qv AS best_quality, n_members FROM (
+  SELECT c.cluster, c.id, q.qv,
+         row_number() OVER (
+           PARTITION BY c.cluster ORDER BY q.qv DESC, c.id) AS rk,
+         count(*) OVER (PARTITION BY c.cluster) AS n_members
+  FROM clus c JOIN q ON q.id = c.id
+) WHERE rk = 1""",
     "decontaminate": ORACLE_PRELUDE
     + _TOKS
     + _sh_cte(3, "sh")
