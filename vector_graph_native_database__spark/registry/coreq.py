@@ -161,6 +161,28 @@ def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_TOPCITED = """
+WITH indeg AS (SELECT dst AS id, count(*) AS cites FROM edges GROUP BY dst)
+SELECT lang, id, cites, rnk FROM (
+  SELECT n.lang, n.id, i.cites,
+         row_number() OVER (
+           PARTITION BY n.lang ORDER BY i.cites DESC, n.id) AS rnk
+  FROM nodes n JOIN indeg i ON i.id = n.id
+) ranked WHERE rnk <= 2"""
+
+
+def q_sql_frontend_topcited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface end-to-end: the model frames are
+    registered as temp views and an ANSI query (CTE + join + window)
+    runs through Catalyst. The SAME query text doubles as the DuckDB
+    oracle — the check is that two ANSI engines agree on the engine's
+    published views. The reference has no SQL frontend at all
+    (SURVEY §2); on Spark it is free."""
+    from ..sql import sql
+
+    return sql(spark, sf_dir, SQL_TOPCITED)
+
+
 QUERIES = {
     "scan_nodes": q_scan_nodes,
     "scan_embeddings": q_scan_embeddings,
@@ -173,6 +195,7 @@ QUERIES = {
     "io_jsonl_roundtrip": q_io_jsonl_roundtrip,
     "io_csv_roundtrip": q_io_csv_roundtrip,
     "io_orc_roundtrip": q_io_orc_roundtrip,
+    "sql_frontend_topcited": q_sql_frontend_topcited,
 }
 
 ORACLES = {
@@ -218,4 +241,8 @@ WHERE n.id = '5'""",
     + "\nSELECT id, text, lang, n_chars FROM nodes ORDER BY id",
     "io_orc_roundtrip": ORACLE_PRELUDE
     + "\nSELECT id, text, lang, n_chars FROM nodes ORDER BY id",
+    # the frontend check runs the IDENTICAL ANSI text on both engines
+    "sql_frontend_topcited": ORACLE_PRELUDE + "," + SQL_TOPCITED.replace(
+        "WITH indeg", "indeg", 1
+    ),
 }

@@ -188,9 +188,51 @@ def q_events_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication through the real engine: events stream
+    → ``dropDuplicates(user_id, event_type)`` → parquet sink → batch
+    count per type. The sink's per-type user counts are
+    order-independent (each distinct pair survives exactly once
+    whatever the arrival order), so the DuckDB twin is a plain
+    count(DISTINCT user_id) — the gate value-checks the streaming
+    dedup state machinery. Production pins state with
+    ``dropDuplicatesWithinWatermark`` (streaming/stateful.py); the
+    registry run is a bounded availableNow replay, where run-scoped
+    state is the point."""
+    import os
+    import tempfile
+
+    from ..streaming.ingest import EVENTS_SCHEMA
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = tempfile.mkdtemp(prefix="events_stream_dedup_")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        stream.dropDuplicates(["user_id", "event_type"])
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("unique_users"))
+    )
+
+
 QUERIES = {
     "events_stream_replay": q_events_stream_replay,
     "events_stream_windows": q_events_stream_windows,
+    "events_stream_dedup": q_events_stream_dedup,
     "events_sessionize_gap": q_events_sessionize_gap,
     "events_tumbling": q_events_tumbling,
     "events_sliding": q_events_sliding,
@@ -200,6 +242,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_stream_dedup": """
+SELECT event_type, count(DISTINCT user_id) AS unique_users
+FROM events GROUP BY event_type""",
     "events_sessionize_gap": """
 WITH flagged AS (
   SELECT user_id, ts, event_id,
