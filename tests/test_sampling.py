@@ -89,3 +89,29 @@ def test_corpus_clean_quality_gate_and_dedup(spark):
     ids = {r["id"] for r in got}
     assert ids == {"d1"}  # d2 deduped away (min-id keeper), d3 quality-gated
     assert got[0]["quality"] >= 0.3
+
+
+def test_pack_greedy_layout_invariants(spark):
+    df = spark.createDataFrame(
+        [(str(i), 10 + i % 7) for i in range(40)], "id string, w int"
+    )
+    got = sampling.pack_greedy(df, "w", budget=32, n_shards=3).collect()
+    assert len(got) == 40
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= {0, 1, 2}
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["start_offset"])
+        # offsets tile the shard stream exactly end-to-end
+        expect = 0
+        for r in rows:
+            assert r["start_offset"] == expect
+            assert r["bin_id"] == r["start_offset"] // 32
+            expect += r["weight"]
+        # bins are contiguous and non-decreasing in stream order
+        bins = [r["bin_id"] for r in rows]
+        assert bins == sorted(bins)
+    # rerun is byte-identical (pure function of ids)
+    again = sampling.pack_greedy(df, "w", budget=32, n_shards=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))

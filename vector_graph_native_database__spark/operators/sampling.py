@@ -184,3 +184,51 @@ def corpus_clean(
     return passing.join(keepers.select("id"), "id", "left_semi").select(
         "id", "n_tokens", "quality"
     )
+
+
+def pack_greedy(
+    df: DataFrame,
+    weight_col: str,
+    budget: int,
+    n_shards: int = 8,
+    id_col: str = "id",
+    salt: str = "pack",
+) -> DataFrame:
+    """Greedy sequential bin packing within hash shards
+    → (id, weight, shard, start_offset, bin_id).
+
+    Items are dealt deterministically into ``n_shards`` hash shards,
+    ordered within each shard by (hash bucket, id), and laid out
+    end-to-end; an item's bin is the one its START offset falls in
+    (``start_offset // budget``) — the standard streaming fill rule,
+    so a bin overflows by at most one item. Backs both training
+    sequence packing (weight = token count, budget = context length)
+    and multimodal shard manifests (weight = blob bytes, budget =
+    shard size).
+
+    Scale shape: packing is per-shard (one window partitioned by
+    shard — parallel across shards, never a global single-reducer
+    sort); determinism comes from the md5 deal + ordering, so any
+    cluster layout reproduces the identical manifest.
+    """
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(weight_col).cast("long").alias("weight"),
+    ).withColumn("__bkt", stable_bucket("id", salt))
+    d = d.withColumn(
+        "shard", (F.col("__bkt") % F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("__bkt", "id")
+    start = F.coalesce(
+        F.sum("weight").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return (
+        d.withColumn("start_offset", start)
+        .withColumn(
+            "bin_id", F.floor(F.col("start_offset") / F.lit(budget)).cast("long")
+        )
+        .select("id", "weight", "shard", "start_offset", "bin_id")
+    )

@@ -51,8 +51,23 @@ def q_mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(fake_decode_image_meta(attach_binary(nodes)))
 
 
+def q_mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest for the binary tier: blobs dealt into 4 hash
+    shards and laid out greedily into 4 KiB bins (the write-plan a
+    blob-store exporter consumes). Reuses the generic packing
+    operator with weight = payload bytes."""
+    from ..operators.sampling import pack_greedy
+
+    nodes, _, _ = model(spark, sf_dir)
+    b = attach_binary(nodes).select("id", "n_bytes")
+    return pack_greedy(
+        b, "n_bytes", budget=4096, n_shards=4, salt="mmshard"
+    )
+
+
 QUERIES = {
     "mm_binary_stats": q_mm_binary_stats,
+    "mm_shard_manifest": q_mm_shard_manifest,
     "mm_image_meta": q_mm_image_meta,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_feature_hist": q_mm_feature_hist,
@@ -60,6 +75,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mm_shard_manifest": ORACLE_PRELUDE
+    + """,
+bw AS (SELECT id, octet_length(encode(text)) AS w FROM nodes),
+sh AS (
+  SELECT id, w,
+         ('0x' || substr(md5('mmshard' || id), 1, 15))::BIGINT % 10000 AS bkt,
+         CAST((('0x' || substr(md5('mmshard' || id), 1, 15))::BIGINT % 10000)
+              % 4 AS INT) AS shard
+  FROM bw
+),
+ofs AS (
+  SELECT id, w, shard,
+         CAST(coalesce(sum(w) OVER (
+           PARTITION BY shard ORDER BY bkt, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM sh
+)
+SELECT id, w AS weight, shard, start_offset,
+       start_offset // 4096 AS bin_id
+FROM ofs""",
     "mm_binary_stats": ORACLE_PRELUDE
     + """
 SELECT id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5,

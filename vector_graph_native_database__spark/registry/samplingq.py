@@ -9,8 +9,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
+from ..functions.textfn import tokenize
 from ..operators import sampling
-from .common import ORACLE_PRELUDE, model
+from .common import ORACLE_PRELUDE, SQL_TOKENS, model
 
 _BUCKET = "('0x' || substr(md5('{salt}' || id), 1, 15))::BIGINT % 10000"
 
@@ -73,8 +76,18 @@ def q_corpus_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training sequence packing: per-doc token counts laid out
+    greedily into 256-token bins within 8 hash shards — the batch
+    manifest a pretraining loader consumes."""
+    nodes, _, _ = model(spark, sf_dir)
+    toks = nodes.select("id", F.size(tokenize("text")).alias("n_tokens"))
+    return sampling.pack_greedy(toks, "n_tokens", budget=256, n_shards=8)
+
+
 QUERIES = {
     "sample_hash": q_sample_hash,
+    "doc_pack_sequences": q_doc_pack_sequences,
     "split_train_eval": q_split_train_eval,
     "sample_stratified": q_sample_stratified,
     "sample_pps": q_sample_pps,
@@ -112,6 +125,25 @@ quality AS (
 )"""
 
 ORACLES = {
+    "doc_pack_sequences": ORACLE_PRELUDE
+    + f""",
+tk AS (SELECT id, len({SQL_TOKENS.format(col='text')}) AS w FROM nodes),
+sh AS (
+  SELECT id, w, {_BUCKET.format(salt='pack')} AS bkt,
+         CAST({_BUCKET.format(salt='pack')} % 8 AS INT) AS shard
+  FROM tk
+),
+ofs AS (
+  SELECT id, w, shard,
+         CAST(coalesce(sum(w) OVER (
+           PARTITION BY shard ORDER BY bkt, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM sh
+)
+SELECT id, w AS weight, shard, start_offset,
+       start_offset // 256 AS bin_id
+FROM ofs""",
     "sample_hash": ORACLE_PRELUDE
     + f"""
 SELECT id, lang, source, n_chars FROM nodes
