@@ -211,3 +211,28 @@ def test_neighbor_embedding_agg_weighted_mean(spark):
     }
     # (1*2 + 3*6)/4 = 5.0 ; (1*0 + 3*4)/4 = 3.0
     assert got == {("u", 0): 5.0, ("u", 1): 3.0}
+
+
+def test_token_entropy_extremes(spark):
+    from vector_graph_native_database__spark.operators.text_analysis import (
+        token_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [("rep", "spam spam spam spam"), ("div", "a b c d")],
+        "id string, text string",
+    )
+    got = {r["id"]: r for r in token_entropy(df).collect()}
+    assert got["rep"]["entropy"] == 0.0  # degenerate distribution
+    assert abs(got["div"]["entropy"] - math.log(4)) < 1e-6  # uniform
+    assert got["div"]["n_tokens"] == 4
+
+
+def test_anomaly_zscore_flags_only_extremes(spark, sf_dir):
+    from vector_graph_native_database__spark.registry.olapq import (
+        q_events_anomaly_zscore,
+    )
+
+    rows = q_events_anomaly_zscore(spark, sf_dir).collect()
+    assert rows  # the harness value distribution has ≥3σ tails
+    assert all(abs(r["z"]) >= 3 for r in rows)

@@ -344,3 +344,39 @@ def pmi_bigrams(
         .orderBy(F.desc("pmi"), "a", "b")
         .limit(k)
     )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy of the within-document token distribution
+    → (id, n_tokens, entropy).
+
+    entropy = −Σ (tf/n)·ln(tf/n) over the doc's token frequencies:
+    near-zero for degenerate repetition ("spam spam spam"), ~ln(n)
+    for all-distinct text — the complement to the Gopher repetition
+    rules as a quality signal. Same single groupBy(id, tok) shuffle
+    as the tf frame BM25 already builds; zero-token docs are absent
+    (no distribution to measure).
+    """
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
+        )
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = Window.partitionBy("id")
+    p = F.col("tf") / F.sum("tf").over(n)
+    ent = (
+        tf.withColumn("c", -p * F.log(p))
+        .groupBy("id")
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("c").alias("h"))
+    )
+    return ent.select(
+        "id",
+        "n_tokens",
+        (F.floor(F.col("h") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "entropy"
+        ),
+    )

@@ -58,6 +58,11 @@ def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.pmi_bigrams(nodes, min_count=5, k=50)
 
 
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return text_analysis.token_entropy(nodes)
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, emb, _ = model(spark, sf_dir)
     return curation.centroids_by_group(emb, nodes, label_col="lang", dim=64)
@@ -84,6 +89,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_pmi_bigrams": q_text_pmi_bigrams,
+    "text_token_entropy": q_text_token_entropy,
     "embedding_centroids": q_embedding_centroids,
     "ann_knn_join": q_ann_knn_join,
     "ann_mmr_rerank": q_ann_mmr_rerank,
@@ -335,6 +341,19 @@ JOIN uni ua ON ua.a = p.a
 JOIN uni ub ON ub.a = p.b
 CROSS JOIN tot t
 ORDER BY pmi DESC, p.a, p.b LIMIT 50""",
+    "text_token_entropy": ORACLE_PRELUDE
+    + _TOKS
+    + f""",
+tf AS (
+  SELECT id, tok, count(*) AS tf
+  FROM (SELECT id, unnest(t) AS tok FROM toks) GROUP BY id, tok
+),
+nn AS (SELECT id, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY id)
+SELECT t.id, nn.n AS n_tokens,
+       {sql_stable_round6(
+           "sum(-(t.tf * 1.0 / nn.n) * ln(t.tf * 1.0 / nn.n))")} AS entropy
+FROM tf t JOIN nn ON nn.id = t.id
+GROUP BY t.id, nn.n""",
     "text_unigram_logprob": ORACLE_PRELUDE
     + _TOKS
     + f""",

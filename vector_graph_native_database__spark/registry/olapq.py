@@ -203,6 +203,25 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flags: events whose value deviates
+    ≥3σ from their type's mean. One 5-row stats aggregate broadcast
+    back over the scan — map-only flagging at any scale. (The ±3 cut
+    is applied to a 6dp-rounded z so the boundary is engine-stable up
+    to ~1e-13 aggregation-order noise in μ/σ.)"""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z6 = stable_round6((F.col("value") - F.col("mu")) / F.col("sd"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z6)
+        .filter(F.abs("z") >= 3)
+        .select("event_id", "event_type", "z")
+    )
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over the hot-keyed events table
     (5 event types × 20k rows each at sf0.1 — the exact shape where a
@@ -276,6 +295,7 @@ QUERIES = {
     "events_value_percentiles": q_events_value_percentiles,
     "events_funnel": q_events_funnel,
     "events_cohort_retention": q_events_cohort_retention,
+    "events_anomaly_zscore": q_events_anomaly_zscore,
 }
 
 ORACLES = {
@@ -353,6 +373,15 @@ SELECT e.event_type,
          AS est_distinct,
        x.exact_distinct
 FROM est e JOIN exact x ON x.event_type = e.event_type""",
+    "events_anomaly_zscore": """
+WITH s AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       floor(((e.value - s.mu) / s.sd) * 1000000.0 + 0.5) / 1000000.0 AS z
+FROM events e JOIN s ON s.event_type = e.event_type
+WHERE abs(floor(((e.value - s.mu) / s.sd) * 1000000.0 + 0.5) / 1000000.0) >= 3""",
     "events_funnel": """
 WITH stage AS (
   SELECT user_id,
