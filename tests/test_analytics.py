@@ -162,3 +162,26 @@ def test_native_hll_agrees_with_kmv_target(spark):
     )
     got = df.agg(F.approx_count_distinct("v").alias("d")).collect()[0]["d"]
     assert abs(got - 500) / 500 < 0.1
+
+
+def test_kcore_peel_removes_low_degree_chain_ends(spark):
+    from vector_graph_native_database__spark.operators.analytics import (
+        kcore_peel,
+    )
+
+    # path a-b-c-d plus triangle x-y-z: with k=2 the path peels away
+    # end-first (2 rounds kill it entirely); the triangle is a true
+    # 2-core and survives any number of rounds at degree 2.
+    rows = [
+        ("e1", "a", "b", "t", 1.0),
+        ("e2", "b", "c", "t", 1.0),
+        ("e3", "c", "d", "t", 1.0),
+        ("e4", "x", "y", "t", 1.0),
+        ("e5", "y", "z", "t", 1.0),
+        ("e6", "z", "x", "t", 1.0),
+    ]
+    edges = spark.createDataFrame(
+        rows, "id string, src string, dst string, type string, weight double"
+    )
+    got = {r["id"]: r["degree"] for r in kcore_peel(edges, k=2, rounds=4).collect()}
+    assert got == {"x": 2, "y": 2, "z": 2}

@@ -304,3 +304,40 @@ def neighbor_embedding_agg(
         .agg((F.floor(nv * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("nvec"))
         .select(F.col("src").alias("id"), "idx", "nvec")
     )
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = 2, rounds: int = 4
+) -> DataFrame:
+    """k-core peeling, ``rounds`` synchronous rounds → (id, degree).
+
+    Each round drops every node whose undirected degree is < k, then
+    removes edges touching dropped nodes; the output is the degree
+    table of the graph surviving round ``rounds`` (= the true k-core
+    once no round changes anything — the fixed round count is what
+    makes the DuckDB oracle an exact unrolled-CTE twin, like
+    PageRank). Each round is one map-combinable degree aggregate and
+    two semi-joins on node id; the frame only shrinks, so cost is
+    monotone decreasing at any scale.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    # each round references the previous frame three times (degree +
+    # two semi-joins); checkpointing per round keeps the lineage flat
+    # instead of 3^rounds recomputations — same shape as
+    # connected_components above
+    cur = sym.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = cur.groupBy("src").agg(F.count("*").alias("c"))
+        keep = deg.filter(F.col("c") >= k).select("src")
+        cur = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return cur.groupBy("src").agg(F.count("*").alias("degree")).select(
+        F.col("src").alias("id"), "degree"
+    )

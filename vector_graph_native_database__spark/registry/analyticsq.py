@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators.analytics import (
     connected_components,
     degrees,
+    kcore_peel,
     neighbor_embedding_agg,
     pagerank,
     sssp_k,
@@ -68,6 +69,15 @@ def q_graph_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neighbor_embedding_agg(edges, emb, dim=64)
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, edges = model(spark, sf_dir)
+    return kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
 def _pagerank_sql() -> str:
     d = PR_DAMPING
     ctes = [
@@ -115,6 +125,7 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "graph_sssp": q_graph_sssp,
     "graph_neighbor_agg": q_graph_neighbor_agg,
+    "graph_kcore": q_graph_kcore,
 }
 
 ORACLES = {
@@ -154,6 +165,7 @@ JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b""",
     + sql_bfs_cte("0", SSSP_HOPS)
     + """
 SELECT id, round(min(w), 6) AS min_weight FROM walk GROUP BY id""",
+    "graph_kcore": None,  # assigned below (unrolled rounds)
     "graph_neighbor_agg": ORACLE_PRELUDE
     + """,
 dv AS (
@@ -168,3 +180,36 @@ JOIN dv ON dv.node_id = e.dst
 CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(dv.v))) AS i) i
 GROUP BY e.src, i.i""",
 }
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled peel rounds — the same fixed-iteration trick as the
+    PageRank oracle: d{t}/k{t}/s{t+1} per round.
+
+    NOTE: inside a WITH RECURSIVE block DuckDB 1.0 executes a CTE's
+    bare UNION with union-all semantics, so the symmetrization
+    dedupes EXPLICITLY (UNION ALL + DISTINCT) — a bare UNION here
+    double-counts every reciprocal edge pair's degree."""
+    ctes = [
+        """,
+s0 AS (SELECT DISTINCT src, dst FROM
+       (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges))"""
+    ]
+    for t in range(rounds):
+        ctes.append(
+            f""",
+d{t} AS (SELECT src, count(*) AS c FROM s{t} GROUP BY src),
+k{t} AS (SELECT src FROM d{t} WHERE c >= {k}),
+s{t + 1} AS (
+  SELECT e.src, e.dst FROM s{t} e
+  JOIN k{t} a ON a.src = e.src
+  JOIN k{t} b ON b.src = e.dst)"""
+        )
+    return (
+        ORACLE_PRELUDE
+        + "".join(ctes)
+        + f"\nSELECT src AS id, count(*) AS degree FROM s{rounds} GROUP BY src"
+    )
+
+
+ORACLES["graph_kcore"] = _kcore_sql()
