@@ -172,3 +172,14 @@ def test_funnel_single_user_shuffle(spark):
     # second exchange single-row; no joins at all
     assert s["sort_merge_joins"] == 0 and s["broadcast_hash_joins"] == 0
     assert s["exchanges"] <= 2
+
+
+def test_q5_star_join_broadcasts_dimensions(spark):
+    s = plan_summary(
+        registry.all_queries()["olap_local_supplier_volume"](spark, SF)
+    )
+    # region/nation/supplier/customer broadcast; at most the
+    # orders⋈lineitem fact join may shuffle-join
+    assert s["broadcast_hash_joins"] >= 4
+    assert s["sort_merge_joins"] <= 1
+    assert s["python_row_udfs"] == 0

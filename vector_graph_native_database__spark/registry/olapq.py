@@ -105,6 +105,49 @@ def q_olap_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_olap_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: revenue per nation from orders where the
+    customer and the line's supplier share that nation, restricted to
+    one region and one order-date year. Six-table star join — the
+    canonical Catalyst join-ordering exercise: region/nation broadcast
+    (5/25 rows), supplier/customer broadcast at any realistic dims
+    ratio, and only the orders⋈lineitem fact join shuffles. Revenue
+    sums in exact decimal (the _dec_sum convention) so both engines
+    agree at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    y0 = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    y1 = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            supp,
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= y0)
+            & (F.col("o_orderdate") < y1)
+        )
+        .groupBy("n_name")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
@@ -288,6 +331,7 @@ QUERIES = {
     "olap_revenue_rollup": q_olap_revenue_rollup,
     "olap_top_customers": q_olap_top_customers,
     "olap_cube_orders": q_olap_cube_orders,
+    "olap_local_supplier_volume": q_olap_local_supplier_volume,
     "skew_salted_agg": q_skew_salted_agg,
     "approx_distinct_kmv": q_approx_distinct_kmv,
     "events_running_total": q_events_running_total,
@@ -373,6 +417,22 @@ SELECT e.event_type,
          AS est_distinct,
        x.exact_distinct
 FROM est e JOIN exact x ON x.event_type = e.event_type""",
+    "olap_local_supplier_volume": """
+SELECT n.n_name,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name""",
     "events_anomaly_zscore": """
 WITH s AS (
   SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
