@@ -148,6 +148,26 @@ def q_olap_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-table enrichment: the events fact joined to the
+    customer dimension (broadcast — the dimension is always the small
+    side) and rolled up per market segment. The batch expression of
+    the stream-enrichment join a Structured Streaming deployment runs
+    with the same broadcast hint; value sums in exact decimal."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(
+            F.broadcast(cust), ev["user_id"] == cust["c_custkey"]
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dec_sum(F.col("value"), "sum_value"),
+        )
+    )
+
+
 def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
@@ -332,6 +352,7 @@ QUERIES = {
     "olap_top_customers": q_olap_top_customers,
     "olap_cube_orders": q_olap_cube_orders,
     "olap_local_supplier_volume": q_olap_local_supplier_volume,
+    "events_by_segment": q_events_by_segment,
     "skew_salted_agg": q_skew_salted_agg,
     "approx_distinct_kmv": q_approx_distinct_kmv,
     "events_running_total": q_events_running_total,
@@ -417,6 +438,13 @@ SELECT e.event_type,
          AS est_distinct,
        x.exact_distinct
 FROM est e JOIN exact x ON x.event_type = e.event_type""",
+    "events_by_segment": """
+SELECT c.c_mktsegment,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(e.value AS DECIMAL(30,10))), 6) AS DOUBLE)
+         AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment""",
     "olap_local_supplier_volume": """
 SELECT n.n_name,
        CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
