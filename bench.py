@@ -50,6 +50,7 @@ HEADLINE = [
     "ann_knn_join",
     "ann_mmr_rerank",
     "text_pmi_bigrams",
+    "curation_pipeline_summary",
 ]
 
 

@@ -236,3 +236,16 @@ def test_anomaly_zscore_flags_only_extremes(spark, sf_dir):
     rows = q_events_anomaly_zscore(spark, sf_dir).collect()
     assert rows  # the harness value distribution has ≥3σ tails
     assert all(abs(r["z"]) >= 3 for r in rows)
+
+
+def test_curation_pipeline_summary_funnel_narrows(spark, sf_dir):
+    from vector_graph_native_database__spark.registry.curationq import (
+        q_curation_pipeline_summary,
+    )
+
+    row = q_curation_pipeline_summary(spark, sf_dir).collect()[0]
+    assert row["n_raw"] > 0
+    assert row["n_quality"] <= row["n_raw"]
+    assert row["n_final"] <= row["n_quality"]
+    # every final doc lands in some bin; bins ≤ docs
+    assert 0 < row["n_bins"] <= row["n_final"] or row["n_final"] == 0

@@ -83,8 +83,45 @@ def q_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MMR_IDS = ["0", "100", "200", "300", "400"]
 
 
+def q_curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation wave as ONE lazy plan: quality gate →
+    eval-split decontamination → transitive near-dup removal →
+    sequence packing of the survivors → one-row funnel summary
+    (raw / quality-pass / contaminated / dup-dropped / final / bins).
+    Catalyst fuses all stages; the single-row stage aggregates
+    broadcast-join into the summary row — the shape a 100 TB corpus
+    build actually runs end-to-end."""
+    from ..functions.textfn import tokenize
+    from ..operators.sampling import pack_greedy
+
+    nodes, _, _ = model(spark, sf_dir)
+    q = text_analysis.quality_score(nodes)
+    qpass = q.filter(F.col("quality") >= 0.5).select("id")
+    cont = curation.decontaminate(nodes, k=3, eval_mod=EVAL_MOD).select("id")
+    dropped = (
+        curation.dedup_cluster_assign(nodes, threshold=0.8)
+        .filter(F.col("keep") == 0)
+        .select("id")
+    )
+    final = qpass.join(cont, "id", "left_anti").join(dropped, "id", "left_anti")
+    toks = nodes.join(final, "id", "left_semi").select(
+        "id", F.size(tokenize("text")).alias("n_tokens")
+    )
+    packed = pack_greedy(toks, "n_tokens", budget=256, n_shards=8)
+    bins = packed.select("shard", "bin_id").distinct()
+    return (
+        nodes.agg(F.count("*").alias("n_raw"))
+        .crossJoin(F.broadcast(qpass.agg(F.count("*").alias("n_quality"))))
+        .crossJoin(F.broadcast(cont.agg(F.count("*").alias("n_contaminated"))))
+        .crossJoin(F.broadcast(dropped.agg(F.count("*").alias("n_dup_dropped"))))
+        .crossJoin(F.broadcast(final.agg(F.count("*").alias("n_final"))))
+        .crossJoin(F.broadcast(bins.agg(F.count("*").alias("n_bins"))))
+    )
+
+
 QUERIES = {
     "dedup_cluster_assign": q_dedup_cluster_assign,
+    "curation_pipeline_summary": q_curation_pipeline_summary,
     "dedup_keep_best": q_dedup_keep_best,
     "decontaminate": q_decontaminate,
     "text_unigram_logprob": q_text_unigram_logprob,
@@ -261,6 +298,77 @@ reach AS (
 SELECT root AS id, min(node) AS cluster,
        CAST(root = min(node) AS INT) AS keep
 FROM reach GROUP BY root""",
+    "curation_pipeline_summary": ORACLE_PRELUDE
+    + _MINHASH_PAIRS
+    + _sh_cte(3, "sh3")
+    + f""",
+verts AS (SELECT id_a AS id FROM pairs UNION SELECT id_b AS id FROM pairs),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT id AS root, id AS node FROM verts
+  UNION
+  SELECT r.root, s.dst AS node FROM reach r JOIN sym s ON s.src = r.node
+),
+clus AS (SELECT root AS id, min(node) AS cluster FROM reach GROUP BY root),
+dropped AS (SELECT id FROM clus WHERE id <> cluster),
+qstats AS (
+  SELECT id, len(t) AS n_tok,
+         CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+           AS total_chars,
+         len(list_filter(t, x -> list_contains(
+           ['a','and','das','de','der','die','el','et','la','le','les',
+            'of','que','the','to','und','y','zu'], x))) AS stop_hits
+  FROM toks
+),
+qpass AS (
+  SELECT id FROM qstats
+  WHERE (CASE WHEN n_tok > 0 THEN
+      floor((0.4 * least(1.0, n_tok / 100.0)
+        + 0.3 * (1.0 - least(1.0, abs(total_chars / n_tok - 5) / 5.0))
+        + 0.3 * (stop_hits * 1.0 / n_tok)) * 1000000.0 + 0.5) / 1000000.0
+    ELSE 0.0 END) >= 0.5
+),
+shh AS (SELECT id, {_H60.format(x="shingle")} AS h FROM sh3),
+evs AS (
+  SELECT DISTINCT id AS eval_id, h FROM shh
+  WHERE CAST(id AS INT) % {EVAL_MOD} = 0
+),
+trs AS (SELECT id, h FROM shh WHERE CAST(id AS INT) % {EVAL_MOD} <> 0),
+cont AS (SELECT DISTINCT t.id FROM trs t JOIN evs e ON e.h = t.h),
+final AS (
+  SELECT id FROM qpass p
+  WHERE NOT EXISTS (SELECT 1 FROM cont c WHERE c.id = p.id)
+    AND NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = p.id)
+),
+ftoks AS (
+  SELECT t.id, len(t.t) AS w FROM toks t
+  WHERE EXISTS (SELECT 1 FROM final f WHERE f.id = t.id)
+),
+fsh AS (
+  SELECT id, w,
+         ('0x' || substr(md5('pack' || id), 1, 15))::BIGINT % 10000 AS bkt,
+         CAST((('0x' || substr(md5('pack' || id), 1, 15))::BIGINT % 10000)
+              % 8 AS INT) AS shard
+  FROM ftoks
+),
+fofs AS (
+  SELECT shard,
+         CAST(coalesce(sum(w) OVER (
+           PARTITION BY shard ORDER BY bkt, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM fsh
+),
+bins AS (SELECT DISTINCT shard, start_offset // 256 AS bin_id FROM fofs)
+SELECT (SELECT count(*) FROM nodes) AS n_raw,
+       (SELECT count(*) FROM qpass) AS n_quality,
+       (SELECT count(*) FROM cont) AS n_contaminated,
+       (SELECT count(*) FROM dropped) AS n_dup_dropped,
+       (SELECT count(*) FROM final) AS n_final,
+       (SELECT count(*) FROM bins) AS n_bins""",
     "dedup_keep_best": ORACLE_PRELUDE
     + _MINHASH_PAIRS
     + """,
