@@ -86,11 +86,16 @@ def decontaminate(
     """Flag train docs sharing k-token shingles with the eval split
     → (id, shared_shingles, eval_docs).
 
-    The eval split is the deterministic holdout ``doc_id % eval_mod
-    == 0`` (same rule ``split_train_eval`` exposes); a train doc is
-    contaminated when any distinct k-shingle of it appears in any
-    eval doc. Output counts the distinct shared shingles and the
-    number of eval docs hit.
+    The eval split is the deterministic holdout ``try_cast(doc_id as
+    int) % eval_mod == 0``; a doc whose id is non-numeric casts to
+    NULL and deterministically lands on the TRAIN side (coalesce to
+    false), so it is still checked for contamination rather than
+    silently vanishing from both splits. (``split_train_eval`` uses a
+    different rule — an md5 hash-bucket threshold — so the two splits
+    are intentionally independent.) A train doc is contaminated when
+    any distinct k-shingle of it appears in any eval doc. Output
+    counts the distinct shared shingles and the number of eval docs
+    hit.
 
     The join key is the 60-bit shingle hash, not the shingle string —
     at 100 TB that shrinks shuffle width ~10× and the eval side
@@ -100,7 +105,9 @@ def decontaminate(
     sh = shingles(df, id_col, text_col, k).withColumn(
         "h", stable_hash60("shingle")
     )
-    is_eval = F.col("id").cast("int") % eval_mod == 0
+    is_eval = F.coalesce(
+        F.col("id").try_cast("int") % eval_mod == 0, F.lit(False)
+    )
     ev = sh.filter(is_eval).select(F.col("id").alias("eval_id"), "h").distinct()
     tr = sh.filter(~is_eval).select("id", "h")
     return (

@@ -308,6 +308,11 @@ def pmi_bigrams(
     final top-k is a TakeOrderedAndProject on (rounded PMI desc,
     a, b) — no global sort materialization. min_count guards the
     low-frequency PMI explosion (hapax pairs score arbitrarily high).
+
+    PMI is computed in log space — ln(c_ab) + ln(N) − ln(c_a) −
+    ln(c_b) — never as the integer product c_ab·N, which overflows
+    int64 once the corpus passes ~10^9 tokens (Spark would wrap
+    silently while the oracle promotes, diverging exactly at scale).
     """
     toks = df.select(
         F.col(id_col).alias("id"), tokenize(text_col).alias("toks")
@@ -332,7 +337,12 @@ def pmi_bigrams(
     )
     unib = uni.select(F.col("a").alias("b"), F.col("c_a").alias("c_b"))
     pmi6 = F.floor(
-        F.log(F.col("c_ab") * F.col("n") / (F.col("c_a") * F.col("c_b")))
+        (
+            F.log(F.col("c_ab").cast("double"))
+            + F.log(F.col("n").cast("double"))
+            - F.log(F.col("c_a").cast("double"))
+            - F.log(F.col("c_b").cast("double"))
+        )
         * F.lit(1e6)
         + F.lit(0.5)
     ) / F.lit(1e6)

@@ -10,6 +10,8 @@ sort by (rounded score DESC, id ASC) — SURVEY §4.8.5.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -100,6 +102,31 @@ bfsr AS (
   JOIN walk w ON w.id = m.id AND w.dist = m.distance
   GROUP BY m.id, m.distance
 )"""
+
+
+def scratch_dir(name: str) -> str:
+    """Run-scoped scratch directory for queries that need a real sink
+    (IO round-trips, streaming checkpoints).
+
+    Lives under one stable root; any PREVIOUS run's directory for the
+    same query name is removed before a fresh one is handed out, so
+    repeated gate/bench runs never accumulate sink/checkpoint
+    directories on disk — at most one per query name exists at a
+    time. The fresh dir is keyed by a uuid so a query's lazily-read
+    sink stays valid until the next invocation of that same query.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    root = os.path.join(tempfile.gettempdir(), "vgndb_spark_scratch")
+    os.makedirs(root, exist_ok=True)
+    for entry in os.listdir(root):
+        if entry.startswith(name + "_"):
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    path = os.path.join(root, f"{name}_{uuid.uuid4().hex[:8]}")
+    os.makedirs(path)
+    return path
 
 
 def model(spark: SparkSession, sf_dir: str):

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..functions import l2_norm
 from ..operators.vector_search import metadata_predicate
-from .common import ORACLE_PRELUDE, model
+from .common import ORACLE_PRELUDE, model, scratch_dir
 
 
 def q_scan_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,12 +94,11 @@ def q_io_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema (the reference's only interchange format is its JSON REST
     payloads; this is the bulk equivalent)."""
     import os
-    import tempfile
 
     from ..sources.sinks import nodes_from_json
 
     nodes, _, _ = model(spark, sf_dir)
-    path = os.path.join(tempfile.mkdtemp(prefix="nodes_jsonl_"), "nodes")
+    path = os.path.join(scratch_dir("nodes_jsonl"), "nodes")
     nodes.select("id", "text", "lang", "source").write.mode(
         "overwrite"
     ).json(path)
@@ -120,12 +119,11 @@ def q_io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     newline/quote/comma-free in the harness corpus, so default CSV
     quoting round-trips losslessly)."""
     import os
-    import tempfile
 
     from ..sources.sinks import nodes_from_csv
 
     nodes, _, _ = model(spark, sf_dir)
-    path = os.path.join(tempfile.mkdtemp(prefix="nodes_csv_"), "nodes")
+    path = os.path.join(scratch_dir("nodes_csv"), "nodes")
     nodes.select("id", "text", "lang", "n_chars").write.mode(
         "overwrite"
     ).option("header", "true").csv(path)
@@ -143,12 +141,11 @@ def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``nodes_from_orc`` adapter → model projection. ORC preserves
     column types, so unlike CSV no re-cast is needed on read."""
     import os
-    import tempfile
 
     from ..sources.sinks import nodes_from_orc
 
     nodes, _, _ = model(spark, sf_dir)
-    path = os.path.join(tempfile.mkdtemp(prefix="nodes_orc_"), "nodes")
+    path = os.path.join(scratch_dir("nodes_orc"), "nodes")
     nodes.select("id", "text", "lang", "n_chars").write.mode(
         "overwrite"
     ).orc(path)

@@ -334,9 +334,12 @@ qpass AS (
 shh AS (SELECT id, {_H60.format(x="shingle")} AS h FROM sh3),
 evs AS (
   SELECT DISTINCT id AS eval_id, h FROM shh
-  WHERE CAST(id AS INT) % {EVAL_MOD} = 0
+  WHERE coalesce(TRY_CAST(id AS INT) % {EVAL_MOD} = 0, FALSE)
 ),
-trs AS (SELECT id, h FROM shh WHERE CAST(id AS INT) % {EVAL_MOD} <> 0),
+trs AS (
+  SELECT id, h FROM shh
+  WHERE NOT coalesce(TRY_CAST(id AS INT) % {EVAL_MOD} = 0, FALSE)
+),
 cont AS (SELECT DISTINCT t.id FROM trs t JOIN evs e ON e.h = t.h),
 final AS (
   SELECT id FROM qpass p
@@ -415,9 +418,12 @@ SELECT cluster, id AS best_id, qv AS best_quality, n_members FROM (
 shh AS (SELECT id, {_H60.format(x="shingle")} AS h FROM sh),
 ev AS (
   SELECT DISTINCT id AS eval_id, h FROM shh
-  WHERE CAST(id AS INT) % {EVAL_MOD} = 0
+  WHERE coalesce(TRY_CAST(id AS INT) % {EVAL_MOD} = 0, FALSE)
 ),
-tr AS (SELECT id, h FROM shh WHERE CAST(id AS INT) % {EVAL_MOD} <> 0)
+tr AS (
+  SELECT id, h FROM shh
+  WHERE NOT coalesce(TRY_CAST(id AS INT) % {EVAL_MOD} = 0, FALSE)
+)
 SELECT t.id, count(DISTINCT t.h) AS shared_shingles,
        count(DISTINCT e.eval_id) AS eval_docs
 FROM tr t JOIN ev e ON e.h = t.h
@@ -442,7 +448,10 @@ pairs AS (
 )
 SELECT p.a, p.b, p.c_ab,
        """
-    + sql_stable_round6("ln(p.c_ab * t.n / (ua.c_a * ub.c_a))")
+    + sql_stable_round6(
+        "ln(CAST(p.c_ab AS DOUBLE)) + ln(CAST(t.n AS DOUBLE))"
+        " - ln(CAST(ua.c_a AS DOUBLE)) - ln(CAST(ub.c_a AS DOUBLE))"
+    )
     + """ AS pmi
 FROM pairs p
 JOIN uni ua ON ua.a = p.a

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from .common import scratch_dir
 from ..streaming.windows import session_agg, sliding_agg, tumbling_agg
 
 
@@ -116,14 +117,13 @@ def q_events_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental restarts (see streaming/ingest.py).
     """
     import os
-    import tempfile
 
     from ..streaming.ingest import EVENTS_SCHEMA
 
     # same runtime conf as sources/loaders.py: the parquet footer says
     # TIMESTAMP(NANOS), which must map to long for the explicit schema
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    base = tempfile.mkdtemp(prefix="events_stream_replay_")
+    base = scratch_dir("events_stream_replay")
     sink = os.path.join(base, "sink")
     ckpt = os.path.join(base, "ckpt")
     stream = (
@@ -158,12 +158,11 @@ def q_events_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate thereby value-checks Spark's late-data/watermark behavior.
     """
     import os
-    import tempfile
 
     from ..streaming.ingest import EVENTS_SCHEMA
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    base = tempfile.mkdtemp(prefix="events_stream_windows_")
+    base = scratch_dir("events_stream_windows")
     sink = os.path.join(base, "sink")
     ckpt = os.path.join(base, "ckpt")
     stream = (
@@ -195,17 +194,20 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent (each distinct pair survives exactly once
     whatever the arrival order), so the DuckDB twin is a plain
     count(DISTINCT user_id) — the gate value-checks the streaming
-    dedup state machinery. Production pins state with
+    dedup state machinery. NULL user_ids are filtered before the
+    dedup state on the Spark side, pinning the semantics to the
+    oracle's count(DISTINCT), which excludes NULLs — without the
+    filter a null-user fixture row would survive dropDuplicates as
+    its own group and the two engines would disagree by one. Production pins state with
     ``dropDuplicatesWithinWatermark`` (streaming/stateful.py); the
     registry run is a bounded availableNow replay, where run-scoped
     state is the point."""
     import os
-    import tempfile
 
     from ..streaming.ingest import EVENTS_SCHEMA
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    base = tempfile.mkdtemp(prefix="events_stream_dedup_")
+    base = scratch_dir("events_stream_dedup")
     sink = os.path.join(base, "sink")
     ckpt = os.path.join(base, "ckpt")
     stream = (
@@ -214,7 +216,8 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     q = (
-        stream.dropDuplicates(["user_id", "event_type"])
+        stream.filter(F.col("user_id").isNotNull())
+        .dropDuplicates(["user_id", "event_type"])
         .writeStream.format("parquet")
         .option("path", sink)
         .option("checkpointLocation", ckpt)
