@@ -129,6 +129,36 @@ def test_ann_lsh_bucket_recall_of_identical(spark):
     assert "twin" in ids and "anti" not in ids
 
 
+def test_mllib_lsh_recall_vs_brute(spark):
+    """MLlib BRP-LSH top-k against exact Euclidean ground truth on
+    the sf0.001 fixture: the true NN must be contained (at rank 1,
+    since MLlib ranks candidates by exact distance) and recall@5 must
+    clear 0.8 — the invariant the ann_mllib_lsh_topk oracle asserts."""
+    from vector_graph_native_database__spark.sources import embeddings_df
+
+    emb = embeddings_df(spark, "/root/testdata/sf0.001")
+    ids = ["0", "100", "200", "300", "400"]
+    ml = ann.mllib_lsh_topk(emb, ids, k=5, dim=64).collect()
+    ex = ann.brute_topk_euclidean(emb, ids, k=5).collect()
+    ml_by_q: dict = {}
+    for r in ml:
+        ml_by_q.setdefault(r["qid"], set()).add(r["id"])
+    hits = total = 0
+    for qid in ids:
+        truth = sorted(
+            (r for r in ex if r["qid"] == qid), key=lambda r: r["rnk"]
+        )
+        got = ml_by_q[qid]
+        assert truth[0]["id"] in got, f"true NN missing for qid={qid}"
+        ml_top1 = min(
+            (r for r in ml if r["qid"] == qid), key=lambda r: r["rnk"]
+        )
+        assert ml_top1["id"] == truth[0]["id"]
+        hits += sum(1 for r in truth if r["id"] in got)
+        total += len(truth)
+    assert hits / total >= 0.8, f"recall@5 {hits}/{total} below 0.8"
+
+
 def test_lang_id(spark):
     df = spark.createDataFrame(
         [

@@ -55,6 +55,49 @@ def brute_topk(
     )
 
 
+def brute_topk_euclidean(
+    emb: DataFrame,
+    query_ids: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Exact EUCLIDEAN top-k neighbors for each query id
+    → (qid, id, dist, rnk). Self-matches excluded.
+
+    The L2 twin of ``brute_topk`` and the ground truth the
+    approximate Euclidean paths (``mllib_lsh_topk``) are judged
+    against: same broadcast-query / rank-filter-window plan, but the
+    score is √Σ(aᵢ−bᵢ)² computed as a sequential squared-diff fold in
+    double — the exact summation MLlib's ``sqdist`` performs, so an
+    MLlib candidate's distance and this frame's distance agree
+    bit-for-bit on shared pairs. Distances are stable-rounded to 6dp
+    BEFORE ranking (id tiebreak) so the ranking is engine-portable to
+    the DuckDB oracle.
+    """
+    q = emb.filter(F.col("node_id").isin(query_ids)).select(
+        F.col("node_id").alias("qid"), F.col("vector").alias("qvec"), "dim"
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "vector",
+            "qvec",
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dist6 = F.floor(F.sqrt(d2) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("node_id"))
+    return (
+        emb.join(F.broadcast(q), "dim")
+        .filter(F.col("node_id") != F.col("qid"))
+        .withColumn("dist", dist6)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", F.col("node_id").alias("id"), "dist", "rnk")
+    )
+
+
 def hyperplanes(spark, num_planes: int = 8, dim: int = 64) -> DataFrame:
     """Deterministic pseudo-random hyperplanes → (plane, weights).
 

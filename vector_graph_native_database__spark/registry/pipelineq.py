@@ -69,11 +69,78 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_mllib_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib BucketedRandomProjectionLSH ANN (rows-only check — the
-    hash family lives inside MLlib and has no SQL twin; determinism
-    comes from the fixed seed)."""
+    """MLlib BucketedRandomProjectionLSH ANN, VALUE-CHECKED via
+    recall/containment invariants → one row per query:
+    (qid, nn_id, nn_dist, nn_rank_ml, n_returned, n_dist_mismatch).
+
+    MLlib's internal hash family has no SQL twin, so the raw top-k
+    can only be rows-checked; instead this entry emits what a DuckDB
+    oracle CAN verify exactly:
+
+    - ``nn_id`` / ``nn_dist`` — the TRUE Euclidean nearest neighbor
+      per query, from ``brute_topk_euclidean`` (pure SQL-expressible
+      arithmetic; fully value-checked).
+    - ``nn_rank_ml`` — the rank of that true NN inside MLlib's top-k.
+      The oracle asserts 1: containment of the exact NN (the recall
+      invariant), and since MLlib ranks candidates by exact distance,
+      a contained NN is necessarily rank 1.
+    - ``n_returned`` — MLlib rows for the query; oracle asserts k.
+    - ``n_dist_mismatch`` — MLlib candidate distances that disagree
+      with an independent exact recomputation at 6dp; oracle asserts
+      0 (proves distCol is the genuine Euclidean distance).
+
+    A drop in MLlib recall (fixed seed ⇒ deterministic) now fails the
+    value gate instead of passing a rows-only check. The same recall
+    bound is pytest-asserted in tests/test_pipeline.py.
+    """
+    k = 5
     _, emb, _ = model(spark, sf_dir)
-    return ann.mllib_lsh_topk(emb, ANN_QUERY_IDS, k=5, dim=64)
+    ml = ann.mllib_lsh_topk(emb, ANN_QUERY_IDS, k=k, dim=64)
+    nn = ann.brute_topk_euclidean(emb, ANN_QUERY_IDS, k=1)
+
+    # exact recomputation of each MLlib pair's distance: two
+    # broadcast joins of the tiny (|queries|·k) candidate frame
+    # against the embeddings scan — never a shuffle of emb itself
+    qv = emb.select(F.col("node_id").alias("qid"), F.col("vector").alias("qv"))
+    cv = emb.select(F.col("node_id").alias("id"), F.col("vector").alias("cv"))
+    p1 = qv.join(F.broadcast(ml), "qid")
+    p2 = cv.join(F.broadcast(p1), "id")
+    d2 = F.aggregate(
+        F.zip_with(
+            "cv",
+            "qv",
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    checked = p2.withColumn(
+        "mism", (F.round(F.sqrt(d2), 6) != F.col("dist")).cast("int")
+    )
+    mlagg = checked.groupBy("qid").agg(
+        F.count("*").alias("n_returned"),
+        F.sum("mism").alias("n_dist_mismatch"),
+    )
+    mlr = ml.select(
+        F.col("qid").alias("m_qid"),
+        F.col("id").alias("m_id"),
+        F.col("rnk").alias("m_rnk"),
+    )
+    return (
+        nn.join(
+            mlr,
+            (nn["qid"] == mlr["m_qid"]) & (nn["id"] == mlr["m_id"]),
+            "left",
+        )
+        .select(
+            "qid",
+            F.col("id").alias("nn_id"),
+            F.col("dist").alias("nn_dist"),
+            F.coalesce(F.col("m_rnk"), F.lit(-1)).alias("nn_rank_ml"),
+        )
+        .join(mlagg, "qid")
+    )
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,6 +638,31 @@ SELECT qid, id, cos, rnk FROM (
 ) WHERE rnk <= 5""",
     "ann_ivf_topk": _ivf_sql(),
     "ann_pq_topk": _pq_sql(),
+    # The exact-NN frame (qid, nn_id, nn_dist) is real data-dependent
+    # SQL; the three invariant columns assert MLlib's behavior: true
+    # NN contained at rank 1, exactly k rows back, zero distance
+    # discrepancies. Any recall regression breaks the value hash.
+    "ann_mllib_lsh_topk": ORACLE_PRELUDE
+    + f""",
+q AS (SELECT node_id AS qid, CAST(vector AS DOUBLE[]) AS qv, dim
+      FROM emb WHERE node_id IN {_IDS_IN}),
+d AS (
+  SELECT q.qid, e.node_id AS id,
+         floor(sqrt(list_dot_product(df, df)) * 1000000.0 + 0.5)
+           / 1000000.0 AS dist
+  FROM emb e JOIN q ON e.dim = q.dim AND e.node_id <> q.qid
+  CROSS JOIN LATERAL (
+    SELECT list_transform(generate_series(1, q.dim),
+                          i -> CAST(e.vector AS DOUBLE[])[i] - q.qv[i]) AS df
+  ) t
+)
+SELECT qid, id AS nn_id, dist AS nn_dist,
+       1 AS nn_rank_ml, 5 AS n_returned, 0 AS n_dist_mismatch
+FROM (
+  SELECT qid, id, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+  FROM d
+) WHERE rn = 1""",
     "ann_int8_topk": ORACLE_PRELUDE
     + f""",
 dv AS (
