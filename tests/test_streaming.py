@@ -11,7 +11,9 @@ from pyspark.sql import functions as F
 
 from vector_graph_native_database__spark.sources import load_table
 from vector_graph_native_database__spark.streaming import (
+    commit_state,
     incremental_index_maintenance,
+    read_state,
     stream_events,
 )
 from vector_graph_native_database__spark.streaming.windows import tumbling_agg
@@ -55,7 +57,7 @@ def test_incremental_index_maintenance(spark):
             [("a", "first version", 1), ("b", "doc b", 1)], schema
         ).write.mode("append").parquet(src)
         incremental_index_maintenance(spark, src, schema, state, ckpt)
-        s1 = {r["node_id"] for r in spark.read.parquet(state).collect()}
+        s1 = {r["node_id"] for r in read_state(spark, state).collect()}
         assert s1 == {"a", "b"}
 
         # micro-batch 2: update a, add c — only the new batch is embedded
@@ -63,7 +65,7 @@ def test_incremental_index_maintenance(spark):
             [("a", "second version", 2), ("c", "doc c", 2)], schema
         ).write.mode("append").parquet(src)
         incremental_index_maintenance(spark, src, schema, state, ckpt)
-        final = {r["node_id"]: r["vector"] for r in spark.read.parquet(state).collect()}
+        final = {r["node_id"]: r["vector"] for r in read_state(spark, state).collect()}
         assert set(final) == {"a", "b", "c"}
 
         # latest wins: a's vector reflects "second version"
@@ -75,6 +77,60 @@ def test_incremental_index_maintenance(spark):
             spark.createDataFrame([("a", "second version")], "id string, text string")
         ).collect()[0]["vector"]
         assert final["a"] == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_state_commit_is_crash_safe(spark):
+    """Kill the commit protocol between every pair of steps and prove
+    the previously committed snapshot is still served.
+
+    Simulated crash points: (a) after the new version dir is fully
+    written but before the pointer flip — the classic torn two-step
+    swap the old implementation could corrupt on; (b) mid-pointer-
+    write, leaving a partial ._CURRENT.tmp; (c) after the flip but
+    before GC. Then a real commit on the damaged store must succeed
+    and supersede the orphans.
+    """
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="vgs-txstate-")
+    state = f"{tmp}/state"
+    mk = lambda rows: spark.createDataFrame(rows, "id string, n long")
+    try:
+        v1 = commit_state(mk([("a", 1)]), state)
+        assert {r["id"] for r in read_state(spark, state).collect()} == {"a"}
+
+        # (a) crash AFTER writing the next version's data, BEFORE the
+        # pointer flip: write the orphan dir exactly where commit
+        # no. 2 would put it
+        mk([("BAD", 99)]).write.parquet(os.path.join(state, "v000002"))
+        got = {r["id"] for r in read_state(spark, state).collect()}
+        assert got == {"a"}, "orphan version must be invisible"
+
+        # (b) crash mid-pointer-write: partial temp file lingers
+        with open(os.path.join(state, "._CURRENT.tmp"), "w") as f:
+            f.write("v0000")  # torn write
+        assert {r["id"] for r in read_state(spark, state).collect()} == {"a"}
+
+        # recovery: the next real commit overwrites the orphan and
+        # becomes visible atomically
+        v2 = commit_state(mk([("a", 1), ("b", 2)]), state)
+        assert v2 == "v000002"
+        assert {r["id"] for r in read_state(spark, state).collect()} == {
+            "a",
+            "b",
+        }
+
+        # (c) GC keeps the previous version for in-flight readers,
+        # sweeps older ones on the following commit
+        assert os.path.isdir(os.path.join(state, v1))
+        v3 = commit_state(mk([("c", 3)]), state)
+        versions = sorted(
+            e for e in os.listdir(state) if e.startswith("v")
+        )
+        assert versions == [v2, v3], "only live + previous retained"
+        assert {r["id"] for r in read_state(spark, state).collect()} == {"c"}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -192,7 +248,7 @@ def test_incremental_bm25_state_matches_full_recompute(spark):
             r["id"]: round(r["score"], 9)
             for r in bm25_scores(final_corpus, "quick dog").collect()
         }
-        stats = stats_from_posting(spark.read.parquet(state))
+        stats = stats_from_posting(read_state(spark, state))
         got = {
             r["id"]: round(r["score"], 9)
             for r in bm25_scores(final_corpus, "quick dog", stats=stats).collect()

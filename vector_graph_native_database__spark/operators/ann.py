@@ -515,6 +515,117 @@ def lsh_bucketed_topk(
     )
 
 
+def _probe_buckets(bucket_col, num_planes: int):
+    """Deterministic Hamming-1 probe sequence for a sign-LSH bucket:
+    the bucket itself plus every single-bit flip, in plane order —
+    ``num_planes + 1`` distinct buckets. Multi-probe LSH (Lv et al.,
+    VLDB'07) specialized to sign projections: the buckets most likely
+    to hold a near neighbor that landed just across one hyperplane.
+    """
+    return F.array(
+        [bucket_col]
+        + [
+            bucket_col.bitwiseXOR(F.lit(1 << p).cast("long"))
+            for p in range(num_planes)
+        ]
+    )
+
+
+def lsh_multiprobe_topk(
+    emb: DataFrame,
+    query_ids: list[str],
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k → (qid, id, cos, rnk): exact cosine
+    rank over candidates from the query's OWN bucket plus every
+    Hamming-1 neighbor bucket.
+
+    The recall fix for single-probe ``lsh_bucketed_topk``'s two
+    failure modes (VERDICT r2): isolated vectors returning <k because
+    their bucket is near-empty, and true neighbors missed because one
+    hyperplane split them. The candidate set is a strict superset of
+    the single-probe set, so recall is monotonically ≥ at ~(P+1)× the
+    candidate cost — still bounded by bucket occupancy, never N².
+    Buckets partition the vectors and the P+1 probe buckets are
+    distinct, so no candidate dedup is needed. At 100 TB the bucketed
+    table is partitioned by bucket and a query touches P+1 partitions
+    (partition-pruned) instead of 1 — the standard recall/cost dial.
+    The probe sequence is a pure function of the bucket, so the
+    DuckDB oracle replays it exactly.
+    """
+    planes = hyperplanes(emb.sparkSession, num_planes, dim)
+    bucketed = lsh_buckets(emb, planes)
+    q = bucketed.filter(F.col("node_id").isin(query_ids)).select(
+        F.col("node_id").alias("qid"),
+        F.col("vector").alias("qvec"),
+        F.explode(_probe_buckets(F.col("bucket"), num_planes)).alias(
+            "pbucket"
+        ),
+    )
+    cand = (
+        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("pbucket"))
+        .filter(F.col("node_id") != F.col("qid"))
+        .withColumn("cos", cosine("vector", "qvec"))
+    )
+    if round_scores is not None:
+        cand = cand.withColumn("cos", F.round("cos", round_scores))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("node_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", F.col("node_id").alias("id"), "cos", "rnk")
+    )
+
+
+def knn_join_multiprobe(
+    emb: DataFrame,
+    k: int = 3,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-probe all-documents kNN join → (id_a, id_b, cos, rnk):
+    ``knn_join_topk`` with each vector additionally probing its
+    Hamming-1 neighbor buckets on the PROBE side of the self-join.
+
+    Candidates are pairs whose buckets differ in at most one sign
+    bit — a strict superset of the single-probe equi-join, recovering
+    neighbors split by exactly one hyperplane. Cost is bounded by
+    (P+1)× bucket-occupancy products; the join stays an equi-join on
+    the probed bucket (shuffle/partition-prunable), never a cross
+    product. Scores stable-rounded to 6dp BEFORE ranking, id
+    tiebreak — engine-portable like every ranked output here.
+    """
+    bucketed = lsh_buckets(
+        emb.filter(F.size("vector") == dim),
+        hyperplanes(emb.sparkSession, num_planes, dim),
+    )
+    a = bucketed.select(
+        F.col("node_id").alias("id_a"),
+        F.col("vector").alias("va"),
+        F.explode(_probe_buckets(F.col("bucket"), num_planes)).alias(
+            "pbucket"
+        ),
+    )
+    b = bucketed.select(
+        F.col("node_id").alias("id_b"),
+        F.col("vector").alias("vb"),
+        F.col("bucket").alias("pbucket"),
+    )
+    rounded = F.floor(cosine("va", "vb") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        a.join(b, "pbucket")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("cos", rounded)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("id_a", "id_b", "cos", "rnk")
+    )
+
+
 def brute_topk_int8(
     emb: DataFrame,
     query_ids: list[str],

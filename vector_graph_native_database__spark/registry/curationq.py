@@ -73,6 +73,16 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.knn_join_topk(emb, k=KNN_K, num_planes=8, dim=64)
 
 
+def q_ann_knn_join_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-1 multi-probe variant of ann_knn_join: every vector
+    probes its own LSH bucket plus all single-bit-flip buckets, so
+    neighbor pairs split by exactly one hyperplane are recovered —
+    strictly higher recall than the single-probe join at (P+1)× the
+    bounded candidate cost (pytest-asserted in tests/test_curation.py)."""
+    _, emb, _ = model(spark, sf_dir)
+    return ann.knn_join_multiprobe(emb, k=KNN_K, num_planes=8, dim=64)
+
+
 def q_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, emb, _ = model(spark, sf_dir)
     return ann.mmr_rerank(
@@ -129,6 +139,7 @@ QUERIES = {
     "text_token_entropy": q_text_token_entropy,
     "embedding_centroids": q_embedding_centroids,
     "ann_knn_join": q_ann_knn_join,
+    "ann_knn_join_multiprobe": q_ann_knn_join_multiprobe,
     "ann_mmr_rerank": q_ann_mmr_rerank,
 }
 
@@ -519,4 +530,31 @@ SELECT id_a, id_b, cos, rnk FROM (
   FROM knnraw
 ) WHERE rnk <= {KNN_K}""",
     "ann_mmr_rerank": _mmr_sql(),
+    "ann_knn_join_multiprobe": ORACLE_PRELUDE
+    + _BUCKETS
+    + f""",
+probes AS (
+  SELECT b.node_id AS id_a, b.vector AS va,
+         CASE WHEN pp.p < 0 THEN b.bucket
+              ELSE xor(b.bucket, 1::BIGINT << pp.p) END AS pb
+  FROM be b CROSS JOIN (SELECT unnest(generate_series(-1, 7)) AS p) pp
+),
+knnraw AS (
+  SELECT a.id_a, b.node_id AS id_b,
+         list_dot_product(CAST(a.va AS DOUBLE[]),
+                          CAST(b.vector AS DOUBLE[])) AS d,
+         sqrt(list_dot_product(CAST(a.va AS DOUBLE[]),
+                               CAST(a.va AS DOUBLE[]))) AS na,
+         sqrt(list_dot_product(CAST(b.vector AS DOUBLE[]),
+                               CAST(b.vector AS DOUBLE[]))) AS nb
+  FROM probes a JOIN be b
+    ON b.bucket = a.pb AND a.id_a <> b.node_id
+)
+SELECT id_a, id_b, cos, rnk FROM (
+  SELECT id_a, id_b, {sql_stable_round6(_COS)} AS cos,
+         row_number() OVER (
+           PARTITION BY id_a
+           ORDER BY {sql_stable_round6(_COS)} DESC, id_b) AS rnk
+  FROM knnraw
+) WHERE rnk <= {KNN_K}""",
 }

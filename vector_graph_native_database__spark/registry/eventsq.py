@@ -120,9 +120,6 @@ def q_events_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.ingest import EVENTS_SCHEMA
 
-    # same runtime conf as sources/loaders.py: the parquet footer says
-    # TIMESTAMP(NANOS), which must map to long for the explicit schema
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     base = scratch_dir("events_stream_replay")
     sink = os.path.join(base, "sink")
     ckpt = os.path.join(base, "ckpt")
@@ -139,9 +136,7 @@ def q_events_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    replayed = spark.read.parquet(sink).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    replayed = spark.read.parquet(sink)
     return tumbling_agg(replayed).withColumn(
         "sum_value", F.round("sum_value", 6)
     )
@@ -161,7 +156,6 @@ def q_events_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.ingest import EVENTS_SCHEMA
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     base = scratch_dir("events_stream_windows")
     sink = os.path.join(base, "sink")
     ckpt = os.path.join(base, "ckpt")
@@ -169,7 +163,6 @@ def q_events_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .withWatermark("ts", "1 hour")
     )
     q = (
@@ -206,7 +199,6 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.ingest import EVENTS_SCHEMA
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     base = scratch_dir("events_stream_dedup")
     sink = os.path.join(base, "sink")
     ckpt = os.path.join(base, "ckpt")

@@ -143,6 +143,18 @@ def q_ann_mllib_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-1 multi-probe variant of ann_lsh_topk: same planes,
+    same ranking, but candidates come from the query's bucket plus
+    all single-bit-flip buckets — the recall dial single-probe LSH
+    lacks. Probe sequence is a pure function of the bucket, so the
+    DuckDB twin replays it exactly."""
+    _, emb, _ = model(spark, sf_dir)
+    return ann.lsh_multiprobe_topk(
+        emb, ANN_QUERY_IDS, k=5, num_planes=8, dim=64, round_scores=6
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, emb, _ = model(spark, sf_dir)
     return ann.ivf_topk(
@@ -210,6 +222,7 @@ QUERIES = {
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_multiprobe_lsh_topk": q_ann_multiprobe_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_mllib_lsh_topk": q_ann_mllib_lsh_topk,
@@ -629,6 +642,56 @@ cand AS (
                                  CAST(e.vector AS DOUBLE[]))) AS na,
            sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]),
                                  CAST(q.qvec AS DOUBLE[]))) AS nb
+  ) t
+)
+SELECT qid, id, cos, rnk FROM (
+  SELECT qid, id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rnk
+  FROM cand
+) WHERE rnk <= 5""",
+    "ann_multiprobe_lsh_topk": ORACLE_PRELUDE
+    + f""",
+planes AS (
+  SELECT p.p,
+         list_transform(generate_series(0, 63), d ->
+           (('0x' || substr(md5('p' || p.p || 'd' || d), 1, 8))::BIGINT
+            % 2001 - 1000) / 1000.0) AS w
+  FROM (SELECT unnest(generate_series(0, 7)) AS p) p
+),
+proj AS (
+  SELECT e.node_id, e.dim, p.p,
+         list_dot_product(CAST(e.vector AS DOUBLE[]), p.w) AS proj
+  FROM emb e CROSS JOIN planes p
+),
+buck AS (
+  SELECT node_id, dim,
+         sum(CASE WHEN proj >= 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+  FROM proj GROUP BY node_id, dim
+),
+be AS (
+  SELECT b.node_id, b.bucket, b.dim, e.vector
+  FROM buck b JOIN emb e ON e.node_id = b.node_id AND e.dim = b.dim
+),
+q AS (SELECT node_id AS qid, vector AS qvec, bucket AS qb FROM be
+      WHERE node_id IN {_IDS_IN}),
+probes AS (
+  SELECT q.qid, q.qvec,
+         CASE WHEN pp.p < 0 THEN q.qb
+              ELSE xor(q.qb, 1::BIGINT << pp.p) END AS pb
+  FROM q CROSS JOIN (SELECT unnest(generate_series(-1, 7)) AS p) pp
+),
+cand AS (
+  SELECT pr.qid, e.node_id AS id,
+         round(CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb) ELSE 0.0 END, 6)
+           AS cos
+  FROM be e JOIN probes pr ON e.bucket = pr.pb AND e.node_id <> pr.qid
+  CROSS JOIN LATERAL (
+    SELECT list_dot_product(CAST(e.vector AS DOUBLE[]),
+                            CAST(pr.qvec AS DOUBLE[])) AS d,
+           sqrt(list_dot_product(CAST(e.vector AS DOUBLE[]),
+                                 CAST(e.vector AS DOUBLE[]))) AS na,
+           sqrt(list_dot_product(CAST(pr.qvec AS DOUBLE[]),
+                                 CAST(pr.qvec AS DOUBLE[]))) AS nb
   ) t
 )
 SELECT qid, id, cos, rnk FROM (

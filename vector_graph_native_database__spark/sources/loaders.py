@@ -29,10 +29,14 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one harness table (see TESTDATA.md) as a DataFrame.
 
-    The events table stores TIMESTAMP(NANOS), which Spark reads as a
-    long (``spark.sql.legacy.parquet.nanosAsLong``); convert to a
-    real timestamp at microsecond precision (truncating, same as
-    DuckDB's µs timestamps) so window functions see a timestamp.
+    Timestamp handling is generation-agnostic: current testdata
+    stores ``ts``/dates as timestamp[us], which Spark reads natively
+    (the loop below is a no-op). Earlier generations stored
+    TIMESTAMP(NANOS), which Spark maps to long under
+    ``nanosAsLong`` — those columns are detected by type and
+    converted to microsecond timestamps (truncating, same as
+    DuckDB's µs timestamps) so window functions always see a
+    timestamp either way.
     """
     from pyspark.sql import functions as F
 
@@ -45,11 +49,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
-        if field.dataType.simpleString() == "bigint" and (
-            field.name == "ts" or field.name.endswith("date")
-        ):
+        is_temporal = field.name == "ts" or field.name.endswith("date")
+        if field.dataType.simpleString() == "bigint" and is_temporal:
             df = df.withColumn(
                 field.name,
                 F.timestamp_micros(F.expr(f"{field.name} div 1000")),
             )
+        elif field.dataType.simpleString() == "timestamp_ntz":
+            # parquet timestamp[us] without isAdjustedToUTC infers as
+            # NTZ; normalize to TIMESTAMP so time functions
+            # (unix_micros, window, watermark) apply. Session TZ is
+            # UTC, so the instant is unchanged — same naive-UTC view
+            # DuckDB gives the oracle.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df

@@ -3,6 +3,8 @@ from .ingest import (
     stream_events,
     incremental_index_maintenance,
     incremental_bm25_maintenance,
+    read_state,
+    commit_state,
 )
 from .stateful import running_user_totals
 
@@ -13,5 +15,7 @@ __all__ = [
     "stream_events",
     "incremental_index_maintenance",
     "incremental_bm25_maintenance",
+    "read_state",
+    "commit_state",
     "running_user_totals",
 ]

@@ -12,31 +12,100 @@ progress via checkpointing.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+# ---------------------------------------------------------------------------
+# Transactional state store: versioned data dirs + atomic pointer.
+#
+# Layout of a state_dir:
+#
+#     state_dir/
+#       _CURRENT        one line: name of the live version dir
+#       v000001/        immutable parquet snapshot
+#       v000002/
+#
+# Commit protocol: (1) write the new snapshot into a FRESH version
+# dir — the live version is never touched; (2) atomically flip
+# _CURRENT onto it via write-to-temp + os.replace (an atomic rename
+# on POSIX; an object-store deployment swaps in a conditional-put /
+# Delta commit); (3) garbage-collect versions older than the
+# previous one. A crash at ANY point leaves a readable store:
+#
+#   - before the flip: _CURRENT still names the old complete
+#     snapshot; the half-written version dir is an invisible orphan
+#     that the NEXT commit simply overwrites (version numbering
+#     derives from the live pointer, not from what's on disk).
+#   - during the flip: os.replace is all-or-nothing; a leftover
+#     ._CURRENT.tmp is ignored by readers.
+#   - during GC: an extra old version dir lingers unreferenced,
+#     harmless, and is swept by a later commit.
+#
+# The previous (n-1) version is retained so an in-flight reader that
+# resolved the pointer just before a flip can finish its scan.
+# ---------------------------------------------------------------------------
 
-def _read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """Prior accumulated state, or None if none was ever written.
+_CURRENT = "_CURRENT"
 
-    Absence is decided by an explicit existence probe (local-fs here;
-    a deployment swaps in the Hadoop FileSystem API for object
-    stores) — NOT by catching read errors: a transient IO failure,
-    permission problem, or corrupt footer must raise, never be
-    silently treated as 'no prior state' (which would replace the
-    accumulated state with just the current batch — data loss).
-    """
-    if not os.path.exists(state_dir):
+
+def _current_version(state_dir: str) -> str | None:
+    """Name of the live version dir, or None if never committed."""
+    ptr = os.path.join(state_dir, _CURRENT)
+    if not os.path.exists(ptr):
         return None
-    return spark.read.parquet(state_dir)
+    with open(ptr) as f:
+        return f.read().strip()
 
-# events.parquet stores ts as TIMESTAMP(NANOS) (physical INT64); Spark
-# has no nanosecond timestamp, so read it as long and convert to a
-# microsecond timestamp (truncating), matching the batch loader.
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Live committed state, or None if none was ever committed.
+
+    Absence is decided by an explicit pointer probe — NOT by catching
+    read errors: a transient IO failure, permission problem, or
+    corrupt footer must raise, never be silently treated as 'no prior
+    state' (which would replace the accumulated state with just the
+    current batch — data loss). A version dir that exists WITHOUT the
+    pointer naming it is an uncommitted orphan and is never read.
+    """
+    version = _current_version(state_dir)
+    if version is None:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, version))
+
+
+def commit_state(df: DataFrame, state_dir: str) -> str:
+    """Transactionally publish ``df`` as the new live state snapshot.
+
+    Returns the committed version name. See the protocol note above:
+    killing the process at any step leaves the previously committed
+    snapshot served by ``read_state``.
+    """
+    os.makedirs(state_dir, exist_ok=True)
+    cur = _current_version(state_dir)
+    cur_n = int(cur[1:]) if cur else 0
+    version = f"v{cur_n + 1:06d}"
+    df.write.mode("overwrite").parquet(os.path.join(state_dir, version))
+    tmp = os.path.join(state_dir, "._CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(version + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(state_dir, _CURRENT))
+    keep = {version, cur}
+    for entry in os.listdir(state_dir):
+        if entry.startswith("v") and entry not in keep:
+            shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
+    return version
+
+# events.parquet stores ts as timestamp[us] — Spark's native
+# microsecond timestamp, read directly. (Earlier testdata generations
+# stored TIMESTAMP(NANOS), which needed a long read + /1000 convert;
+# the batch loader keeps that fallback, see sources/loaders.py.)
 EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -54,7 +123,6 @@ def stream_events(
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     if with_watermark:
         df = df.withWatermark("ts", with_watermark)
@@ -92,21 +160,16 @@ def incremental_index_maintenance(
         new_emb = embed_hash_df(latest).select(
             F.col("id").alias("node_id"), "vector", "dim"
         )
-        current = _read_state(spark, state_dir)
+        current = read_state(spark, state_dir)
         merged = (
             upsert(current, new_emb, "node_id")
             if current is not None
             else new_emb
         )
-        # two-step swap: stage, then rewrite the live dir from the
-        # staged copy. A crash between the writes leaves _next intact
-        # for recovery, but the rewrite itself is NOT atomic — a
-        # production deployment replaces this with a transactional
-        # table commit (see SCALING.md).
-        merged.write.mode("overwrite").parquet(state_dir + "_next")
-        spark.read.parquet(state_dir + "_next").write.mode(
-            "overwrite"
-        ).parquet(state_dir)
+        # transactional publish: new immutable version dir + atomic
+        # pointer flip — a crash anywhere leaves the prior snapshot
+        # live (protocol note at the top of this module)
+        commit_state(merged, state_dir)
 
     q = (
         docs.writeStream.foreachBatch(process_batch)
@@ -135,8 +198,10 @@ def incremental_bm25_maintenance(
     to recomputing over the full corpus (test-asserted), which is the
     reference's rebuild-the-index-on-every-write invariant
     (``/root/reference/app.py:771-773``) at O(batch) instead of
-    O(corpus) cost. At scale the state is a table partitioned by
-    ``tok`` with the swap replaced by a transactional commit.
+    O(corpus) cost. State publishes through ``commit_state`` —
+    versioned snapshot + atomic pointer flip, crash-safe at every
+    step. At scale the snapshot is additionally partitioned by
+    ``tok``.
     """
     from ..operators.bm25 import posting_frame
 
@@ -149,7 +214,7 @@ def incremental_bm25_maintenance(
             F.max_by("text", "seq").alias("text")
         )
         fresh = posting_frame(latest)
-        current = _read_state(spark, state_dir)
+        current = read_state(spark, state_dir)
         merged = (
             current.join(
                 F.broadcast(latest.select("id")), "id", "left_anti"
@@ -157,10 +222,7 @@ def incremental_bm25_maintenance(
             if current is not None
             else fresh
         )
-        merged.write.mode("overwrite").parquet(state_dir + "_next")
-        spark.read.parquet(state_dir + "_next").write.mode(
-            "overwrite"
-        ).parquet(state_dir)
+        commit_state(merged, state_dir)
 
     q = (
         docs.writeStream.foreachBatch(process_batch)
