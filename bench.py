@@ -45,7 +45,7 @@ HEADLINE = [
     "corpus_clean",
     "corpus_pipeline_summary",
     # curation wave 2: clusters / decontamination / kNN join / MMR
-    "dedup_cluster_assign",
+    "dedup_cluster_from_pairs",
     "decontaminate",
     "ann_knn_join",
     "ann_mmr_rerank",

@@ -183,3 +183,49 @@ def test_q5_star_join_broadcasts_dimensions(spark):
     assert s["broadcast_hash_joins"] >= 4
     assert s["sort_merge_joins"] <= 1
     assert s["python_row_udfs"] == 0
+
+
+def test_salted_join_spreads_hot_key_and_matches_plain_join(spark):
+    """salted_join_hot_keys: (1) result multiset == plain join;
+    (2) the hot key's fact rows carry >= salt_buckets distinct salts
+    (the spread that breaks the straggler) while cold keys stay on
+    salt 0; (3) the physical join is keyed on (key, __salt)."""
+    from vector_graph_native_database__spark.operators.skew import (
+        salted_join_hot_keys,
+    )
+    from pyspark.sql import functions as F
+
+    facts = spark.createDataFrame(
+        [("hot", i, float(i)) for i in range(400)]
+        + [("cold%d" % i, i, float(i)) for i in range(20)],
+        "k string, seq int, v double",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold3", "C3"), ("cold7", "C7")],
+        "k string, label string",
+    )
+    salted = salted_join_hot_keys(
+        facts, dim, "k", salt_buckets=8, hot_row_threshold=100,
+        keep_salt=True,
+    )
+    plain = facts.join(dim, "k")
+    got = sorted(
+        (r["k"], r["seq"], r["v"], r["label"])
+        for r in salted.drop("__salt").collect()
+    )
+    want = sorted(
+        (r["k"], r["seq"], r["v"], r["label"]) for r in plain.collect()
+    )
+    assert got == want and len(got) == 402
+
+    spread = {
+        r["k"]: r["n"]
+        for r in salted.groupBy("k")
+        .agg(F.countDistinct("__salt").alias("n"))
+        .collect()
+    }
+    assert spread["hot"] >= 8, spread
+    assert spread["cold3"] == 1 and spread["cold7"] == 1
+
+    p = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in p  # join/exchange keyed on the salt column

@@ -16,7 +16,7 @@ aggregates: sum / count / min / max.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _MERGE = {
@@ -73,15 +73,70 @@ def salted_join_hot_keys(
     facts: DataFrame,
     dim: DataFrame,
     key: str,
-    hot_keys: DataFrame,
     salt_buckets: int = 16,
-) -> Column:
-    """Not a helper you call — see salted_agg. Kept as documentation:
-    for skewed JOINS prefer (a) ``F.broadcast`` when the dim side
-    fits, (b) AQE's ``skewJoin`` (enabled in session.py) otherwise;
-    manual join salting (replicate dim rows per salt) is the last
-    resort and intentionally not shipped until an operator needs it.
+    hot_row_threshold: int = 100_000,
+    how: str = "inner",
+    keep_salt: bool = False,
+) -> DataFrame:
+    """Skewed big-big equi-join via hot-key salting — row-identical to
+    ``facts.join(dim, key, how)``.
+
+    Escalation order for skewed joins remains: (a) ``F.broadcast``
+    when the dim side fits, (b) AQE's skew-join splitting (enabled in
+    session.py) for sort-merge joins. This primitive is the third
+    rung — the case AQE can't fix (e.g. a shuffled-hash join, or a
+    hot key so large a single split still straggles) on a dim side
+    too big to broadcast:
+
+    1. **Hot-key detection**: one map-side-combinable count on the
+       fact side; keys with ≥ ``hot_row_threshold`` rows are hot. The
+       hot set is tiny by definition (it's the head of a power law)
+       and is broadcast to both inputs.
+    2. **Fact-side salting**: rows of hot keys get a deterministic
+       salt in [0, S) (hash of the full row — no RNG, so replays and
+       retries salt identically); cold rows get salt 0.
+    3. **Dim-side replication**: dim rows of hot keys are exploded
+       into all S salts (S small copies of FEW rows — the whole
+       point); cold dim rows carry salt 0 only.
+    4. Equi-join on (key, salt): every hot key now spreads over
+       ``salt_buckets`` reducers instead of one straggler.
+
+    Every fact row meets exactly the dim rows of its key (hot rows
+    via its one salt, against the replica with that salt), so the
+    result multiset equals the plain join for any ``how`` ∈
+    {inner, left}. ``keep_salt=True`` retains ``__salt`` for tests/
+    diagnostics.
     """
-    raise NotImplementedError(
-        "use F.broadcast or AQE skew-join; see docstring"
+    hot = (
+        facts.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= hot_row_threshold)
+        .select(key, F.lit(True).alias("__hot"))
     )
+    fact_salt = (
+        F.when(
+            F.col("__hot").isNotNull(),
+            F.pmod(
+                F.hash(*[F.col(c) for c in facts.columns]),
+                F.lit(salt_buckets),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    f = (
+        facts.join(F.broadcast(hot), key, "left")
+        .withColumn("__salt", fact_salt)
+        .drop("__hot")
+    )
+    dim_salts = F.when(
+        F.col("__hot").isNotNull(),
+        F.sequence(F.lit(0), F.lit(salt_buckets - 1)),
+    ).otherwise(F.array(F.lit(0)))
+    d = (
+        dim.join(F.broadcast(hot), key, "left")
+        .withColumn("__salt", F.explode(dim_salts.cast("array<int>")))
+        .drop("__hot")
+    )
+    joined = f.join(d, [key, "__salt"], how)
+    return joined if keep_salt else joined.drop("__salt")

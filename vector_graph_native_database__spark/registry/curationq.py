@@ -34,6 +34,26 @@ def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.dedup_cluster_assign(nodes, threshold=0.8)
 
 
+def q_dedup_cluster_from_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment path for duplicate-cluster assignment: the MinHash
+    pair frame is computed ONCE and staged (eager localCheckpoint —
+    materialized, lineage cut), then pointer-jumping components
+    iterate over the materialized pairs instead of re-deriving the
+    whole shingle→minhash→band→verify chain every round. Same output
+    as dedup_cluster_assign (identical oracle); at 100 TB the staged
+    frame is the persisted pair table a production dedup run reuses
+    across the component rounds and later keep-best passes. Staging
+    cost is charged to this query (the checkpoint happens inside the
+    call), so the bench number is honest end-to-end."""
+    nodes, _, _ = model(spark, sf_dir)
+    from ..operators.dedup import minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(nodes, threshold=0.8).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=True)
+    return curation.cluster_from_pairs(pairs)
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: cluster assignment × quality scoring → the
     highest-quality representative of every duplicate cluster."""
@@ -131,6 +151,7 @@ def q_curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_cluster_assign": q_dedup_cluster_assign,
+    "dedup_cluster_from_pairs": q_dedup_cluster_from_pairs,
     "curation_pipeline_summary": q_curation_pipeline_summary,
     "dedup_keep_best": q_dedup_keep_best,
     "decontaminate": q_decontaminate,
@@ -558,3 +579,7 @@ SELECT id_a, id_b, cos, rnk FROM (
   FROM knnraw
 ) WHERE rnk <= {KNN_K}""",
 }
+
+# identical result by construction — the staged-pairs path shares the
+# full-recompute oracle
+ORACLES["dedup_cluster_from_pairs"] = ORACLES["dedup_cluster_assign"]

@@ -317,6 +317,37 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-salted big-big join (lineitem ⋈ supplier on suppkey),
+    aggregated per supplier so the value gate is sensitive to any
+    duplicated or dropped join row. hot_row_threshold=600 lands in
+    the middle of the per-suppkey row-count distribution (~541-663 at
+    sf0.01), so BOTH code paths run: above-threshold keys are salted
+    across 8 sub-keys with the supplier row replicated per salt,
+    below-threshold keys take the plain salt-0 path. Result is
+    row-identical to the unsalted join — the plain-SQL oracle IS the
+    unsalted join. The salt spread itself is plan/pytest-asserted in
+    tests/test_plans.py."""
+    from ..operators.skew import salted_join_hot_keys
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        "l_quantity",
+        F.col("l_extendedprice").cast(_DEC).alias("price_dec"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    j = salted_join_hot_keys(
+        li, sup, "suppkey", salt_buckets=8, hot_row_threshold=600
+    )
+    return j.groupBy("suppkey", "s_name").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.sum("price_dec"), 6).cast("double").alias("sum_price"),
+    )
+
+
 def q_olap_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All 2^2 grouping sets over (priority, order year) in one pass —
     Spark expands CUBE JVM-side; money sums in exact decimal."""
@@ -354,6 +385,7 @@ QUERIES = {
     "olap_local_supplier_volume": q_olap_local_supplier_volume,
     "events_by_segment": q_events_by_segment,
     "skew_salted_agg": q_skew_salted_agg,
+    "skew_salted_join": q_skew_salted_join,
     "approx_distinct_kmv": q_approx_distinct_kmv,
     "events_running_total": q_events_running_total,
     "events_rank_per_user": q_events_rank_per_user,
@@ -413,6 +445,13 @@ SELECT event_type, count(event_id) AS n,
        round(min(value), 6) AS min_value,
        round(max(value), 6) AS max_value
 FROM events GROUP BY event_type""",
+    "skew_salted_join": """
+SELECT l_suppkey AS suppkey, s_name, count(*) AS n_lines,
+       round(sum(l_quantity), 6) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 6) AS DOUBLE)
+         AS sum_price
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY l_suppkey, s_name""",
     "approx_distinct_kmv": """
 WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
 hashed AS (
