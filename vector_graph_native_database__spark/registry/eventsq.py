@@ -224,6 +224,59 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof that O(batch) incremental BM25 maintenance
+    converges to the full recompute: the corpus is replayed as THREE
+    checkpointed micro-batches through the real streaming machinery —
+    batch 0 writes a third of the docs with DECOY text, batch 1 the
+    remaining docs, batch 2 REWRITES the decoy docs with their true
+    text (exercising the anti-join drop-and-replace path and
+    latest-wins) — then the query scores every document from the
+    maintained posting state. The DuckDB oracle is the plain
+    full-corpus BM25 (identical to bm25_score's oracle): it knows
+    nothing about batches, so a single leaked stale posting, dropped
+    doc, or double-counted rewrite fails the value hash. State
+    publishes through the transactional commit_state protocol.
+    """
+    import os
+
+    from ..operators.bm25 import bm25_scores, stats_from_posting
+    from ..streaming.ingest import incremental_bm25_maintenance, read_state
+    from .common import model
+    from .searchq import BM25_QUERY
+
+    base = scratch_dir("bm25_incremental")
+    src = os.path.join(base, "src")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    nodes, _, _ = model(spark, sf_dir)
+    docs = nodes.select("id", "text")
+    rewrite = F.pmod(F.crc32(F.col("id")), F.lit(3)) == 0
+    schema = "id string, text string, seq long"
+    batches = [
+        docs.filter(rewrite).select(
+            "id",
+            F.lit("stale placeholder superseded by the rewrite").alias(
+                "text"
+            ),
+            F.lit(0).cast("long").alias("seq"),
+        ),
+        docs.filter(~rewrite).select(
+            "id", "text", F.lit(1).cast("long").alias("seq")
+        ),
+        docs.filter(rewrite).select(
+            "id", "text", F.lit(2).cast("long").alias("seq")
+        ),
+    ]
+    for b in batches:
+        b.write.mode("append").parquet(src)
+        incremental_bm25_maintenance(spark, src, schema, state, ckpt)
+    stats = stats_from_posting(read_state(spark, state))
+    return bm25_scores(docs, BM25_QUERY, stats=stats).select(
+        "id", F.round("score", 6).alias("score")
+    )
+
+
 QUERIES = {
     "events_stream_replay": q_events_stream_replay,
     "events_stream_windows": q_events_stream_windows,
@@ -234,6 +287,7 @@ QUERIES = {
     "events_session": q_events_session,
     "events_props_extract": q_events_props_extract,
     "events_pivot_user_type": q_events_pivot_user_type,
+    "bm25_incremental_equiv": q_bm25_incremental_equiv,
 }
 
 ORACLES = {
@@ -333,3 +387,17 @@ SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, sid""",
 }
+
+# The incremental-maintenance equivalence oracle IS the plain
+# full-corpus BM25 — imported from searchq so the two can never drift.
+from .common import ORACLE_PRELUDE as _PRELUDE  # noqa: E402
+from .searchq import _BM25_CTES as _BM25  # noqa: E402
+
+ORACLES["bm25_incremental_equiv"] = (
+    _PRELUDE
+    + _BM25
+    + """
+SELECT n.id, round(coalesce(c.score, 0.0), 6) AS score
+FROM nodes n LEFT JOIN contrib c ON c.id = n.id"""
+)
+
