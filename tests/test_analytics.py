@@ -185,3 +185,44 @@ def test_kcore_peel_removes_low_degree_chain_ends(spark):
     )
     got = {r["id"]: r["degree"] for r in kcore_peel(edges, k=2, rounds=4).collect()}
     assert got == {"x": 2, "y": 2, "z": 2}
+
+
+def test_hll_union_estimates_and_merge_dominance(spark):
+    from vector_graph_native_database__spark.operators.sketch import (
+        hll_distinct_union,
+    )
+
+    # two groups, 300 overlapping users: |A|=400, |B|=300, |A∪B|=500
+    rows = [("a", f"user-{i}") for i in range(400)] + [
+        ("b", f"user-{i}") for i in range(200, 500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r["g"]: r for r in hll_distinct_union(df, "g", "v", m=64).collect()}
+    assert set(got) == {"a", "b", "ALL"}
+    assert got["ALL"]["exact_distinct"] == 500
+    # HLL standard error ≈ 1.04/√64 = 13%; allow 4σ
+    for g in ("a", "b", "ALL"):
+        exact = got[g]["exact_distinct"]
+        assert abs(got[g]["est_distinct"] - exact) <= 0.52 * exact, got[g]
+    # merged-register estimate must cover the union, i.e. be at least
+    # the larger per-group estimate (register max dominates)
+    assert got["ALL"]["est_distinct"] >= max(
+        got["a"]["est_distinct"], got["b"]["est_distinct"]
+    )
+
+
+def test_sampled_percentiles_sane(spark):
+    from vector_graph_native_database__spark.operators.sketch import (
+        sampled_percentiles,
+    )
+
+    rows = [("g", f"k{i}", float(i)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, key string, v double")
+    (row,) = sampled_percentiles(
+        df, "g", "v", sample_key="key", rate=0.25
+    ).collect()
+    assert 300 < row["n_sample"] < 700  # rate 0.25 of 2000, ±σ slack
+    assert row["p50_exact"] == 999.5
+    # the sample median estimates the true median within a loose band
+    assert abs(row["p50_est"] - row["p50_exact"]) < 200
+    assert row["p90_est"] > row["p50_est"]

@@ -75,3 +75,151 @@ def kmv_distinct(
             "exact_distinct",
         )
     )
+
+
+def hll_distinct_union(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    m: int = 64,
+    salt: str = "hll",
+) -> DataFrame:
+    """Deterministic HyperLogLog with cross-group register UNION
+    → (group, est_distinct, exact_distinct), plus one 'ALL' row whose
+    estimate comes from MERGING the per-group registers (element-wise
+    max), not from recounting — the mergeability contract that makes
+    HLL the 100 TB telemetry aggregate (per-day registers roll up to
+    per-month by max, no rescan).
+
+    Engine-native HLLs (Spark's approx_count_distinct, DuckDB's) use
+    private hash families, so they can never be value-checked across
+    engines. This one is built on the same md5-derived 60-bit hash as
+    the dedup/LSH/KMV operators: register = h mod m, and the rank ρ =
+    (leading-zero count + 1) of the next 50 hash bits, computed via
+    binary-string length (no float log2 — Spark's log2 is
+    log(x)/log(2) and can round down at exact powers of two, which
+    would corrupt ρ on exactly the values where it matters).
+    Flajolet's standard estimator with the small-range linear
+    correction; the 2^-ρ summands are exact powers of two spanning
+    < 53 bits, so the register sum is exact and order-independent —
+    bit-identical on any engine with md5. exact_distinct rides along
+    to expose the realized error (standard error ≈ 1.04/√m ≈ 13% at
+    m=64).
+    """
+    w_rho = 51  # ranks drawn from 50 bits: rho ∈ [1, 51]
+    base = df.select(
+        F.col(group_col).alias("grp").cast("string"),
+        F.col(value_col).alias("v"),
+    ).filter(F.col(value_col).isNotNull())
+    h = stable_hash60(F.concat(F.lit(salt), F.col("v").cast("string")))
+    hashed = (
+        base.withColumn("h", h)
+        .withColumn("reg", F.pmod("h", F.lit(m)))
+        .withColumn(
+            "r", F.pmod(F.expr(f"h div {m}"), F.lit(1 << (w_rho - 1)))
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("r") == 0, F.lit(w_rho)).otherwise(
+                F.lit(w_rho)
+                - F.length(F.conv(F.col("r").cast("string"), 10, 2))
+            ),
+        )
+    )
+    regs = hashed.groupBy("grp", "reg").agg(F.max("rho").alias("mrho"))
+    merged = (
+        regs.groupBy("reg")
+        .agg(F.max("mrho").alias("mrho"))
+        .select(F.lit("ALL").alias("grp"), "reg", "mrho")
+    )
+    # alpha_m written as the arithmetic expression (not a rounded
+    # literal) so both engines compute the identical double
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    per_grp = (
+        regs.unionByName(merged)
+        .groupBy("grp")
+        .agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("mrho"))).alias("s_occ"),
+            F.count("*").alias("n_occ"),
+        )
+        .withColumn("zeros", F.lit(m) - F.col("n_occ"))
+        .withColumn("s", F.col("s_occ") + F.col("zeros").cast("double"))
+        .withColumn("raw", alpha * F.lit(float(m * m)) / F.col("s"))
+        .withColumn(
+            "est",
+            F.when(
+                (F.col("raw") <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+            ).otherwise(F.col("raw")),
+        )
+    )
+    exact = base.groupBy("grp").agg(
+        F.countDistinct("v").alias("exact_distinct")
+    )
+    exact_all = base.agg(
+        F.countDistinct("v").alias("exact_distinct")
+    ).select(F.lit("ALL").alias("grp"), "exact_distinct")
+    return (
+        per_grp.join(exact.unionByName(exact_all), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            (
+                F.floor(F.col("est") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+            ).alias("est_distinct"),
+            "exact_distinct",
+        )
+    )
+
+
+def sampled_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    sample_key: str,
+    rate: float = 0.125,
+    salt: str = "ps",
+) -> DataFrame:
+    """Mergeable approximate percentiles via deterministic bottom-hash
+    sampling → (group, n_sample, p50_est, p90_est, p99_est,
+    p50_exact, p90_exact, p99_exact).
+
+    The sketch is the hash-sampled row subset: keep a row iff
+    hash(sample_key)/2^60 < rate. That sample is trivially MERGEABLE
+    (the union of two partitions' samples IS the sample of the union
+    — same property KLL/t-digest buy with far more machinery) and
+    deterministic, so unlike Spark's percentile_approx — whose
+    Greenwald-Khanna merge depends on partition layout — the estimate
+    is reproducible across engines and cluster sizes, and the DuckDB
+    oracle value-checks it exactly. Estimates are exact linear-
+    interpolated percentiles OF THE SAMPLE (percentile() here,
+    quantile_cont in the oracle — the pair the exact-percentile entry
+    already proves bit-compatible); exact percentiles of the full
+    data ride along to expose the realized error (~1/√(rate·n)).
+    """
+    u = stable_hash60(
+        F.concat(F.lit(salt), F.col(sample_key).cast("string"))
+    ) / F.lit(TWO_60)
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    pct = f"percentile({value_col}, array(0.5, 0.9, 0.99))"
+    agg = (
+        df.withColumn("__u", u)
+        .groupBy(group_col)
+        .agg(
+            F.expr(
+                f"percentile(CASE WHEN __u < {rate!r} THEN {value_col} END,"
+                " array(0.5, 0.9, 0.99))"
+            ).alias("ps"),
+            F.sum((F.col("__u") < rate).cast("long")).alias("n_sample"),
+            F.expr(pct).alias("pe"),
+        )
+    )
+    return agg.select(
+        group_col,
+        "n_sample",
+        r6(F.col("ps")[0]).alias("p50_est"),
+        r6(F.col("ps")[1]).alias("p90_est"),
+        r6(F.col("ps")[2]).alias("p99_est"),
+        r6(F.col("pe")[0]).alias("p50_exact"),
+        r6(F.col("pe")[1]).alias("p90_exact"),
+        r6(F.col("pe")[2]).alias("p99_exact"),
+    )

@@ -377,6 +377,32 @@ def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, "event_type", "user_id", k=64)
 
 
+def q_approx_distinct_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-based HyperLogLog per event type PLUS an
+    'ALL' row estimated from the element-wise-max UNION of the
+    per-type registers — the sketch-mergeability contract (daily
+    registers roll up to monthly by max, no rescan) value-checked
+    end-to-end against a DuckDB replay of the same registers."""
+    from ..operators.sketch import hll_distinct_union
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct_union(ev, "event_type", "user_id", m=64)
+
+
+def q_approx_percentile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate percentiles from a deterministic
+    bottom-hash row sample (rate 1/8, keyed on event_id) next to the
+    exact percentiles of the full data — reproducible across engines
+    and partitionings, unlike percentile_approx's layout-dependent
+    Greenwald-Khanna merge."""
+    from ..operators.sketch import sampled_percentiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return sampled_percentiles(
+        ev, "event_type", "value", sample_key="event_id", rate=0.125
+    )
+
+
 QUERIES = {
     "olap_pricing_summary": q_olap_pricing_summary,
     "olap_revenue_rollup": q_olap_revenue_rollup,
@@ -387,6 +413,8 @@ QUERIES = {
     "skew_salted_agg": q_skew_salted_agg,
     "skew_salted_join": q_skew_salted_join,
     "approx_distinct_kmv": q_approx_distinct_kmv,
+    "approx_distinct_hll_union": q_approx_distinct_hll_union,
+    "approx_percentile_sample": q_approx_percentile_sample,
     "events_running_total": q_events_running_total,
     "events_rank_per_user": q_events_rank_per_user,
     "events_value_percentiles": q_events_value_percentiles,
@@ -445,6 +473,77 @@ SELECT event_type, count(event_id) AS n,
        round(min(value), 6) AS min_value,
        round(max(value), 6) AS max_value
 FROM events GROUP BY event_type""",
+    "approx_distinct_hll_union": """
+WITH base AS (
+  SELECT event_type AS grp, user_id AS v FROM events
+  WHERE user_id IS NOT NULL
+),
+hashed AS (
+  SELECT grp,
+         ('0x' || substr(md5('hll' || CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM base
+),
+ranked AS (
+  SELECT grp, h % 64 AS reg, (h // 64) % 1125899906842624 AS r
+  FROM hashed
+),
+rho AS (
+  SELECT grp, reg,
+         CASE WHEN r = 0 THEN 51
+              ELSE 51 - length(ltrim(bin(r), '0')) END AS rho
+  FROM ranked
+),
+regs AS (SELECT grp, reg, max(rho) AS mrho FROM rho GROUP BY grp, reg),
+allregs AS (
+  SELECT grp, reg, mrho FROM regs
+  UNION ALL
+  SELECT 'ALL' AS grp, reg, max(mrho) AS mrho FROM regs GROUP BY reg
+),
+est AS (
+  SELECT grp,
+         sum(power(2.0, -mrho)) + (64 - count(*)) AS s,
+         64 - count(*) AS zeros
+  FROM allregs GROUP BY grp
+),
+fin AS (
+  SELECT grp, zeros,
+         (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 / s AS raw
+  FROM est
+),
+exact AS (
+  SELECT grp, count(DISTINCT v) AS exact_distinct FROM base GROUP BY grp
+  UNION ALL
+  SELECT 'ALL', count(DISTINCT v) FROM base
+)
+SELECT f.grp AS event_type,
+       floor((CASE WHEN f.raw <= 160.0 AND f.zeros > 0
+                   THEN 64.0 * ln(64.0 / f.zeros)
+                   ELSE f.raw END) * 1000000.0 + 0.5) / 1000000.0
+         AS est_distinct,
+       e.exact_distinct
+FROM fin f JOIN exact e ON e.grp = f.grp""",
+    "approx_percentile_sample": """
+WITH u AS (
+  SELECT event_type, value,
+         ('0x' || substr(md5('ps' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM events
+)
+SELECT event_type,
+       count(*) FILTER (WHERE u < 0.125) AS n_sample,
+       floor(quantile_cont(value, 0.5) FILTER (WHERE u < 0.125)
+             * 1000000.0 + 0.5) / 1000000.0 AS p50_est,
+       floor(quantile_cont(value, 0.9) FILTER (WHERE u < 0.125)
+             * 1000000.0 + 0.5) / 1000000.0 AS p90_est,
+       floor(quantile_cont(value, 0.99) FILTER (WHERE u < 0.125)
+             * 1000000.0 + 0.5) / 1000000.0 AS p99_est,
+       floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0
+         AS p50_exact,
+       floor(quantile_cont(value, 0.9) * 1000000.0 + 0.5) / 1000000.0
+         AS p90_exact,
+       floor(quantile_cont(value, 0.99) * 1000000.0 + 0.5) / 1000000.0
+         AS p99_exact
+FROM u GROUP BY event_type""",
     "skew_salted_join": """
 SELECT l_suppkey AS suppkey, s_name, count(*) AS n_lines,
        round(sum(l_quantity), 6) AS sum_qty,
