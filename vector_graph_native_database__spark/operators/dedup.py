@@ -344,7 +344,10 @@ def embedding_cosine_pairs_lsh(
 
 
 def embedding_cosine_pairs(
-    emb: DataFrame, threshold: float = 0.4, block_size: int = 2048
+    emb: DataFrame,
+    threshold: float = 0.4,
+    block_size: int = 2048,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact near-dup pairs by embedding cosine ≥ threshold
     → (id_a, id_b, cos) with id_a < id_b.
@@ -359,10 +362,18 @@ def embedding_cosine_pairs(
     is ⌈N/block_size⌉ (the unavoidable cost of EXACT all-pairs), each
     task is dense BLAS, and the same operator runs per-LSH-bucket
     when approximate blocking is acceptable (see ann.py).
+
+    Block count needs the row count N. Pass ``n_rows`` to keep the
+    builder fully lazy (a deployment knows its store's size from
+    table metadata — at 100 TB that's a catalog lookup, not a scan);
+    when omitted, the builder runs one eager ``count()`` — a
+    column-pruned parquet scan resolved from footer statistics, but
+    still an action inside plan construction, so callers composing
+    lazy pipelines should prefer passing it.
     """
     import math
 
-    n = emb.count()
+    n = emb.count() if n_rows is None else n_rows
     nblocks = max(1, math.ceil(n / block_size))
 
     base = emb.select(
