@@ -505,3 +505,30 @@ def test_ann_int8_recall_vs_exact(spark, sf_dir):
     # membership should survive nearly intact
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, f"recall {recall}"
+
+
+def test_multiprobe_dedup_pairs_superset_of_single_probe(spark):
+    """The Hamming-1 probe set is a strict candidate superset, so the
+    multi-probe pair output must contain every single-probe pair and
+    (on this fixture: 2 vs 10 of the 66 exact pairs) strictly more,
+    while staying a subset of the exact all-pairs output."""
+    from vector_graph_native_database__spark.sources import embeddings_df
+
+    emb = embeddings_df(spark, "/root/testdata/sf0.001")
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs_multiprobe(
+            emb, threshold=0.4
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.4).collect()
+    }
+    assert single <= multi, "multi-probe must contain every single-probe pair"
+    assert len(multi) > len(single), (len(multi), len(single))
+    assert multi <= exact, "approximate pairs must be exact-verified pairs"

@@ -158,3 +158,48 @@ def test_upsert_is_idempotent_and_batch_wins(spark, table, batch):
     got_twice = {r["id"]: r["v"] for r in twice.collect()}
     assert got_once == want
     assert got_twice == want
+
+
+# -- hot-key-salted join -----------------------------------------------------
+
+salted_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 99)),  # (key, payload)
+    min_size=0,
+    max_size=40,
+)
+salted_dim = st.lists(
+    st.tuples(st.integers(0, 5), st.text("abc", min_size=1, max_size=2)),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(rows=salted_rows, dim=salted_dim, threshold=st.integers(1, 10))
+@settings(**SETTINGS)
+def test_salted_join_equals_plain_join(spark, rows, dim, threshold):
+    """For ANY inputs and ANY hot threshold, the hot-key-salted join
+    is multiset-identical to the plain inner join — salting must
+    never duplicate or drop a row, whichever keys land hot."""
+    from vector_graph_native_database__spark.operators.skew import (
+        salted_join_hot_keys,
+    )
+
+    facts = spark.createDataFrame(
+        [(f"k{k}", p) for k, p in rows], "k string, payload int"
+    )
+    # dedup dim keys: a dim side with duplicate keys multiplies rows
+    # in BOTH joins identically, but distinct keys keep the reference
+    # model trivial
+    dim_rows = list({f"k{k}": lab for k, lab in dim}.items())
+    dimdf = spark.createDataFrame(dim_rows, "k string, label string")
+    got = sorted(
+        (r["k"], r["payload"], r["label"])
+        for r in salted_join_hot_keys(
+            facts, dimdf, "k", salt_buckets=4, hot_row_threshold=threshold
+        ).collect()
+    )
+    dmap = dict(dim_rows)
+    want = sorted(
+        (f"k{k}", p, dmap[f"k{k}"]) for k, p in rows if f"k{k}" in dmap
+    )
+    assert got == want

@@ -343,6 +343,52 @@ def embedding_cosine_pairs_lsh(
     )
 
 
+def embedding_cosine_pairs_multiprobe(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Hamming-1 multi-probe variant of ``embedding_cosine_pairs_lsh``
+    → (id_a, id_b, cos), id_a < id_b: candidate pairs are vectors
+    whose sign-LSH buckets differ in AT MOST one bit, recovering
+    near-dups split by exactly one hyperplane — the recall fix for
+    the single-probe trade documented there, at (num_planes+1)× the
+    bounded candidate cost. Each unordered pair is generated exactly
+    once: the probe side enumerates bucket ∪ single-bit flips, the
+    build side keeps its own bucket, and ``id_a < id_b`` keeps one
+    orientation (a pair's two buckets can collide on only one probe
+    value). Precision stays exact — the cosine is computed, never
+    estimated.
+    """
+    from .ann import _probe_buckets, hyperplanes, lsh_buckets
+    from ..functions.vectorfn import cosine
+
+    bucketed = lsh_buckets(
+        emb.filter(F.size("vector") == dim),
+        hyperplanes(emb.sparkSession, num_planes, dim),
+    )
+    a = bucketed.select(
+        F.col("node_id").alias("id_a"),
+        F.col("vector").alias("va"),
+        F.explode(_probe_buckets(F.col("bucket"), num_planes)).alias(
+            "pbucket"
+        ),
+    )
+    b = bucketed.select(
+        F.col("node_id").alias("id_b"),
+        F.col("vector").alias("vb"),
+        F.col("bucket").alias("pbucket"),
+    )
+    return (
+        a.join(b, "pbucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.4,

@@ -277,6 +277,76 @@ def q_bm25_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twin of bm25_incremental_equiv for the EMBEDDING index: the
+    corpus replays as three checkpointed micro-batches through
+    incremental_index_maintenance (decoy text first, rewrite last —
+    latest-wins upsert through the transactional state store), then
+    every maintained vector is fingerprinted as (id, l2, nnz,
+    top_bucket): unit norm, nonzero-component count, and the argmax
+    hash bucket (min-bucket tiebreak). The DuckDB oracle derives the
+    same three projections from the batch hash-embedding definition
+    over the PLAIN corpus — a stale vector, dropped doc, or
+    double-applied rewrite changes nnz/top_bucket and fails the
+    value hash. (Scalar projections, not raw components: the state
+    stores float32, and a 256-term float32 SUM could drift past the
+    6dp gate; norm, counts, and argmax are rounding-safe.)
+    """
+    import os
+
+    from ..streaming.ingest import incremental_index_maintenance, read_state
+    from .common import model
+
+    base = scratch_dir("embed_incremental")
+    src = os.path.join(base, "src")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    nodes, _, _ = model(spark, sf_dir)
+    docs = nodes.select("id", "text")
+    rewrite = F.pmod(F.crc32(F.col("id")), F.lit(3)) == 0
+    schema = "id string, text string, seq long"
+    batches = [
+        docs.filter(rewrite).select(
+            "id",
+            F.lit("decoy embedding text to be superseded").alias("text"),
+            F.lit(0).cast("long").alias("seq"),
+        ),
+        docs.filter(~rewrite).select(
+            "id", "text", F.lit(1).cast("long").alias("seq")
+        ),
+        docs.filter(rewrite).select(
+            "id", "text", F.lit(2).cast("long").alias("seq")
+        ),
+    ]
+    for b in batches:
+        b.write.mode("append").parquet(src)
+        incremental_index_maintenance(spark, src, schema, state, ckpt)
+    emb = read_state(spark, state)
+    comp = emb.select(
+        F.col("node_id").alias("id"),
+        F.posexplode("vector").alias("bucket", "val"),
+    ).filter(F.col("val") != 0)
+    fp = comp.groupBy("id").agg(
+        F.round(
+            F.sqrt(F.sum(F.col("val").cast("double") * F.col("val"))), 6
+        ).alias("l2"),
+        F.count(F.lit(1)).cast("int").alias("nnz"),
+        F.max_by(
+            "bucket", F.struct(F.col("val"), -F.col("bucket"))
+        ).alias("top_bucket"),
+    )
+    return (
+        emb.select(F.col("node_id").alias("id"))
+        .join(fp, "id", "left")
+        .select(
+            "id",
+            F.coalesce("l2", F.lit(0.0)).alias("l2"),
+            F.coalesce("nnz", F.lit(0)).alias("nnz"),
+            F.coalesce("top_bucket", F.lit(-1)).alias("top_bucket"),
+        )
+    )
+
+
 QUERIES = {
     "events_stream_replay": q_events_stream_replay,
     "events_stream_windows": q_events_stream_windows,
@@ -288,6 +358,7 @@ QUERIES = {
     "events_props_extract": q_events_props_extract,
     "events_pivot_user_type": q_events_pivot_user_type,
     "bm25_incremental_equiv": q_bm25_incremental_equiv,
+    "embed_incremental_equiv": q_embed_incremental_equiv,
 }
 
 ORACLES = {
@@ -399,5 +470,36 @@ ORACLES["bm25_incremental_equiv"] = (
     + """
 SELECT n.id, round(coalesce(c.score, 0.0), 6) AS score
 FROM nodes n LEFT JOIN contrib c ON c.id = n.id"""
+)
+
+# Embedding twin: the oracle is the batch hash-embedding definition
+# (same CTEs as functionsq's embed_batch) projected to the
+# fingerprint columns.
+from .functionsq import _TOK as _EMB_TOK  # noqa: E402
+
+ORACLES["embed_incremental_equiv"] = (
+    _PRELUDE
+    + f""",
+toks AS (SELECT id, unnest({_EMB_TOK}) AS tok FROM nodes),
+cnts AS (
+  SELECT id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS bucket,
+         CAST(count(*) AS DOUBLE) AS cnt
+  FROM toks GROUP BY 1, 2
+),
+agg AS (SELECT id, count(*) AS nnz FROM cnts GROUP BY id),
+top AS (
+  SELECT id, bucket FROM (
+    SELECT id, bucket,
+           row_number() OVER (PARTITION BY id ORDER BY cnt DESC, bucket) AS rn
+    FROM cnts
+  ) WHERE rn = 1
+)
+SELECT n.id,
+       round(CASE WHEN a.nnz IS NULL THEN 0.0 ELSE 1.0 END, 6) AS l2,
+       CAST(coalesce(a.nnz, 0) AS INT) AS nnz,
+       CAST(coalesce(t.bucket, -1) AS INT) AS top_bucket
+FROM nodes n
+LEFT JOIN agg a ON a.id = n.id
+LEFT JOIN top t ON t.id = n.id"""
 )
 

@@ -56,6 +56,19 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_cosine_multiprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hamming-1 multi-probe variant of dedup_embedding_cosine_lsh:
+    near-dup pairs whose buckets differ in at most one sign bit —
+    strictly more recall than the single-probe bucket join at
+    (P+1)× the bounded candidate cost."""
+    _, emb, _ = model(spark, sf_dir)
+    return dedup.embedding_cosine_pairs_multiprobe(
+        emb, threshold=0.4
+    ).select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
 def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, emb, _ = model(spark, sf_dir)
     return ann.brute_topk(emb, ANN_QUERY_IDS, k=10, round_scores=6)
@@ -220,6 +233,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
+    "dedup_embedding_cosine_multiprobe": q_dedup_embedding_cosine_multiprobe,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_multiprobe_lsh_topk": q_ann_multiprobe_lsh_topk,
@@ -580,6 +594,48 @@ FROM (
          sqrt(list_dot_product(CAST(b.vector AS DOUBLE[]),
                                CAST(b.vector AS DOUBLE[]))) AS nb
   FROM be a JOIN be b ON a.bucket = b.bucket AND a.node_id < b.node_id
+)
+WHERE {_COS} >= 0.4""",
+    "dedup_embedding_cosine_multiprobe": ORACLE_PRELUDE
+    + f""",
+planes AS (
+  SELECT p.p,
+         list_transform(generate_series(0, 63), d ->
+           (('0x' || substr(md5('p' || p.p || 'd' || d), 1, 8))::BIGINT
+            % 2001 - 1000) / 1000.0) AS w
+  FROM (SELECT unnest(generate_series(0, 7)) AS p) p
+),
+proj AS (
+  SELECT e.node_id, e.dim, p.p,
+         list_dot_product(CAST(e.vector AS DOUBLE[]), p.w) AS proj
+  FROM emb e CROSS JOIN planes p
+  WHERE len(e.vector) = 64
+),
+buck AS (
+  SELECT node_id, dim,
+         sum(CASE WHEN proj >= 0 THEN 1::BIGINT << p ELSE 0 END) AS bucket
+  FROM proj GROUP BY node_id, dim
+),
+be AS (
+  SELECT b.node_id, b.bucket, e.vector
+  FROM buck b JOIN emb e ON e.node_id = b.node_id AND e.dim = b.dim
+),
+probes AS (
+  SELECT b.node_id, b.vector,
+         CASE WHEN pp.p < 0 THEN b.bucket
+              ELSE xor(b.bucket, 1::BIGINT << pp.p) END AS pb
+  FROM be b CROSS JOIN (SELECT unnest(generate_series(-1, 7)) AS p) pp
+)
+SELECT id_a, id_b, round({_COS}, 6) AS cos
+FROM (
+  SELECT a.node_id AS id_a, b.node_id AS id_b,
+         list_dot_product(CAST(a.vector AS DOUBLE[]),
+                          CAST(b.vector AS DOUBLE[])) AS d,
+         sqrt(list_dot_product(CAST(a.vector AS DOUBLE[]),
+                               CAST(a.vector AS DOUBLE[]))) AS na,
+         sqrt(list_dot_product(CAST(b.vector AS DOUBLE[]),
+                               CAST(b.vector AS DOUBLE[]))) AS nb
+  FROM probes a JOIN be b ON b.bucket = a.pb AND a.node_id < b.node_id
 )
 WHERE {_COS} >= 0.4""",
     "ann_brute_topk": ORACLE_PRELUDE
