@@ -49,6 +49,11 @@ HEADLINE = [
     "decontaminate",
     "ann_knn_join",
     "ann_mmr_rerank",
+    # round-3 hardening families: multi-probe recall path, hot-key
+    # salted join, mergeable sketches
+    "ann_multiprobe_lsh_topk",
+    "skew_salted_join",
+    "approx_distinct_hll_union",
     "text_pmi_bigrams",
     "curation_pipeline_summary",
 ]

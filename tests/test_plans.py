@@ -229,3 +229,16 @@ def test_salted_join_spreads_hot_key_and_matches_plain_join(spark):
 
     p = salted._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in p  # join/exchange keyed on the salt column
+
+
+def test_multiprobe_paths_never_cartesian(spark):
+    """All three multi-probe variants must stay keyed equi-joins on
+    the probed bucket — the probe explosion multiplies rows, never
+    join arity."""
+    for name in (
+        "ann_multiprobe_lsh_topk",
+        "ann_knn_join_multiprobe",
+        "dedup_embedding_cosine_multiprobe",
+    ):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
