@@ -56,6 +56,7 @@ HEADLINE = [
     "approx_distinct_hll_union",
     "text_pmi_bigrams",
     "curation_pipeline_summary",
+    "curation_pipeline_staged",
 ]
 
 

@@ -113,26 +113,17 @@ def q_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MMR_IDS = ["0", "100", "200", "300", "400"]
 
 
-def q_curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole curation wave as ONE lazy plan: quality gate →
-    eval-split decontamination → transitive near-dup removal →
-    sequence packing of the survivors → one-row funnel summary
-    (raw / quality-pass / contaminated / dup-dropped / final / bins).
-    Catalyst fuses all stages; the single-row stage aggregates
-    broadcast-join into the summary row — the shape a 100 TB corpus
-    build actually runs end-to-end."""
+def _funnel_summary(nodes: DataFrame, dropped: DataFrame) -> DataFrame:
+    """Shared funnel body: quality gate → decontamination → (given)
+    dup-drop set → packing → one-row summary. Both the fully-lazy and
+    the staged-pairs entries build on this, differing only in how
+    ``dropped`` was derived."""
     from ..functions.textfn import tokenize
     from ..operators.sampling import pack_greedy
 
-    nodes, _, _ = model(spark, sf_dir)
     q = text_analysis.quality_score(nodes)
     qpass = q.filter(F.col("quality") >= 0.5).select("id")
     cont = curation.decontaminate(nodes, k=3, eval_mod=EVAL_MOD).select("id")
-    dropped = (
-        curation.dedup_cluster_assign(nodes, threshold=0.8)
-        .filter(F.col("keep") == 0)
-        .select("id")
-    )
     final = qpass.join(cont, "id", "left_anti").join(dropped, "id", "left_anti")
     toks = nodes.join(final, "id", "left_semi").select(
         "id", F.size(tokenize("text")).alias("n_tokens")
@@ -149,10 +140,53 @@ def q_curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation wave as ONE lazy plan: quality gate →
+    eval-split decontamination → transitive near-dup removal →
+    sequence packing of the survivors → one-row funnel summary
+    (raw / quality-pass / contaminated / dup-dropped / final / bins).
+    Catalyst fuses all stages; the single-row stage aggregates
+    broadcast-join into the summary row — the shape a 100 TB corpus
+    build actually runs end-to-end. (The staged twin below trades the
+    single-plan property for pair-frame reuse.)"""
+    nodes, _, _ = model(spark, sf_dir)
+    dropped = (
+        curation.dedup_cluster_assign(nodes, threshold=0.8)
+        .filter(F.col("keep") == 0)
+        .select("id")
+    )
+    return _funnel_summary(nodes, dropped)
+
+
+def q_curation_pipeline_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment twin of curation_pipeline_summary: the MinHash
+    near-dup pair frame — the funnel's most expensive artifact, and
+    one the component rounds would otherwise re-derive per iteration —
+    is computed once and STAGED (eager localCheckpoint), exactly as
+    dedup_cluster_from_pairs stages it; every later funnel stage
+    reuses the materialized pairs. Identical output (shared oracle);
+    at 100 TB the staged frame is the persisted pair table the
+    production corpus build writes between its dedup and clustering
+    phases."""
+    from ..operators.dedup import minhash_lsh_dedup
+
+    nodes, _, _ = model(spark, sf_dir)
+    pairs = minhash_lsh_dedup(nodes, threshold=0.8).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=True)
+    dropped = (
+        curation.cluster_from_pairs(pairs)
+        .filter(F.col("keep") == 0)
+        .select("id")
+    )
+    return _funnel_summary(nodes, dropped)
+
+
 QUERIES = {
     "dedup_cluster_assign": q_dedup_cluster_assign,
     "dedup_cluster_from_pairs": q_dedup_cluster_from_pairs,
     "curation_pipeline_summary": q_curation_pipeline_summary,
+    "curation_pipeline_staged": q_curation_pipeline_staged,
     "dedup_keep_best": q_dedup_keep_best,
     "decontaminate": q_decontaminate,
     "text_unigram_logprob": q_text_unigram_logprob,
@@ -583,3 +617,6 @@ SELECT id_a, id_b, cos, rnk FROM (
 # identical result by construction — the staged-pairs path shares the
 # full-recompute oracle
 ORACLES["dedup_cluster_from_pairs"] = ORACLES["dedup_cluster_assign"]
+
+# staged twin shares the lazy entry's oracle — identical result
+ORACLES["curation_pipeline_staged"] = ORACLES["curation_pipeline_summary"]
