@@ -266,10 +266,16 @@ def test_lsh_bucket_store_partition_pruned(spark, tmp_path):
     store = spark.read.parquet(path)
     some_bucket = store.select("bucket").first()["bucket"]
     q = store.filter(F.col("bucket") == some_bucket)
+    import re
+
     plan = q._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "bucket" in plan.split(
-        "PartitionFilters"
-    )[1][:200], "bucket predicate must prune partitions at the scan"
+    # the bucket predicate must sit INSIDE the PartitionFilters
+    # bracket (directory pruning); matching 'bucket' anywhere after
+    # the label would false-pass on DataFilters/ReadSchema text when
+    # pruning regresses to row filtering
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), (
+        "bucket predicate must appear inside PartitionFilters"
+    )
     # the filter must NOT survive past the scan as a data filter on a
     # partition column (it's directory pruning, not row filtering)
     got = q.count()

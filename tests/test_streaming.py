@@ -135,6 +135,38 @@ def test_state_commit_is_crash_safe(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_legacy_flat_state_refused_then_migrated(spark):
+    """A pre-versioning flat state dir must RAISE from read_state
+    (silently reading it as 'no prior state' would make the next
+    maintenance commit drop all accumulated state), and migrate_state
+    must adopt it as the first committed version losslessly."""
+    from vector_graph_native_database__spark.streaming import migrate_state
+
+    tmp = tempfile.mkdtemp(prefix="vgs-legacy-")
+    state = f"{tmp}/state"
+    try:
+        spark.createDataFrame(
+            [("a", 1), ("b", 2)], "id string, n long"
+        ).write.parquet(state)
+        with pytest.raises(ValueError, match="migrate_state"):
+            read_state(spark, state)
+        v = migrate_state(spark, state)
+        assert v == "v000001"
+        got = {
+            r["id"]: r["n"] for r in read_state(spark, state).collect()
+        }
+        assert got == {"a": 1, "b": 2}
+        # idempotent: a second call is a no-op on an adopted dir
+        assert migrate_state(spark, state) is None
+        # and normal commits continue from the adopted version
+        v2 = commit_state(
+            spark.createDataFrame([("c", 3)], "id string, n long"), state
+        )
+        assert v2 == "v000002"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_multimodal_plumbing(spark):
     from vector_graph_native_database__spark.multimodal import (
         attach_binary,

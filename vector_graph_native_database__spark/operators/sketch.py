@@ -135,39 +135,46 @@ def hll_distinct_union(
     # alpha_m written as the arithmetic expression (not a rounded
     # literal) so both engines compute the identical double
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
-    per_grp = (
-        regs.unionByName(merged)
-        .groupBy("grp")
-        .agg(
-            F.sum(F.pow(F.lit(2.0), -F.col("mrho"))).alias("s_occ"),
-            F.count("*").alias("n_occ"),
+
+    def estimate(reg_frame: DataFrame) -> DataFrame:
+        return (
+            reg_frame.groupBy("grp")
+            .agg(
+                F.sum(F.pow(F.lit(2.0), -F.col("mrho"))).alias("s_occ"),
+                F.count("*").alias("n_occ"),
+            )
+            .withColumn("zeros", F.lit(m) - F.col("n_occ"))
+            .withColumn("s", F.col("s_occ") + F.col("zeros").cast("double"))
+            .withColumn("raw", alpha * F.lit(float(m * m)) / F.col("s"))
+            .withColumn(
+                "est",
+                F.when(
+                    (F.col("raw") <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+                    F.lit(float(m))
+                    * F.log(F.lit(float(m)) / F.col("zeros")),
+                ).otherwise(F.col("raw")),
+            )
         )
-        .withColumn("zeros", F.lit(m) - F.col("n_occ"))
-        .withColumn("s", F.col("s_occ") + F.col("zeros").cast("double"))
-        .withColumn("raw", alpha * F.lit(float(m * m)) / F.col("s"))
-        .withColumn(
-            "est",
-            F.when(
-                (F.col("raw") <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
-                F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
-            ).otherwise(F.col("raw")),
-        )
-    )
+
+    # The per-group rows and the union row are estimated and joined
+    # to their exact counts in SEPARATE frames, unioned only at the
+    # end: a real group that happens to be named 'ALL' then yields
+    # two correctly-computed rows with the same label instead of
+    # silently merging its registers into the union estimate (which
+    # would double-count registers and mispair exact counts).
     exact = base.groupBy("grp").agg(
         F.countDistinct("v").alias("exact_distinct")
     )
     exact_all = base.agg(
         F.countDistinct("v").alias("exact_distinct")
     ).select(F.lit("ALL").alias("grp"), "exact_distinct")
-    return (
-        per_grp.join(exact.unionByName(exact_all), "grp")
-        .select(
-            F.col("grp").alias(group_col),
-            (
-                F.floor(F.col("est") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-            ).alias("est_distinct"),
-            "exact_distinct",
-        )
+    est6 = F.floor(F.col("est") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    per_grp = estimate(regs).join(exact, "grp")
+    union_row = estimate(merged).join(exact_all, "grp")
+    return per_grp.unionByName(union_row).select(
+        F.col("grp").alias(group_col),
+        est6.alias("est_distinct"),
+        "exact_distinct",
     )
 
 

@@ -93,8 +93,16 @@ def salted_join_hot_keys(
        hot set is tiny by definition (it's the head of a power law)
        and is broadcast to both inputs.
     2. **Fact-side salting**: rows of hot keys get a deterministic
-       salt in [0, S) (hash of the full row — no RNG, so replays and
-       retries salt identically); cold rows get salt 0.
+       salt in [0, S) — hash of the full row PLUS the row's position
+       (``monotonically_increasing_id``), so even a hot key whose
+       rows are byte-identical (repeated telemetry rows, the classic
+       degenerate skew) spreads across all S sub-keys instead of
+       hashing to one. No RNG: positions are a pure function of the
+       partition layout, so a task retry over the same input salts
+       identically; and since the dim side is replicated into EVERY
+       salt, the join result is independent of which salt a row gets
+       — a repartitioned rerun changes salts, never rows. Cold rows
+       get salt 0.
     3. **Dim-side replication**: dim rows of hot keys are exploded
        into all S salts (S small copies of FEW rows — the whole
        point); cold dim rows carry salt 0 only.
@@ -103,10 +111,18 @@ def salted_join_hot_keys(
 
     Every fact row meets exactly the dim rows of its key (hot rows
     via its one salt, against the replica with that salt), so the
-    result multiset equals the plain join for any ``how`` ∈
-    {inner, left}. ``keep_salt=True`` retains ``__salt`` for tests/
-    diagnostics.
+    result multiset equals the plain join for ``how`` ∈ {inner,
+    left} — and ONLY those: a right/full/semi join would see the
+    unmatched dim replicas as extra null-extended rows, so any other
+    ``how`` raises instead of silently corrupting the result.
+    ``keep_salt=True`` retains ``__salt`` for tests/diagnostics.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join_hot_keys supports how='inner'/'left' only, "
+            f"got {how!r}: dim-side replicas would null-extend under "
+            "right/full/semi semantics"
+        )
     hot = (
         facts.groupBy(key)
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -117,7 +133,10 @@ def salted_join_hot_keys(
         F.when(
             F.col("__hot").isNotNull(),
             F.pmod(
-                F.hash(*[F.col(c) for c in facts.columns]),
+                F.hash(
+                    *[F.col(c) for c in facts.columns],
+                    F.monotonically_increasing_id(),
+                ),
                 F.lit(salt_buckets),
             ),
         )

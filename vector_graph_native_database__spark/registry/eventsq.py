@@ -238,14 +238,47 @@ def q_bm25_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, or double-counted rewrite fails the value hash. State
     publishes through the transactional commit_state protocol.
     """
-    import os
-
     from ..operators.bm25 import bm25_scores, stats_from_posting
-    from ..streaming.ingest import incremental_bm25_maintenance, read_state
-    from .common import model
+    from ..streaming.ingest import incremental_bm25_maintenance
     from .searchq import BM25_QUERY
 
-    base = scratch_dir("bm25_incremental")
+    docs, state_df = _replay_decoy_batches(
+        spark,
+        sf_dir,
+        scratch_name="bm25_incremental",
+        decoy_text="stale placeholder superseded by the rewrite",
+        maintain_fn=incremental_bm25_maintenance,
+    )
+    stats = stats_from_posting(state_df)
+    return bm25_scores(docs, BM25_QUERY, stats=stats).select(
+        "id", F.round("score", 6).alias("score")
+    )
+
+
+def _replay_decoy_batches(
+    spark: SparkSession,
+    sf_dir: str,
+    scratch_name: str,
+    decoy_text: str,
+    maintain_fn,
+):
+    """Shared decoy/rewrite replay protocol for the incremental-
+    maintenance equivalence entries: the corpus splits into three
+    checkpointed micro-batches — a third of the docs first with DECOY
+    text (seq 0), the remaining docs (seq 1), then the decoy docs
+    REWRITTEN with their true text (seq 2) — each batch driven
+    through ``maintain_fn`` (the real streaming machinery). Returns
+    (docs, maintained-state DataFrame); the maintained state must
+    then equal the plain-corpus derivation, which each caller's
+    oracle checks. One definition so the BM25 and embedding twins can
+    never drift in replay protocol.
+    """
+    import os
+
+    from ..streaming.ingest import read_state
+    from .common import model
+
+    base = scratch_dir(scratch_name)
     src = os.path.join(base, "src")
     state = os.path.join(base, "state")
     ckpt = os.path.join(base, "ckpt")
@@ -256,9 +289,7 @@ def q_bm25_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches = [
         docs.filter(rewrite).select(
             "id",
-            F.lit("stale placeholder superseded by the rewrite").alias(
-                "text"
-            ),
+            F.lit(decoy_text).alias("text"),
             F.lit(0).cast("long").alias("seq"),
         ),
         docs.filter(~rewrite).select(
@@ -270,11 +301,8 @@ def q_bm25_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     for b in batches:
         b.write.mode("append").parquet(src)
-        incremental_bm25_maintenance(spark, src, schema, state, ckpt)
-    stats = stats_from_posting(read_state(spark, state))
-    return bm25_scores(docs, BM25_QUERY, stats=stats).select(
-        "id", F.round("score", 6).alias("score")
-    )
+        maintain_fn(spark, src, schema, state, ckpt)
+    return docs, read_state(spark, state)
 
 
 def q_embed_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,36 +320,15 @@ def q_embed_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores float32, and a 256-term float32 SUM could drift past the
     6dp gate; norm, counts, and argmax are rounding-safe.)
     """
-    import os
+    from ..streaming.ingest import incremental_index_maintenance
 
-    from ..streaming.ingest import incremental_index_maintenance, read_state
-    from .common import model
-
-    base = scratch_dir("embed_incremental")
-    src = os.path.join(base, "src")
-    state = os.path.join(base, "state")
-    ckpt = os.path.join(base, "ckpt")
-    nodes, _, _ = model(spark, sf_dir)
-    docs = nodes.select("id", "text")
-    rewrite = F.pmod(F.crc32(F.col("id")), F.lit(3)) == 0
-    schema = "id string, text string, seq long"
-    batches = [
-        docs.filter(rewrite).select(
-            "id",
-            F.lit("decoy embedding text to be superseded").alias("text"),
-            F.lit(0).cast("long").alias("seq"),
-        ),
-        docs.filter(~rewrite).select(
-            "id", "text", F.lit(1).cast("long").alias("seq")
-        ),
-        docs.filter(rewrite).select(
-            "id", "text", F.lit(2).cast("long").alias("seq")
-        ),
-    ]
-    for b in batches:
-        b.write.mode("append").parquet(src)
-        incremental_index_maintenance(spark, src, schema, state, ckpt)
-    emb = read_state(spark, state)
+    _, emb = _replay_decoy_batches(
+        spark,
+        sf_dir,
+        scratch_name="embed_incremental",
+        decoy_text="decoy embedding text to be superseded",
+        maintain_fn=incremental_index_maintenance,
+    )
     comp = emb.select(
         F.col("node_id").alias("id"),
         F.posexplode("vector").alias("bucket", "val"),

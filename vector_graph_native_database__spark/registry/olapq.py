@@ -494,34 +494,44 @@ rho AS (
   FROM ranked
 ),
 regs AS (SELECT grp, reg, max(rho) AS mrho FROM rho GROUP BY grp, reg),
-allregs AS (
-  SELECT grp, reg, mrho FROM regs
-  UNION ALL
-  SELECT 'ALL' AS grp, reg, max(mrho) AS mrho FROM regs GROUP BY reg
-),
-est AS (
+merged AS (SELECT reg, max(mrho) AS mrho FROM regs GROUP BY reg),
+-- per-group and union estimates computed in SEPARATE aggregates and
+-- joined to their own exact counts before the final UNION ALL, so a
+-- real group named 'ALL' could never merge into the union row
+-- (mirrors the operator's structure)
+estg AS (
   SELECT grp,
          sum(power(2.0, -mrho)) + (64 - count(*)) AS s,
          64 - count(*) AS zeros
-  FROM allregs GROUP BY grp
+  FROM regs GROUP BY grp
 ),
-fin AS (
-  SELECT grp, zeros,
-         (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 / s AS raw
-  FROM est
+estu AS (
+  SELECT sum(power(2.0, -mrho)) + (64 - count(*)) AS s,
+         64 - count(*) AS zeros
+  FROM merged
 ),
-exact AS (
+exactg AS (
   SELECT grp, count(DISTINCT v) AS exact_distinct FROM base GROUP BY grp
+),
+exactu AS (SELECT count(DISTINCT v) AS exact_distinct FROM base),
+fin AS (
+  SELECT g.grp, g.zeros,
+         (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 / g.s AS raw,
+         e.exact_distinct
+  FROM estg g JOIN exactg e ON e.grp = g.grp
   UNION ALL
-  SELECT 'ALL', count(DISTINCT v) FROM base
+  SELECT 'ALL', u.zeros,
+         (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 / u.s,
+         x.exact_distinct
+  FROM estu u CROSS JOIN exactu x
 )
 SELECT f.grp AS event_type,
        floor((CASE WHEN f.raw <= 160.0 AND f.zeros > 0
                    THEN 64.0 * ln(64.0 / f.zeros)
                    ELSE f.raw END) * 1000000.0 + 0.5) / 1000000.0
          AS est_distinct,
-       e.exact_distinct
-FROM fin f JOIN exact e ON e.grp = f.grp""",
+       f.exact_distinct
+FROM fin f""",
     "approx_percentile_sample": """
 WITH u AS (
   SELECT event_type, value,

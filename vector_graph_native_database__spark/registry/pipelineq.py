@@ -108,7 +108,13 @@ def q_ann_mllib_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     k = 5
     _, emb, _ = model(spark, sf_dir)
-    ml = ann.mllib_lsh_topk(emb, ANN_QUERY_IDS, k=k, dim=64)
+    # staged: the MLlib candidate frame feeds two consumers (distance
+    # recheck + rank lookup) under different exchanges — without
+    # materialization the approxSimilarityJoin subtree would execute
+    # twice (the dominant cost of this entry)
+    ml = ann.mllib_lsh_topk(emb, ANN_QUERY_IDS, k=k, dim=64).localCheckpoint(
+        eager=True
+    )
     nn = ann.brute_topk_euclidean(emb, ANN_QUERY_IDS, k=1)
 
     # exact recomputation of each MLlib pair's distance: two

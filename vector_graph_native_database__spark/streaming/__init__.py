@@ -5,6 +5,7 @@ from .ingest import (
     incremental_bm25_maintenance,
     read_state,
     commit_state,
+    migrate_state,
 )
 from .stateful import running_user_totals
 
@@ -17,5 +18,6 @@ __all__ = [
     "incremental_bm25_maintenance",
     "read_state",
     "commit_state",
+    "migrate_state",
     "running_user_totals",
 ]

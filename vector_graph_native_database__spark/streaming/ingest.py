@@ -60,6 +60,19 @@ def _current_version(state_dir: str) -> str | None:
         return f.read().strip()
 
 
+def _is_legacy_layout(state_dir: str) -> bool:
+    """True iff state_dir holds pre-versioning flat parquet (data
+    files directly in the dir, no _CURRENT pointer)."""
+    if not os.path.isdir(state_dir):
+        return False
+    if os.path.exists(os.path.join(state_dir, _CURRENT)):
+        return False
+    return any(
+        e.endswith(".parquet") or e == "_SUCCESS"
+        for e in os.listdir(state_dir)
+    )
+
+
 def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """Live committed state, or None if none was ever committed.
 
@@ -67,13 +80,52 @@ def read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     read errors: a transient IO failure, permission problem, or
     corrupt footer must raise, never be silently treated as 'no prior
     state' (which would replace the accumulated state with just the
-    current batch — data loss). A version dir that exists WITHOUT the
-    pointer naming it is an uncommitted orphan and is never read.
+    current batch — data loss). For the same reason, a directory
+    holding PRE-VERSIONING flat parquet (data files but no _CURRENT
+    pointer) raises instead of reading as empty: silently returning
+    None would make the next maintenance commit publish only the
+    current batch, dropping the accumulated state. Run
+    :func:`migrate_state` once to adopt such a directory. A version
+    dir that exists WITHOUT the pointer naming it is an uncommitted
+    orphan and is never read.
     """
     version = _current_version(state_dir)
     if version is None:
+        if _is_legacy_layout(state_dir):
+            raise ValueError(
+                f"{state_dir} holds flat pre-versioning state with no "
+                f"{_CURRENT} pointer; run migrate_state() to adopt it "
+                "(refusing to treat accumulated state as absent)"
+            )
         return None
     return spark.read.parquet(os.path.join(state_dir, version))
+
+
+def migrate_state(spark: SparkSession, state_dir: str) -> str | None:
+    """One-time adoption of a pre-versioning flat state dir: read the
+    flat parquet, publish it as the first committed version, then
+    remove the legacy data files. Crash-safe in the same way as any
+    commit — until the pointer flip the legacy files are untouched,
+    and the legacy cleanup after the flip is idempotent (re-running
+    migrate_state on a half-cleaned dir is a no-op: the pointer
+    already exists). Returns the committed version, or None if the
+    dir was not legacy-layout.
+    """
+    if not _is_legacy_layout(state_dir):
+        return None
+    legacy = [
+        e
+        for e in os.listdir(state_dir)
+        if e.endswith(".parquet") or e in ("_SUCCESS",) or e.startswith("part-")
+    ]
+    version = commit_state(spark.read.parquet(state_dir), state_dir)
+    for e in legacy:
+        p = os.path.join(state_dir, e)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            os.remove(p)
+    return version
 
 
 def commit_state(df: DataFrame, state_dir: str) -> str:
