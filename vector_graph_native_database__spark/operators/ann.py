@@ -580,6 +580,39 @@ def lsh_multiprobe_topk(
     )
 
 
+def _multiprobe_sides(
+    emb: DataFrame, num_planes: int = 8, dim: int = 64
+) -> tuple[DataFrame, DataFrame]:
+    """(probe_side, build_side) for Hamming-1 multi-probe SELF-joins:
+    probe_side = (id_a, va, pbucket) where pbucket ranges over the
+    vector's bucket plus every single-bit flip; build_side =
+    (id_b, vb, pbucket) with each vector's own bucket only. Joining
+    the two on pbucket yields exactly the pairs whose buckets differ
+    in ≤1 sign bit. ONE definition of the probe semantics, shared by
+    ``knn_join_multiprobe`` and dedup's
+    ``embedding_cosine_pairs_multiprobe`` (and mirrored by their
+    DuckDB oracles) so a probe-sequence change can never drift
+    between call sites.
+    """
+    bucketed = lsh_buckets(
+        emb.filter(F.size("vector") == dim),
+        hyperplanes(emb.sparkSession, num_planes, dim),
+    )
+    a = bucketed.select(
+        F.col("node_id").alias("id_a"),
+        F.col("vector").alias("va"),
+        F.explode(_probe_buckets(F.col("bucket"), num_planes)).alias(
+            "pbucket"
+        ),
+    )
+    b = bucketed.select(
+        F.col("node_id").alias("id_b"),
+        F.col("vector").alias("vb"),
+        F.col("bucket").alias("pbucket"),
+    )
+    return a, b
+
+
 def knn_join_multiprobe(
     emb: DataFrame,
     k: int = 3,
@@ -598,22 +631,7 @@ def knn_join_multiprobe(
     product. Scores stable-rounded to 6dp BEFORE ranking, id
     tiebreak — engine-portable like every ranked output here.
     """
-    bucketed = lsh_buckets(
-        emb.filter(F.size("vector") == dim),
-        hyperplanes(emb.sparkSession, num_planes, dim),
-    )
-    a = bucketed.select(
-        F.col("node_id").alias("id_a"),
-        F.col("vector").alias("va"),
-        F.explode(_probe_buckets(F.col("bucket"), num_planes)).alias(
-            "pbucket"
-        ),
-    )
-    b = bucketed.select(
-        F.col("node_id").alias("id_b"),
-        F.col("vector").alias("vb"),
-        F.col("bucket").alias("pbucket"),
-    )
+    a, b = _multiprobe_sides(emb, num_planes, dim)
     rounded = F.floor(cosine("va", "vb") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
     return (

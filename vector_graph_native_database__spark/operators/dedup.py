@@ -361,25 +361,10 @@ def embedding_cosine_pairs_multiprobe(
     value). Precision stays exact — the cosine is computed, never
     estimated.
     """
-    from .ann import _probe_buckets, hyperplanes, lsh_buckets
+    from .ann import _multiprobe_sides
     from ..functions.vectorfn import cosine
 
-    bucketed = lsh_buckets(
-        emb.filter(F.size("vector") == dim),
-        hyperplanes(emb.sparkSession, num_planes, dim),
-    )
-    a = bucketed.select(
-        F.col("node_id").alias("id_a"),
-        F.col("vector").alias("va"),
-        F.explode(_probe_buckets(F.col("bucket"), num_planes)).alias(
-            "pbucket"
-        ),
-    )
-    b = bucketed.select(
-        F.col("node_id").alias("id_b"),
-        F.col("vector").alias("vb"),
-        F.col("bucket").alias("pbucket"),
-    )
+    a, b = _multiprobe_sides(emb, num_planes, dim)
     return (
         a.join(b, "pbucket")
         .filter(F.col("id_a") < F.col("id_b"))
