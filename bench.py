@@ -52,6 +52,7 @@ HEADLINE = [
     # round-3 hardening families: multi-probe recall path, hot-key
     # salted join, mergeable sketches
     "ann_multiprobe_lsh_topk",
+    "ann_ivfpq_topk",
     "skew_salted_join",
     "approx_distinct_hll_union",
     "text_pmi_bigrams",

@@ -532,3 +532,35 @@ def test_multiprobe_dedup_pairs_superset_of_single_probe(spark):
     assert single <= multi, "multi-probe must contain every single-probe pair"
     assert len(multi) > len(single), (len(multi), len(single))
     assert multi <= exact, "approximate pairs must be exact-verified pairs"
+
+
+def test_ivfpq_topk_finds_cluster_neighbors(spark):
+    """Two well-separated clusters: IVF-PQ's probed-cell + ADC path
+    must return same-cluster neighbors for a query from each cluster
+    (codes are lossy but inter-cluster distance dwarfs quantization
+    error). nprobe=2 so each query covers its whole cluster even when
+    the 4-cell coarse quantizer splits a cluster in two — with
+    nprobe=1 the probed cell can legitimately hold <k candidates (the
+    documented pruned-ANN trade)."""
+    import random
+
+    rnd = random.Random(11)
+    rows = []
+    for i in range(40):
+        base = [0.0] * 64
+        base[0 if i < 20 else 1] = 10.0
+        vec = [v + rnd.uniform(-0.5, 0.5) for v in base]
+        rows.append((str(i), vec, 64))
+    emb = spark.createDataFrame(
+        rows, "node_id string, vector array<float>, dim int"
+    )
+    got = ann.ivfpq_topk(
+        emb, ["0", "25"], k=5, n_centroids=4, iters=2, nprobe=2,
+        m=4, ksub=8,
+    ).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(int(r["id"]))
+    assert all(n < 20 for n in by_q["0"]), by_q["0"]
+    assert all(n >= 20 for n in by_q["25"]), by_q["25"]
+    assert len(by_q["0"]) == 5 and len(by_q["25"]) == 5

@@ -481,6 +481,142 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[str],
+    k: int = 5,
+    n_centroids: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ compressed-domain search → (qid, id, adist, rnk) — the
+    composed tier a 100 TB vector store actually serves from.
+
+    IVF and PQ each fix one axis; composing them fixes both: the IVF
+    coarse quantizer prunes WHICH rows a query touches (its
+    ``nprobe`` of ``n_centroids`` inverted lists — at scale the codes
+    table is written partitioned by coarse cell, so this is partition
+    pruning, same mechanics the LSH bucket store test pins), and PQ
+    shrinks WHAT a touched row costs (m byte codes instead of dim
+    floats, 64× smaller; distance = m lookups in the query's ADC
+    table). Net: a query reads ~nprobe/C of a tier that is 64×
+    smaller than the vectors.
+
+    Both trainings are the existing deterministic Lloyd runs
+    (``ivf_centroids`` on full vectors, ``pq_train`` per subspace —
+    seeded by smallest ids, 6dp-rounded means), so the DuckDB oracle
+    replays the whole index build bit-for-bit. ADC partials are
+    summed in fixed subspace order (sorted fold from 0.0) exactly as
+    ``pq_topk``; ranks are (6dp adist asc, id asc). Like any
+    pruned-ANN path, a query whose probed cells hold <k candidates
+    returns <k rows — recall is tuned with ``nprobe``.
+    """
+    # coarse: train, assign every vector to its cell, pick each
+    # query's nprobe nearest cells
+    e = (
+        emb.filter(F.size("vector") == dim)
+        .select(F.col("node_id").alias("id"), "vector")
+        .withColumn("vv", dot("vector", "vector"))
+    )
+    cf = ivf_centroids(emb, n_centroids, iters, dim).withColumn(
+        "cc", dot("cvec", "cvec")
+    )
+    af = (
+        e.crossJoin(F.broadcast(cf))
+        .withColumn(
+            "dist", F.col("vv") + F.col("cc") - 2 * dot("vector", "cvec")
+        )
+        .groupBy("id")
+        .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("cidx"))
+    )
+    qv = e.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("qid"), F.col("vector").alias("qvec"), "vv"
+    )
+    wp = Window.partitionBy("qid").orderBy("dist", "cidx")
+    probes = (
+        qv.crossJoin(F.broadcast(cf))
+        .withColumn(
+            "dist", F.col("vv") + F.col("cc") - 2 * dot("qvec", "cvec")
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "cidx")
+    )
+    # the per-query candidate id set: vectors assigned to probed
+    # cells. |probes| = |queries|·nprobe — always broadcastable.
+    sel = (
+        af.join(F.broadcast(probes), "cidx")
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", "id")
+    )
+
+    # fine: PQ codes + per-query ADC tables (pq_topk's frames)
+    es = _subvectors(emb, m, dim)
+    cb = pq_train(emb, m, ksub, iters, dim).withColumn(
+        "cc", dot("cvec", "cvec")
+    )
+    codes = (
+        es.join(F.broadcast(cb), "sm")
+        .withColumn(
+            "dist", F.col("vv") + F.col("cc") - 2 * dot("sv", "cvec")
+        )
+        .groupBy("id", "sm")
+        .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("code"))
+    )
+    q = es.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("qid"),
+        "sm",
+        F.col("sv").alias("qsv"),
+        F.col("vv").alias("qvv"),
+    )
+    tables = q.join(F.broadcast(cb), "sm").select(
+        "qid",
+        "sm",
+        "cidx",
+        (F.col("qvv") + F.col("cc") - 2 * dot("qsv", "cvec")).alias("d"),
+    )
+    # ADC restricted to the probed candidates: codes of selected ids
+    # only, each looked up in its query's table
+    cc_, tb = (
+        codes.join(F.broadcast(sel), "id").alias("cd"),
+        tables.alias("tb"),
+    )
+    cand = (
+        cc_.join(
+            F.broadcast(tb),
+            (F.col("cd.qid") == F.col("tb.qid"))
+            & (F.col("cd.sm") == F.col("tb.sm"))
+            & (F.col("cd.code") == F.col("tb.cidx")),
+        )
+        .select(
+            F.col("cd.qid").alias("qid"),
+            F.col("cd.id").alias("id"),
+            F.col("tb.sm").alias("psm"),
+            F.col("tb.d").alias("d"),
+        )
+        .groupBy("qid", "id")
+        .agg(F.array_sort(F.collect_list(F.struct("psm", "d"))).alias("ds"))
+    )
+    adist = F.aggregate(
+        F.transform("ds", lambda s: s["d"]), F.lit(0.0), lambda a, x: a + x
+    )
+    wk = Window.partitionBy("qid").orderBy("adist", "id")
+    return (
+        cand.select(
+            "qid",
+            "id",
+            (F.floor(adist * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "adist"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     query_ids: list[str],

@@ -189,6 +189,19 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ tier: coarse cells prune WHICH rows a query
+    touches (nprobe of n_centroids inverted lists — partition pruning
+    at deployment scale), PQ codes shrink WHAT a touched row costs
+    (m bytes vs dim floats, ADC lookups). The full index build —
+    both Lloyd trainings — replays bit-for-bit in the DuckDB twin."""
+    _, emb, _ = model(spark, sf_dir)
+    return ann.ivfpq_topk(
+        emb, ANN_QUERY_IDS, k=5, n_centroids=8, iters=2, nprobe=2,
+        m=4, ksub=16, dim=64,
+    )
+
+
 def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k over the int8-quantized embedding tier —
     proves the 4×-compressed store is searchable without
@@ -245,6 +258,7 @@ QUERIES = {
     "ann_multiprobe_lsh_topk": q_ann_multiprobe_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_mllib_lsh_topk": q_ann_mllib_lsh_topk,
     "ann_int8_topk": q_ann_int8_topk,
     "text_lang_id": q_text_lang_id,
@@ -261,47 +275,51 @@ QUERIES = {
 # ---------------------------------------------------------------------------
 
 
-def _ivf_sql(
-    n_centroids: int = 8, iters: int = 2, nprobe: int = 2, k: int = 5
+def _ivf_ctes(
+    n_centroids: int = 8, iters: int = 2, nprobe: int = 2, x: str = ""
 ) -> str:
-    """Unrolled Lloyd iterations as sequential CTEs (like PageRank's
-    oracle): c0 = seed centroids, a{t} = assignment, c{t} = rounded
-    element-wise means. Mirrors operators.ann.ivf_topk exactly —
+    """The IVF index-build CTE chain (unrolled Lloyd iterations —
+    c0 = seed centroids, a{t} = assignment, c{t} = rounded
+    element-wise means — then final centroids {x}cf, assignment
+    {x}af, queries {x}q, probe lists {x}probes). ``x`` prefixes every
+    CTE name so the chain can compose with the PQ chain in one
+    statement (_ivfpq_sql). Mirrors operators.ann.ivf_topk exactly,
     including the round-to-6dp centroid stabilization."""
     dist = (
         "t.vv + c.cc - 2 * list_dot_product(t.v, c.cvec)"
     )
     parts = [
         f""",
-e AS (
+{x}e AS (
   SELECT node_id AS id, CAST(vector AS DOUBLE[]) AS v,
          list_dot_product(CAST(vector AS DOUBLE[]),
                           CAST(vector AS DOUBLE[])) AS vv
   FROM emb WHERE len(vector) = 64
 ),
-c0 AS (
+{x}c0 AS (
   SELECT row_number() OVER (ORDER BY CAST(id AS BIGINT)) - 1 AS cidx,
          v AS cvec
-  FROM e ORDER BY CAST(id AS BIGINT) LIMIT {n_centroids}
+  FROM {x}e ORDER BY CAST(id AS BIGINT) LIMIT {n_centroids}
 )"""
     ]
     for t in range(1, iters + 1):
         p = t - 1
         parts.append(
             f""",
-a{t} AS (
+{x}a{t} AS (
   SELECT id, cidx FROM (
     SELECT t.id, c.cidx,
            row_number() OVER (PARTITION BY t.id
                               ORDER BY {dist}, c.cidx) AS rn
-    FROM e t CROSS JOIN
-         (SELECT cidx, cvec, list_dot_product(cvec, cvec) AS cc FROM c{p}) c
+    FROM {x}e t CROSS JOIN
+         (SELECT cidx, cvec, list_dot_product(cvec, cvec) AS cc
+          FROM {x}c{p}) c
   ) WHERE rn = 1
 ),
-c{t} AS (
+{x}c{t} AS (
   SELECT cidx, list(m ORDER BY pos) AS cvec FROM (
     SELECT a.cidx, p.pos, round(avg(e.v[p.pos]), 6) AS m
-    FROM a{t} a JOIN e ON e.id = a.id
+    FROM {x}a{t} a JOIN {x}e e ON e.id = a.id
     CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
     GROUP BY a.cidx, p.pos
   ) GROUP BY cidx
@@ -309,27 +327,38 @@ c{t} AS (
         )
     parts.append(
         f""",
-cf AS (SELECT cidx, cvec, list_dot_product(cvec, cvec) AS cc FROM c{iters}),
-af AS (
+{x}cf AS (SELECT cidx, cvec, list_dot_product(cvec, cvec) AS cc
+          FROM {x}c{iters}),
+{x}af AS (
   SELECT id, cidx FROM (
     SELECT t.id, c.cidx,
            row_number() OVER (PARTITION BY t.id
                               ORDER BY {dist}, c.cidx) AS rn
-    FROM e t CROSS JOIN cf c
+    FROM {x}e t CROSS JOIN {x}cf c
   ) WHERE rn = 1
 ),
-q AS (SELECT id AS qid, v AS qv, vv FROM e WHERE id IN {_IDS_IN}),
-probes AS (
+{x}q AS (SELECT id AS qid, v AS qv, vv FROM {x}e WHERE id IN {_IDS_IN}),
+{x}probes AS (
   SELECT qid, qv, cidx FROM (
     SELECT t.qid, t.qv, c.cidx,
            row_number() OVER (
              PARTITION BY t.qid
              ORDER BY t.vv + c.cc - 2 * list_dot_product(t.qv, c.cvec),
                       c.cidx) AS rn
-    FROM q t CROSS JOIN cf c
+    FROM {x}q t CROSS JOIN {x}cf c
   ) WHERE rn <= {nprobe}
-),
-cand AS (
+)"""
+    )
+    return "".join(parts)
+
+
+def _ivf_sql(
+    n_centroids: int = 8, iters: int = 2, nprobe: int = 2, k: int = 5
+) -> str:
+    """Full IVF oracle: the CTE chain plus the exact-cosine rescan of
+    the probed lists."""
+    final = f"""
+,cand AS (
   SELECT p.qid, a.id,
          round(CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb)
                ELSE 0.0 END, 6) AS cos
@@ -346,17 +375,17 @@ SELECT qid, id, cos, rnk FROM (
          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rnk
   FROM cand
 ) WHERE rnk <= {k}"""
-    )
-    return ORACLE_PRELUDE + "".join(parts)
+    return ORACLE_PRELUDE + _ivf_ctes(n_centroids, iters, nprobe) + final
 
-def _pq_sql(
-    m: int = 4, ksub: int = 16, iters: int = 2, k: int = 5, dim: int = 64
+
+def _pq_ctes(
+    m: int = 4, ksub: int = 16, iters: int = 2, dim: int = 64
 ) -> str:
-    """Unrolled PQ training + ADC scan — the per-subspace twin of
-    _ivf_sql (same seed rule, same 6dp centroid rounding, same
-    argmin tie-break). The final approximate distance sums the m
-    subspace partials in explicit left-to-right order, matching the
-    Spark side's sorted fold from 0.0 (bit-identical IEEE)."""
+    """The PQ index-build CTE chain — per-subspace Lloyd training
+    (same seed rule, 6dp centroid rounding, and argmin tie-break as
+    the IVF chain), ending with final codebooks ``cf``, byte codes
+    ``codes``, query subvectors ``q``, and per-query ADC tables
+    ``tbl``. Composable with a prefixed IVF chain (_ivfpq_sql)."""
     sub = dim // m
     dist = "t.vv + c.cc - 2 * list_dot_product(t.sv, c.cvec)"
     parts = [
@@ -407,7 +436,6 @@ c{t} AS (
   ) GROUP BY sm, cidx
 )"""
         )
-    chain = " + ".join(f"ds[{i + 1}]" for i in range(m))
     parts.append(
         f""",
 cf AS (SELECT sm, cidx, cvec, list_dot_product(cvec, cvec) AS cc
@@ -426,13 +454,17 @@ tbl AS (
   SELECT q.qid, q.sm, c.cidx,
          q.qvv + c.cc - 2 * list_dot_product(q.qsv, c.cvec) AS d
   FROM q JOIN cf c ON c.sm = q.sm
-),
-cand AS (
-  SELECT t.qid, s.id, list(t.d ORDER BY s.sm) AS ds
-  FROM codes s JOIN tbl t ON t.sm = s.sm AND t.cidx = s.code
-  WHERE s.id <> t.qid
-  GROUP BY t.qid, s.id
-)
+)"""
+    )
+    return "".join(parts)
+
+
+def _adc_select(m: int, k: int, cand: str = "cand") -> str:
+    """Ranked ADC output: explicit left-to-right partial-distance sum
+    (matching the Spark side's sorted fold from 0.0, bit-identical
+    IEEE) over a candidate CTE providing (qid, id, ds)."""
+    chain = " + ".join(f"ds[{i + 1}]" for i in range(m))
+    return f"""
 SELECT qid, id, adist, rnk FROM (
   SELECT qid, id,
          floor(({chain}) * 1000000.0 + 0.5) / 1000000.0 AS adist,
@@ -440,10 +472,61 @@ SELECT qid, id, adist, rnk FROM (
            PARTITION BY qid
            ORDER BY floor(({chain}) * 1000000.0 + 0.5) / 1000000.0,
                     id) AS rnk
-  FROM cand
+  FROM {cand}
 ) WHERE rnk <= {k}"""
+
+
+def _pq_sql(
+    m: int = 4, ksub: int = 16, iters: int = 2, k: int = 5, dim: int = 64
+) -> str:
+    """Full PQ oracle: the CTE chain + all-corpus ADC scan."""
+    return (
+        ORACLE_PRELUDE
+        + _pq_ctes(m, ksub, iters, dim)
+        + """,
+cand AS (
+  SELECT t.qid, s.id, list(t.d ORDER BY s.sm) AS ds
+  FROM codes s JOIN tbl t ON t.sm = s.sm AND t.cidx = s.code
+  WHERE s.id <> t.qid
+  GROUP BY t.qid, s.id
+)"""
+        + _adc_select(m, k)
     )
-    return ORACLE_PRELUDE + "".join(parts)
+
+
+def _ivfpq_sql(
+    n_centroids: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    """Composed IVF-PQ oracle: the prefixed IVF chain supplies the
+    probed candidate set (ivaf × ivprobes); the PQ chain supplies
+    codes and ADC tables; candidates are ADC-ranked only within the
+    probed cells — the same composition operators.ann.ivfpq_topk
+    executes."""
+    return (
+        ORACLE_PRELUDE
+        + _ivf_ctes(n_centroids, iters, nprobe, x="iv")
+        + _pq_ctes(m, ksub, iters, dim)
+        + """,
+sel AS (
+  SELECT p.qid, a.id
+  FROM ivaf a JOIN ivprobes p ON p.cidx = a.cidx
+  WHERE a.id <> p.qid
+),
+cand AS (
+  SELECT t.qid, s.id, list(t.d ORDER BY s.sm) AS ds
+  FROM codes s
+  JOIN sel x ON x.id = s.id
+  JOIN tbl t ON t.qid = x.qid AND t.sm = s.sm AND t.cidx = s.code
+  GROUP BY t.qid, s.id
+)"""
+        + _adc_select(m, k)
+    )
 
 
 _TOKS = r""",
@@ -763,6 +846,7 @@ SELECT qid, id, cos, rnk FROM (
 ) WHERE rnk <= 5""",
     "ann_ivf_topk": _ivf_sql(),
     "ann_pq_topk": _pq_sql(),
+    "ann_ivfpq_topk": _ivfpq_sql(),
     # The exact-NN frame (qid, nn_id, nn_dist) is real data-dependent
     # SQL; the three invariant columns assert MLlib's behavior: true
     # NN contained at rank 1, exactly k rows back, zero distance
