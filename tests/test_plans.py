@@ -239,6 +239,7 @@ def test_multiprobe_paths_never_cartesian(spark):
         "ann_multiprobe_lsh_topk",
         "ann_knn_join_multiprobe",
         "dedup_embedding_cosine_multiprobe",
+        "ann_ivfpq_topk",
     ):
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name
