@@ -579,9 +579,14 @@ def ivfpq_topk(
         (F.col("qvv") + F.col("cc") - 2 * dot("qsv", "cvec")).alias("d"),
     )
     # ADC restricted to the probed candidates: codes of selected ids
-    # only, each looked up in its query's table
+    # only, each looked up in its query's table. `sel` gets NO
+    # broadcast hint: it is ~|queries|·nprobe/C·N rows — tiny here
+    # but N-proportional, so at scale AQE picks broadcast only when
+    # it actually fits (the deployment path prunes codes by cell
+    # partition instead of joining at all). `tables` is
+    # |queries|·m·ksub rows — constant-sized, always broadcast.
     cc_, tb = (
-        codes.join(F.broadcast(sel), "id").alias("cd"),
+        codes.join(sel, "id").alias("cd"),
         tables.alias("tb"),
     )
     cand = (
