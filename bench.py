@@ -58,6 +58,12 @@ HEADLINE = [
     "text_pmi_bigrams",
     "curation_pipeline_summary",
     "curation_pipeline_staged",
+    # round-3 extension wave: CDC merge, radius search, link
+    # prediction, distributed power-iteration PCA
+    "scd2_orders_merge",
+    "ann_range_search",
+    "graph_jaccard_linkpred",
+    "embedding_pca_pc1",
 ]
 
 

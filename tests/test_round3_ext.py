@@ -1,0 +1,158 @@
+"""Round-3 extension wave: LPA communities, Jaccard link prediction,
+power-iteration PCA, SCD2 merge, cosine range search, MAD outliers.
+
+Semantics tests on hand-built micro-graphs/frames (the oracle gate
+covers the registry twins on the shared testdata; these pin the
+operator contracts on inputs where the right answer is obvious).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_graph_native_database__spark.operators.analytics import (
+    jaccard_link_prediction,
+    label_propagation,
+)
+from vector_graph_native_database__spark.operators.cdc import scd2_merge
+from vector_graph_native_database__spark.operators.curation import pca_pc1
+from vector_graph_native_database__spark.operators.ann import range_search
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, "t", 1.0) for a, b in pairs],
+        "src string, dst string, type string, weight double",
+    )
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles joined by nothing: each converges to its min id
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z")]
+    verts = spark.createDataFrame(
+        [(v,) for v in "abcxyz"], "id string"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(verts, _edges(spark, pairs), rounds=4).collect()
+    }
+    assert {got[v] for v in "abc"} == {"a"}
+    assert {got[v] for v in "xyz"} == {"x"}
+
+
+def test_label_propagation_isolated_keeps_own_label(spark):
+    verts = spark.createDataFrame([("a",), ("b",), ("lone",)], "id string")
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(
+            verts, _edges(spark, [("a", "b")]), rounds=1
+        ).collect()
+    }
+    assert got["lone"] == "lone"
+    # synchronous LPA: after one round each endpoint holds the
+    # other's start label (the documented deterministic variant —
+    # a lone edge oscillates, cliques converge)
+    assert got["a"] == "b" and got["b"] == "a"
+
+
+def test_jaccard_linkpred_excludes_existing_edges(spark):
+    # path a-b-c: only non-adjacent pair sharing a neighbor is (a,c)
+    got = jaccard_link_prediction(
+        _edges(spark, [("a", "b"), ("b", "c")]), top_k=10
+    ).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row["src"], row["dst"]) == ("a", "c")
+    # N(a)={b}, N(c)={b}: jaccard 1/1
+    assert row["common"] == 1 and row["jaccard"] == 1.0
+
+
+def test_jaccard_linkpred_score_value(spark):
+    # star: hub h connects a,b,c; pairs (a,b),(a,c),(b,c) each share
+    # exactly {h}; deg=1 each -> jaccard = 1/(1+1-1) = 1
+    got = jaccard_link_prediction(
+        _edges(spark, [("h", "a"), ("h", "b"), ("h", "c")]), top_k=10
+    ).collect()
+    assert {(r["src"], r["dst"]) for r in got} == {
+        ("a", "b"),
+        ("a", "c"),
+        ("b", "c"),
+    }
+    assert all(r["jaccard"] == 1.0 for r in got)
+
+
+def test_pca_pc1_recovers_dominant_axis(spark):
+    # variance concentrated on axis 3 -> |loading[3]| ~ 1, sign +
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    rows = []
+    for i in range(200):
+        v = [rng.gauss(0, 0.01) for _ in range(dim)]
+        v[3] = rng.gauss(0, 10.0)
+        rows.append((str(i), v))
+    emb = spark.createDataFrame(rows, "node_id string, vector array<double>")
+    emb = emb.withColumn("vector", F.col("vector").cast("array<float>"))
+    got = {
+        r["idx"]: r["loading"]
+        for r in pca_pc1(emb, dim=dim, iterations=8).collect()
+    }
+    assert len(got) == dim
+    assert got[3] > 0.99
+    assert all(abs(got[i]) < 0.1 for i in got if i != 3)
+    # unit norm after rounding noise
+    assert abs(sum(x * x for x in got.values()) - 1.0) < 1e-3
+
+
+def test_scd2_merge_chains_and_noop_drop(spark):
+    base = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0)],
+        "k int, status string, price double",
+    )
+    updates = spark.createDataFrame(
+        [(1, "A2", 11.0), (2, "B", 20.0)],  # 2 is a no-op replay
+        "k int, status string, price double",
+    )
+    rows = scd2_merge(base, updates, ["k"], ["status", "price"]).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    assert len(by_key[1]) == 2  # changed: closed v1 + current v2
+    v1 = next(r for r in by_key[1] if r["valid_from"] == 1)
+    v2 = next(r for r in by_key[1] if r["valid_from"] == 2)
+    assert v1["valid_to"] == 2 and not v1["is_current"]
+    assert v2["valid_to"] is None and v2["is_current"]
+    assert v2["status"] == "A2"
+    assert len(by_key[2]) == 1 and by_key[2][0]["is_current"]  # no-op
+    assert len(by_key[3]) == 1 and by_key[3][0]["is_current"]  # untouched
+
+
+def test_range_search_threshold_and_self_exclusion(spark):
+    emb = spark.createDataFrame(
+        [
+            ("q", [1.0, 0.0], 2),
+            ("same", [2.0, 0.0], 2),
+            ("diag", [1.0, 1.0], 2),
+            ("orth", [0.0, 1.0], 2),
+        ],
+        "node_id string, vector array<float>, dim int",
+    )
+    got = {
+        r["id"]: r["cos"]
+        for r in range_search(emb, ["q"], tau=0.7).collect()
+    }
+    assert set(got) == {"same", "diag"}  # orth (cos 0) cut, no self
+    assert got["same"] == 1.0
+    assert abs(got["diag"] - 0.707107) < 1e-6
+
+
+def test_mad_outlier_registry_entry(spark):
+    from vector_graph_native_database__spark.registry.olapq import (
+        q_events_mad_outliers,
+    )
+
+    rows = q_events_mad_outliers(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r["mad"] >= 0 for r in rows)
+    # outliers are a small tail by construction of the estimator
+    assert all(r["n_outliers"] < 0.1 * r["n"] for r in rows)

@@ -341,3 +341,118 @@ def kcore_peel(
     return cur.groupBy("src").agg(F.count("*").alias("degree")).select(
         F.col("src").alias("id"), "degree"
     )
+
+
+def label_propagation(
+    vertices: DataFrame, edges: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Synchronous label-propagation community detection, fixed round
+    count → (id, label).
+
+    Every node starts with its own id as label; each round a node
+    adopts the most frequent label among its undirected neighbors,
+    ties broken by the lexicographically smallest label (the
+    deterministic variant — classic async LPA is order-dependent and
+    would be uncheckable). Isolated nodes keep their label.
+
+    Per round: one (node, label) count aggregate plus one
+    row_number window over the node key — two key-partitioned
+    shuffles, the Pregel communication pattern; the fixed round count
+    makes the DuckDB twin an exact unrolled-CTE replay (same trick as
+    PageRank / k-core). Frames are label tables the size of the
+    vertex set, checkpointed per round to keep lineage flat.
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = vertices.select(
+        F.col("id"), F.col("id").alias("label")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("id").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        winner = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winner, "id", "left")
+            .select(
+                "id", F.coalesce("new_label", "label").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def jaccard_link_prediction(
+    edges: DataFrame, top_k: int = 20
+) -> DataFrame:
+    """Common-neighbor Jaccard link prediction →
+    (src, dst, common, jaccard) for the ``top_k`` highest-scoring
+    non-adjacent pairs.
+
+    Candidate pairs are generated by the postings equi-join on the
+    shared neighbor — two rows of the symmetrized adjacency joined on
+    the middle node — never an all-pairs product, so the cost is
+    Σ_v deg(v)², the standard bound, and skewed hubs are the only
+    hot keys (AQE skew-split applies). Pairs already connected by an
+    edge are anti-joined out (link PREDICTION scores absent edges).
+    jaccard = |N(a)∩N(b)| / (deg(a)+deg(b)−|∩|); ties rank by
+    (src, dst) ascending for a deterministic top-k.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    a = sym.select(F.col("dst").alias("mid"), F.col("src").alias("a"))
+    b = sym.select(F.col("dst").alias("mid"), F.col("src").alias("b"))
+    common = (
+        a.join(b, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    candidates = common.join(
+        sym.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    scored = (
+        candidates.join(deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select(
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            "common",
+            (
+                F.floor(
+                    F.col("common").cast("double")
+                    / (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("src").asc(), F.col("dst").asc()
+    ).limit(top_k)

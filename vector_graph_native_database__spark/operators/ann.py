@@ -55,6 +55,39 @@ def brute_topk(
     )
 
 
+def range_search(
+    emb: DataFrame,
+    query_ids: list[str],
+    tau: float = 0.25,
+) -> DataFrame:
+    """Cosine RADIUS query: every neighbor with cos ≥ tau per query
+    → (qid, id, cos). Self-matches excluded.
+
+    The range twin of ``brute_topk`` — same broadcast-query scan
+    (|queries| ≪ |emb|, so the query side broadcasts and the big
+    side never shuffles), but the predicate is a threshold instead
+    of a rank window: no window, no shuffle AT ALL — scan, broadcast
+    hash join, filter. The 100 TB shape is therefore strictly better
+    than top-k (map-only); the result size is data-dependent, which
+    is the caller's contract for a radius query. Scores are
+    stable-rounded to 6dp BEFORE the threshold compare so the
+    boundary decision is identical in any engine.
+    """
+    q = emb.filter(F.col("node_id").isin(query_ids)).select(
+        F.col("node_id").alias("qid"), F.col("vector").alias("qvec"), "dim"
+    )
+    cos6 = F.floor(cosine("vector", "qvec") * F.lit(1e6) + F.lit(0.5)) / F.lit(
+        1e6
+    )
+    return (
+        emb.join(F.broadcast(q), "dim")
+        .filter(F.col("node_id") != F.col("qid"))
+        .withColumn("cos", cos6)
+        .filter(F.col("cos") >= tau)
+        .select("qid", F.col("node_id").alias("id"), "cos")
+    )
+
+
 def brute_topk_euclidean(
     emb: DataFrame,
     query_ids: list[str],

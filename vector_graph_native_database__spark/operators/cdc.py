@@ -1,0 +1,64 @@
+"""Change-data-capture / slowly-changing-dimension operators
+(SURVEY §7.4 extension).
+
+The reference's mutation surface is upsert/partial-update routes
+that overwrite in place (``/root/reference/app.py:244-320``); a
+warehouse keeping history needs the MERGE-with-versioning shape
+instead. ``scd2_merge`` folds an updates batch into a base table as
+SCD type-2 version chains — the standard dimension-history pattern —
+as one union + one per-key window, i.e. a single shuffle keyed by
+the business key. At 100 TB the updates side is the small delta;
+the union's window partitions by key so AQE handles the skewed-key
+case, and no state beyond the frame itself is required (contrast
+MERGE INTO engines that need a transaction log — the output IS the
+new table, writable atomically via the versioned-snapshot commit in
+``streaming/state.py``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_merge(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    tracked_cols: Sequence[str],
+) -> DataFrame:
+    """SCD type-2 merge → one row per (key, version) with
+    ``valid_from`` / ``valid_to`` / ``is_current``.
+
+    ``base`` rows are version 1, ``updates`` rows version 2; rows of
+    ``updates`` whose tracked columns equal the base row are dropped
+    (no-op updates produce no new version — the standard MERGE
+    semantics). ``valid_to`` is the next version's ``valid_from``
+    (open chain → NULL, surfaced as ``is_current``). Exactly one
+    shuffle: the anti-equality filter joins updates to base on the
+    key (updates side broadcastable when it is a small delta), and
+    the chain fold is one ``lead`` window over the same key.
+    """
+    keys = list(key_cols)
+    tracked = list(tracked_cols)
+    base_v = base.select(*keys, *tracked, F.lit(1).alias("valid_from"))
+    all_equal = reduce(
+        lambda a, b: a & b,
+        [F.expr(f"u.{c} <=> b.{c}") for c in tracked],
+    )
+    changed = (
+        updates.alias("u")
+        .join(base.alias("b"), keys, "left")
+        .filter(~all_equal)
+        .select(*[F.col(f"u.{c}") for c in keys + tracked])
+        .withColumn("valid_from", F.lit(2))
+    )
+    w = Window.partitionBy(*keys).orderBy("valid_from")
+    return (
+        base_v.unionByName(changed)
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -216,3 +216,100 @@ def keep_best_per_cluster(
             "n_members",
         )
     )
+
+
+def pca_pc1(
+    emb: DataFrame, dim: int = 64, iterations: int = 5
+) -> DataFrame:
+    """First principal component of the embedding matrix via power
+    iteration → (idx, loading), sign-normalized, 6dp.
+
+    Each iteration multiplies the (uncentered-scale) covariance by
+    the current direction WITHOUT materializing the d×d matrix:
+    ``p = Σ_rows xc·(xc⊤v)`` is one map-side-combinable aggregate
+    producing ``dim`` sums — a single pass over the data per
+    iteration, no explode, no shuffle of row-level state. The
+    direction ``v`` lives in a 1-row broadcast frame (never
+    collected), mean-centering broadcasts the 1-row mean the same
+    way, so the whole loop is iterations × (scan + tree-aggregate):
+    the textbook distributed power method, linear in rows at 100 TB.
+
+    The fixed iteration count and deterministic start vector
+    (1/√dim each) make the DuckDB twin an exact unrolled-CTE replay.
+    Sign is fixed by making the largest-|loading| element (lowest
+    index on ties) positive — stable under the cross-engine
+    summation-order drift that the 6dp rounding absorbs.
+    """
+    spark = emb.sparkSession
+    x = emb.filter(F.size("vector") == dim).select(
+        F.col("vector").cast("array<double>").alias("x")
+    )
+    mu = x.agg(
+        F.array(*[F.avg(F.col("x")[i]) for i in range(dim)]).alias("mu")
+    )
+    # centered matrix is read once per iteration plus once for the
+    # final pass — checkpoint it eagerly so the scan + mean
+    # aggregate run exactly once, the same cache-the-training-set
+    # move every iterative ML loop makes (at cluster scale this is
+    # persist(DISK_ONLY) of a projected two-column frame, not the
+    # source table)
+    xc = (
+        x.crossJoin(F.broadcast(mu))
+        .select(F.zip_with("x", "mu", lambda a, b: a - b).alias("xc"))
+        .localCheckpoint(eager=True)
+    )
+    v = spark.range(1).select(
+        F.array(*[F.lit(1.0 / dim**0.5) for _ in range(dim)]).alias("varr")
+    )
+    for _ in range(iterations):
+        xs = xc.crossJoin(F.broadcast(v)).select(
+            "xc",
+            F.aggregate(
+                F.zip_with("xc", "varr", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            ).alias("s"),
+        )
+        p = xs.agg(
+            F.array(
+                *[F.sum(F.col("xc")[i] * F.col("s")) for i in range(dim)]
+            ).alias("p")
+        )
+        v = (
+            p.select(
+                "p",
+                F.sqrt(
+                    F.aggregate(
+                        "p", F.lit(0.0), lambda acc, e: acc + e * e
+                    )
+                ).alias("nrm"),
+            )
+            .select(
+                F.transform("p", lambda e: e / F.col("nrm")).alias("varr")
+            )
+            .localCheckpoint(eager=True)
+        )
+    signed = v.select(
+        "varr",
+        F.array_max(F.transform("varr", F.abs)).alias("refabs"),
+    ).select(
+        "varr",
+        F.when(
+            F.get(
+                F.filter("varr", lambda e: F.abs(e) == F.col("refabs")), 0
+            )
+            >= 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("sgn"),
+    )
+    return signed.select(
+        F.posexplode(
+            F.transform(
+                "varr",
+                lambda e: F.floor(e * F.col("sgn") * F.lit(1e6) + F.lit(0.5))
+                / F.lit(1e6),
+            )
+        ).alias("idx", "loading")
+    )

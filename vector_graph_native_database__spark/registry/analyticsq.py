@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 
 from ..operators.analytics import (
     connected_components,
+    jaccard_link_prediction,
+    label_propagation,
     degrees,
     kcore_peel,
     neighbor_embedding_agg,
@@ -213,3 +215,80 @@ s{t + 1} AS (
 
 
 ORACLES["graph_kcore"] = _kcore_sql()
+
+
+LPA_ROUNDS = 3
+LINKPRED_TOPK = 20
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, edges = model(spark, sf_dir)
+    return label_propagation(nodes.select("id"), edges, rounds=LPA_ROUNDS)
+
+
+def q_graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, edges = model(spark, sf_dir)
+    return jaccard_link_prediction(edges, top_k=LINKPRED_TOPK)
+
+
+def _lpa_sql(rounds: int = LPA_ROUNDS) -> str:
+    """Unrolled synchronous LPA rounds — v{t} votes / w{t} winner /
+    l{t} labels per round, the same fixed-iteration twin trick as the
+    PageRank and k-core oracles. DISTINCT is explicit in sym (bare
+    UNION inside a WITH RECURSIVE block has union-all semantics in
+    DuckDB 1.0 — see _kcore_sql)."""
+    ctes = [
+        """,
+sym AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+        WHERE src <> dst),
+l0 AS (SELECT id, id AS label FROM nodes)"""
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(
+            f""",
+v{t} AS (
+  SELECT s.src AS id, l.label, count(*) AS c
+  FROM sym s JOIN l{p} l ON l.id = s.dst
+  GROUP BY s.src, l.label),
+w{t} AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM v{t}) WHERE rn = 1),
+l{t} AS (
+  SELECT p.id, COALESCE(w.label, p.label) AS label
+  FROM l{p} p LEFT JOIN w{t} w ON w.id = p.id)"""
+        )
+    return (
+        ORACLE_PRELUDE
+        + "".join(ctes)
+        + f"\nSELECT id, label FROM l{rounds}"
+    )
+
+
+QUERIES["graph_label_propagation"] = q_graph_label_propagation
+QUERIES["graph_jaccard_linkpred"] = q_graph_jaccard_linkpred
+
+ORACLES["graph_label_propagation"] = _lpa_sql()
+ORACLES["graph_jaccard_linkpred"] = ORACLE_PRELUDE + f""",
+sym AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+        WHERE src <> dst),
+deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+common AS (
+  SELECT a.src AS a, b.src AS b, count(*) AS common
+  FROM sym a JOIN sym b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY a.src, b.src),
+cand AS (
+  SELECT c.a, c.b, c.common FROM common c
+  WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = c.a AND s.dst = c.b))
+SELECT c.a AS src, c.b AS dst, c.common,
+       floor(CAST(c.common AS DOUBLE) / (da.deg + db.deg - c.common)
+             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM cand c
+JOIN deg da ON da.src = c.a
+JOIN deg db ON db.src = c.b
+ORDER BY jaccard DESC, src ASC, dst ASC LIMIT {LINKPRED_TOPK}"""

@@ -620,3 +620,62 @@ ORACLES["dedup_cluster_from_pairs"] = ORACLES["dedup_cluster_assign"]
 
 # staged twin shares the lazy entry's oracle — identical result
 ORACLES["curation_pipeline_staged"] = ORACLES["curation_pipeline_summary"]
+
+
+PCA_ITERS = 5
+PCA_DIM = 64
+
+
+def q_embedding_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, emb, _ = model(spark, sf_dir)
+    return curation.pca_pc1(emb, dim=PCA_DIM, iterations=PCA_ITERS)
+
+
+def _pca_pc1_sql(dim: int = PCA_DIM, iters: int = PCA_ITERS) -> str:
+    """Unrolled power iteration — s{t}/p{t}/n{t}/v{t} per round, the
+    fixed-iteration twin trick (PageRank/k-core/LPA oracles). The
+    start vector 1/sqrt(64) = 0.125 is exact in binary, so both
+    engines iterate from identical bits. X/xc are MATERIALIZED —
+    the iteration chain references xc twice per round, and DuckDB's
+    CTE inlining would otherwise re-derive it exponentially (51s →
+    6s at sf0.1)."""
+    ctes = [
+        f""",
+X AS MATERIALIZED (
+  SELECT node_id, i.i - 1 AS i, CAST(vector[i.i] AS DOUBLE) AS x
+  FROM emb CROSS JOIN LATERAL
+       (SELECT unnest(generate_series(1, len(vector))) AS i) i
+  WHERE len(vector) = {dim}),
+mu AS (SELECT i, avg(x) AS mu FROM X GROUP BY i),
+xc AS MATERIALIZED (SELECT X.node_id, X.i, X.x - mu.mu AS xc
+       FROM X JOIN mu ON mu.i = X.i),
+v0 AS (SELECT i, 0.125 AS v FROM mu)"""
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(
+            f""",
+s{t} AS (SELECT xc.node_id, sum(xc.xc * v.v) AS s
+        FROM xc JOIN v{p} v ON v.i = xc.i GROUP BY xc.node_id),
+p{t} AS (SELECT xc.i, sum(xc.xc * s.s) AS p
+        FROM xc JOIN s{t} s ON s.node_id = xc.node_id GROUP BY xc.i),
+n{t} AS (SELECT sqrt(sum(p * p)) AS nrm FROM p{t}),
+v{t} AS (SELECT i, p / nrm AS v FROM p{t}, n{t})"""
+        )
+    return (
+        ORACLE_PRELUDE
+        + "".join(ctes)
+        + f""",
+ref AS (SELECT max(abs(v)) AS m FROM v{iters}),
+sgn AS (SELECT CASE WHEN v.v >= 0 THEN 1.0 ELSE -1.0 END AS s
+        FROM v{iters} v, ref WHERE abs(v.v) = ref.m
+        ORDER BY v.i LIMIT 1)
+SELECT v.i AS idx,
+       floor(v.v * sgn.s * 1000000.0 + 0.5) / 1000000.0 AS loading
+FROM v{iters} v, sgn"""
+    )
+
+
+QUERIES["embedding_pca_pc1"] = q_embedding_pca_pc1
+
+ORACLES["embedding_pca_pc1"] = _pca_pc1_sql()

@@ -669,3 +669,129 @@ SELECT user_id, rnk, event_id, round(value, 6) AS value FROM (
   FROM events
 ) WHERE rnk <= 3""",
 }
+
+
+def q_scd2_orders_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge of a deterministic updates batch into orders.
+
+    The batch reopens every 10th order as status 'X' with a $1
+    price correction, and replays every 15th order UNCHANGED — the
+    no-op rows must be dropped (no phantom version) while the real
+    changes produce a closed v1 + current v2 chain. See
+    operators/cdc.py for the one-shuffle MERGE shape.
+    """
+    from ..operators.cdc import scd2_merge
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(
+                (F.col("o_orderkey") % 15 == 0)
+                & (F.col("o_orderkey") % 10 != 0)
+            )
+        )
+    )
+    merged = scd2_merge(
+        orders,
+        updates,
+        key_cols=["o_orderkey"],
+        tracked_cols=["o_orderstatus", "o_totalprice"],
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "valid_from",
+        F.coalesce("valid_to", F.lit(0)).alias("valid_to"),
+        "is_current",
+    )
+
+
+QUERIES["scd2_orders_merge"] = q_scd2_orders_merge
+
+ORACLES["scd2_orders_merge"] = """
+WITH base_v AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS valid_from
+  FROM orders),
+upd AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus,
+         o_totalprice + 1.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 15 = 0 AND o_orderkey % 10 <> 0),
+changed AS (
+  SELECT u.o_orderkey, u.o_orderstatus, u.o_totalprice, 2 AS valid_from
+  FROM upd u JOIN orders b USING (o_orderkey)
+  WHERE NOT (u.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+         AND u.o_totalprice IS NOT DISTINCT FROM b.o_totalprice)),
+unioned AS (
+  SELECT * FROM base_v UNION ALL SELECT * FROM changed),
+chain AS (
+  SELECT *, lead(valid_from) OVER (PARTITION BY o_orderkey
+                                   ORDER BY valid_from) AS valid_to
+  FROM unioned)
+SELECT o_orderkey, o_orderstatus, o_totalprice, valid_from,
+       COALESCE(valid_to, 0) AS valid_to,
+       valid_to IS NULL AS is_current
+FROM chain"""
+
+
+MAD_SCALE = 4.4478  # 3 × 1.4826 (normal-consistency), one exact literal
+
+
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier summary using median/MAD instead of
+    mean/σ — the estimator of choice when the outliers themselves
+    poison the moments (heavy-tailed telemetry at 100 TB). Exact
+    distributed medians (Spark `median` = exact interpolated
+    percentile, one sort-based aggregate per pass), the 5-row
+    med/mad stats frame broadcast back over the scan, flagging is
+    map-only. → (event_type, n, med, mad, n_outliers)."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            stable_round6(F.first("med")).alias("med"),
+            stable_round6(F.first("mad")).alias("mad"),
+            F.sum(
+                (
+                    F.col("adev") > F.lit(MAD_SCALE) * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+QUERIES["events_mad_outliers"] = q_events_mad_outliers
+
+ORACLES["events_mad_outliers"] = f"""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
+SELECT d.event_type, count(*) AS n,
+       floor(any_value(d.med) * 1000000.0 + 0.5) / 1000000.0 AS med,
+       floor(any_value(a.mad) * 1000000.0 + 0.5) / 1000000.0 AS mad,
+       CAST(sum(CASE WHEN d.adev > {MAD_SCALE} * a.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY d.event_type"""

@@ -1031,3 +1031,33 @@ SELECT n.id, coalesce(a.fingerprint, -1) AS fingerprint,
        coalesce(a.n_shingles, 0) AS n_shingles
 FROM nodes n LEFT JOIN agg a ON a.id = n.id""",
 }
+
+
+RANGE_TAU = 0.25
+
+
+def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, emb, _ = model(spark, sf_dir)
+    return ann.range_search(emb, ANN_QUERY_IDS, tau=RANGE_TAU)
+
+
+QUERIES["ann_range_search"] = q_ann_range_search
+
+ORACLES["ann_range_search"] = ORACLE_PRELUDE + f""",
+q AS (SELECT node_id AS qid, vector AS qvec, dim FROM emb
+      WHERE node_id IN {_IDS_IN}),
+scored AS (
+  SELECT q.qid, e.node_id AS id,
+         floor((CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb)
+                     ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM emb e JOIN q ON e.dim = q.dim AND e.node_id <> q.qid
+  CROSS JOIN LATERAL (
+    SELECT list_dot_product(CAST(e.vector AS DOUBLE[]),
+                            CAST(q.qvec AS DOUBLE[])) AS d,
+           sqrt(list_dot_product(CAST(e.vector AS DOUBLE[]),
+                                 CAST(e.vector AS DOUBLE[]))) AS na,
+           sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]),
+                                 CAST(q.qvec AS DOUBLE[]))) AS nb
+  ) t
+)
+SELECT qid, id, cos FROM scored WHERE cos >= {RANGE_TAU}"""
