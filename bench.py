@@ -64,6 +64,8 @@ HEADLINE = [
     "ann_range_search",
     "graph_jaccard_linkpred",
     "embedding_pca_pc1",
+    "graph_ppr",
+    "text_bigram_logprob",
 ]
 
 

@@ -156,3 +156,93 @@ def test_mad_outlier_registry_entry(spark):
     assert rows and all(r["mad"] >= 0 for r in rows)
     # outliers are a small tail by construction of the estimator
     assert all(r["n_outliers"] < 0.1 * r["n"] for r in rows)
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    from vector_graph_native_database__spark.operators.analytics import (
+        personalized_pagerank,
+    )
+
+    # chain s -> a -> b plus far pair (c -> d) unreachable from s
+    verts = spark.createDataFrame(
+        [(v,) for v in ["s", "a", "b", "c", "d"]], "id string"
+    )
+    ranks = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank(
+            verts, _edges(spark, [("s", "a"), ("a", "b"), ("c", "d")]),
+            source="s", iterations=40,
+        ).collect()
+    }
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # mass conserved
+    # fixpoint: r_s = 0.15 + 0.7225*0.85*r_s -> 0.3886, then *0.85/hop
+    assert abs(ranks["s"] - 0.3886) < 2e-3
+    assert ranks["s"] > ranks["a"] > ranks["b"]  # decays along the walk
+    assert ranks["c"] == 0.0 and ranks["d"] == 0.0  # unreachable gets none
+
+
+def test_modularity_two_cliques_with_bridge(spark):
+    from vector_graph_native_database__spark.operators.analytics import (
+        modularity,
+    )
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("x", "y"), ("y", "z"), ("x", "z"),
+        ("c", "x"),  # bridge
+    ]
+    labels = spark.createDataFrame(
+        [(v, "A") for v in "abc"] + [(v, "X") for v in "xyz"],
+        "id string, label string",
+    )
+    (row,) = modularity(_edges(spark, pairs), labels).collect()
+    assert row["n_communities"] == 2
+    assert row["n_intra_edges"] == 6
+    # Q = 2 * (3/7 - (7/14)^2) = 0.357142857...
+    assert abs(row["modularity"] - 0.357143) < 1e-6
+
+
+def test_bigram_logprob_prefers_frequent_bigrams(spark):
+    from vector_graph_native_database__spark.operators.text_analysis import (
+        bigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "x y x y x y"), ("d2", "p q")],
+        "id string, text string",
+    )
+    got = {r["id"]: r for r in bigram_logprob(docs).collect()}
+    assert got["d1"]["n_bigrams"] == 5 and got["d2"]["n_bigrams"] == 1
+    # d2's (p,q) is a hapax bigram; d1 repeats (x,y) -> higher score
+    assert got["d1"]["avg_logprob"] > got["d2"]["avg_logprob"]
+    import math
+
+    # exact value for d2: ln((1+0.5) / (1 + 0.5*4)); V = {x,y,p,q}
+    assert abs(got["d2"]["avg_logprob"] - math.log(1.5 / 3.0)) < 1e-6
+
+
+def test_debias_removes_dominant_axis(spark):
+    import random
+
+    from vector_graph_native_database__spark.operators.curation import (
+        pca_residual_norms,
+    )
+
+    rng = random.Random(11)
+    dim = 8
+    rows = []
+    for i in range(200):
+        v = [rng.gauss(0, 0.01) for _ in range(dim)]
+        v[2] = rng.gauss(0, 5.0)
+        rows.append((str(i), v))
+    emb = spark.createDataFrame(rows, "node_id string, vector array<double>")
+    emb = emb.withColumn("vector", F.col("vector").cast("array<float>"))
+    got = pca_residual_norms(emb, dim=dim, iterations=8).collect()
+    assert len(got) == 200
+    import statistics
+
+    mean_abs_proj = statistics.mean(abs(r["proj"]) for r in got)
+    mean_resid = statistics.mean(r["resid_norm"] for r in got)
+    # removing PC1 strips the dominant-axis energy: residual is noise
+    assert mean_resid < 0.2 * mean_abs_proj
+    assert all(r["resid_norm"] >= 0 for r in got)

@@ -456,3 +456,143 @@ def jaccard_link_prediction(
     return scored.orderBy(
         F.col("jaccard").desc(), F.col("src").asc(), F.col("dst").asc()
     ).limit(top_k)
+
+
+def personalized_pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    source: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank with ALL teleport mass restarting at
+    ``source`` → (id, rank): the random-walk-with-restart relevance
+    score that powers graph-based recommendation ("nodes important
+    FROM s's point of view", vs global PageRank's uniform restart).
+
+    Per iteration: ``rank'(v) = (1-d)·1[v=s] + d·(Σ_{u→v} rank(u)·
+    share(u,v) + dangling_mass·1[v=s])`` — dangling mass returns to
+    the source, the standard PPR convention, so ranks still sum
+    to 1. Identical plan shape (and cost) to ``pagerank``: the
+    shares frame is built once, each round is one src-keyed
+    shuffle-join + one dst aggregate + a scalar dangling aggregate.
+    """
+    out_w = edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum(F.coalesce("weight", F.lit(0.0))).alias("out_w")
+    )
+    shares = (
+        edges.join(out_w, edges["src"] == out_w["id"])
+        .filter(F.col("out_w") > 0)
+        .select(
+            edges["src"],
+            edges["dst"],
+            (F.coalesce("weight", F.lit(0.0)) / F.col("out_w")).alias(
+                "share"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    has_out = out_w.filter(F.col("out_w") > 0).select("id")
+    is_src = F.when(F.col("id") == source, 1.0).otherwise(0.0)
+    ranks = vertices.select(
+        "id", is_src.alias("rank")
+    ).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        contrib = (
+            shares.join(ranks, shares["src"] == ranks["id"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") * F.col("share")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = ranks.join(has_out, "id", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
+        )
+        ranks = (
+            vertices.join(contrib, "id", "left_outer")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) * is_src
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.col("__dang") * is_src
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a community assignment over the
+    undirected simple graph → one row
+    (n_communities, n_intra_edges, modularity).
+
+    ``Q = Σ_c (e_c/m − (deg_c/2m)²)`` where ``m`` is the undirected
+    edge count, ``e_c`` the edges inside community ``c`` and
+    ``deg_c`` its total degree — the standard quality score for LPA/
+    Louvain output. Cost: one join of the canonical edge list against
+    the label map per endpoint (broadcastable label frames at modest
+    community counts; sort-merge at 100 TB) plus community-sized
+    aggregates. Pure arithmetic in doubles with a fixed evaluation
+    shape, so the DuckDB twin matches to 6dp.
+    """
+    canon = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    la = labels.select(F.col("id").alias("a"), F.col("label").alias("ca"))
+    lb = labels.select(F.col("id").alias("b"), F.col("label").alias("cb"))
+    lab = canon.join(la, "a").join(lb, "b").localCheckpoint(eager=True)
+    m_df = lab.agg(F.count("*").alias("m"))
+    intra = (
+        lab.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("label"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    deg = (
+        lab.select(F.col("a").alias("id"), F.col("ca").alias("label"))
+        .union(lab.select(F.col("b").alias("id"), F.col("cb").alias("label")))
+        .groupBy("label")
+        .agg(F.count("*").alias("deg_c"))
+    )
+    per_c = deg.join(intra, "label", "left").select(
+        "label",
+        F.coalesce("e_c", F.lit(0)).alias("e_c"),
+        "deg_c",
+    )
+    return (
+        per_c.crossJoin(F.broadcast(m_df))
+        .select(
+            "label",
+            (
+                F.col("e_c").cast("double") / F.col("m")
+                - (
+                    F.col("deg_c").cast("double")
+                    / (F.lit(2.0) * F.col("m"))
+                )
+                * (
+                    F.col("deg_c").cast("double")
+                    / (F.lit(2.0) * F.col("m"))
+                )
+            ).alias("q_c"),
+            "e_c",
+        )
+        .agg(
+            F.count("*").alias("n_communities"),
+            F.sum("e_c").alias("n_intra_edges"),
+            (
+                F.floor(F.sum("q_c") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+            ).alias("modularity"),
+        )
+    )

@@ -240,9 +240,39 @@ def pca_pc1(
     index on ties) positive — stable under the cross-engine
     summation-order drift that the 6dp rounding absorbs.
     """
+    xc, v = _power_direction(emb, dim, iterations)
+    signed = v.select(
+        "varr",
+        F.array_max(F.transform("varr", F.abs)).alias("refabs"),
+    ).select(
+        "varr",
+        F.when(
+            F.get(
+                F.filter("varr", lambda e: F.abs(e) == F.col("refabs")), 0
+            )
+            >= 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("sgn"),
+    )
+    return signed.select(
+        F.posexplode(
+            F.transform(
+                "varr",
+                lambda e: F.floor(e * F.col("sgn") * F.lit(1e6) + F.lit(0.5))
+                / F.lit(1e6),
+            )
+        ).alias("idx", "loading")
+    )
+
+
+def _power_direction(emb, dim, iterations):
+    """Shared power-iteration core → (centered frame with node_id,
+    1-row direction frame). See pca_pc1 for the scale rationale."""
     spark = emb.sparkSession
     x = emb.filter(F.size("vector") == dim).select(
-        F.col("vector").cast("array<double>").alias("x")
+        "node_id", F.col("vector").cast("array<double>").alias("x")
     )
     mu = x.agg(
         F.array(*[F.avg(F.col("x")[i]) for i in range(dim)]).alias("mu")
@@ -255,7 +285,9 @@ def pca_pc1(
     # source table)
     xc = (
         x.crossJoin(F.broadcast(mu))
-        .select(F.zip_with("x", "mu", lambda a, b: a - b).alias("xc"))
+        .select(
+            "node_id", F.zip_with("x", "mu", lambda a, b: a - b).alias("xc")
+        )
         .localCheckpoint(eager=True)
     )
     v = spark.range(1).select(
@@ -264,6 +296,7 @@ def pca_pc1(
     for _ in range(iterations):
         xs = xc.crossJoin(F.broadcast(v)).select(
             "xc",
+            "node_id",
             F.aggregate(
                 F.zip_with("xc", "varr", lambda a, b: a * b),
                 F.lit(0.0),
@@ -289,27 +322,67 @@ def pca_pc1(
             )
             .localCheckpoint(eager=True)
         )
+    return xc, v
+
+
+def pca_residual_norms(
+    emb: DataFrame, dim: int = 64, iterations: int = 5
+) -> DataFrame:
+    """All-but-the-top embedding debiasing, summarized per vector
+    → (id, proj, resid_norm): the projection of each centered
+    embedding onto the corpus's first principal direction and the
+    norm of what remains after removing it.
+
+    Standard post-processing for anisotropic embedding spaces
+    (Mu & Viswanath 2018-style: subtract the mean, remove the top
+    component); ``resid_norm`` is the magnitude each vector keeps —
+    the per-row health metric a debiasing pass reports. Reuses the
+    ``_power_direction`` loop (same cost), then ONE more broadcast
+    pass computes ``s = xc⊤v`` and ``‖xc − s·v‖`` map-only — no
+    extra shuffle. The sign of ``proj`` follows the same
+    largest-|element|-positive convention as ``pca_pc1`` so the
+    DuckDB twin replays it exactly.
+    """
+    xc, v = _power_direction(emb, dim, iterations)
     signed = v.select(
         "varr",
         F.array_max(F.transform("varr", F.abs)).alias("refabs"),
     ).select(
-        "varr",
-        F.when(
-            F.get(
-                F.filter("varr", lambda e: F.abs(e) == F.col("refabs")), 0
-            )
-            >= 0,
-            F.lit(1.0),
-        )
-        .otherwise(F.lit(-1.0))
-        .alias("sgn"),
+        F.transform(
+            "varr",
+            lambda e: e
+            * F.when(
+                F.get(
+                    F.filter(
+                        "varr", lambda q: F.abs(q) == F.col("refabs")
+                    ),
+                    0,
+                )
+                >= 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        ).alias("varr")
     )
-    return signed.select(
-        F.posexplode(
-            F.transform(
+    s_col = F.aggregate(
+        F.zip_with("xc", "varr", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    scored = xc.crossJoin(F.broadcast(signed)).select(
+        F.col("node_id").alias("id"), "xc", "varr", s_col.alias("s")
+    )
+    rn = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "xc",
                 "varr",
-                lambda e: F.floor(e * F.col("sgn") * F.lit(1e6) + F.lit(0.5))
-                / F.lit(1e6),
-            )
-        ).alias("idx", "loading")
+                lambda a, b: (a - F.col("s") * b) * (a - F.col("s") * b),
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return scored.select(
+        "id", r6(F.col("s")).alias("proj"), r6(rn).alias("resid_norm")
     )

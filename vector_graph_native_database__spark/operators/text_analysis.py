@@ -390,3 +390,68 @@ def token_entropy(
             "entropy"
         ),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """Add-k-smoothed bigram language-model quality score per doc
+    → (id, n_bigrams, avg_logprob).
+
+    The corpus itself is the training set: ``P(b|a) = (c_ab + k) /
+    (c_a + k·V)`` with vocabulary size V, scored as the mean
+    ``ln P(b|a)`` over each document's adjacent token pairs — the
+    next step up from ``unigram_logprob`` (catches scrambled/
+    boilerplate text a unigram model scores as fluent). Docs with
+    <2 tokens have no bigram distribution and are absent.
+
+    Cost shape: the bigram extraction is the same map-only array
+    transform as ``pmi_bigrams``; the count frames are vocabulary-
+    sized aggregates; scoring joins the doc-bigram frame against the
+    bigram/unigram count tables on their natural keys (frequency-
+    table equi-joins, the BM25 posting shape — no cross product);
+    V and k are scalar broadcasts. Smoothing runs in double with
+    k = 0.5 (exact in binary), logs in log space only — no integer
+    products that overflow at corpus scale (see pmi_bigrams).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokenize(text_col).alias("toks")
+    )
+    big = toks.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] as a, toks[i] as b))"
+                ),
+            ).otherwise(F.array())
+        ).alias("p"),
+    ).select("id", "p.a", "p.b")
+    uni = (
+        toks.select(F.explode("toks").alias("a"))
+        .groupBy("a")
+        .agg(F.count("*").alias("c_a"))
+    )
+    vsz = uni.agg(F.count("*").alias("v"))
+    pair = big.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    lp = F.log(
+        (F.col("c_ab") + F.lit(k_smooth))
+        / (F.col("c_a") + F.lit(k_smooth) * F.col("v"))
+    )
+    return (
+        big.join(pair, ["a", "b"])
+        .join(uni, "a")
+        .crossJoin(F.broadcast(vsz))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.floor(F.avg(lp) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+            ).alias("avg_logprob"),
+        )
+    )

@@ -17,6 +17,8 @@ from ..operators.analytics import (
     connected_components,
     jaccard_link_prediction,
     label_propagation,
+    modularity,
+    personalized_pagerank,
     degrees,
     kcore_peel,
     neighbor_embedding_agg,
@@ -231,7 +233,7 @@ def q_graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_link_prediction(edges, top_k=LINKPRED_TOPK)
 
 
-def _lpa_sql(rounds: int = LPA_ROUNDS) -> str:
+def _lpa_ctes(rounds: int = LPA_ROUNDS) -> str:
     """Unrolled synchronous LPA rounds — v{t} votes / w{t} winner /
     l{t} labels per round, the same fixed-iteration twin trick as the
     PageRank and k-core oracles. DISTINCT is explicit in sym (bare
@@ -262,9 +264,13 @@ l{t} AS (
   SELECT p.id, COALESCE(w.label, p.label) AS label
   FROM l{p} p LEFT JOIN w{t} w ON w.id = p.id)"""
         )
+    return "".join(ctes)
+
+
+def _lpa_sql(rounds: int = LPA_ROUNDS) -> str:
     return (
         ORACLE_PRELUDE
-        + "".join(ctes)
+        + _lpa_ctes(rounds)
         + f"\nSELECT id, label FROM l{rounds}"
     )
 
@@ -292,3 +298,116 @@ FROM cand c
 JOIN deg da ON da.src = c.a
 JOIN deg db ON db.src = c.b
 ORDER BY jaccard DESC, src ASC, dst ASC LIMIT {LINKPRED_TOPK}"""
+
+
+PPR_SOURCE = "0"
+
+
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, edges = model(spark, sf_dir)
+    ranks = personalized_pagerank(
+        nodes.select("id"),
+        edges,
+        source=PPR_SOURCE,
+        iterations=PR_ITERS,
+        damping=PR_DAMPING,
+    )
+    return ranks.select(
+        "id",
+        (F.floor(F.col("rank") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "rank"
+        ),
+    )
+
+
+def q_graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of the LPA communities after LPA_ROUNDS rounds —
+    community detection plus its quality score in one verified
+    plan (communities counted = labels touching ≥1 edge)."""
+    nodes, _, edges = model(spark, sf_dir)
+    labels = label_propagation(nodes.select("id"), edges, rounds=LPA_ROUNDS)
+    return modularity(edges, labels)
+
+
+def _ppr_sql(rounds: int = PR_ITERS) -> str:
+    """Unrolled PPR — same skeleton as _pagerank_sql but every
+    teleport (and the dangling return) lands on the source node."""
+    d = PR_DAMPING
+    src = PPR_SOURCE
+    ctes = [
+        f""",
+verts AS (SELECT id FROM nodes),
+outw AS (SELECT src AS id, sum(weight) AS w FROM edges GROUP BY src),
+shares AS (
+  SELECT e.src, e.dst, e.weight / o.w AS share
+  FROM edges e JOIN outw o ON o.id = e.src
+),
+pr0 AS (SELECT v.id, CASE WHEN v.id = '{src}' THEN 1.0 ELSE 0.0 END AS rank
+        FROM verts v)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f""",
+pr{i} AS (
+  SELECT v.id,
+         (1 - {d}) * (CASE WHEN v.id = '{src}' THEN 1.0 ELSE 0.0 END)
+         + {d} * (COALESCE(c.contrib, 0)
+                  + dg.mass * (CASE WHEN v.id = '{src}' THEN 1.0
+                               ELSE 0.0 END)) AS rank
+  FROM verts v
+  CROSS JOIN (
+    SELECT COALESCE(sum(p.rank), 0) AS mass FROM pr{p} p
+    WHERE NOT EXISTS (SELECT 1 FROM outw o WHERE o.id = p.id)
+  ) dg
+  LEFT JOIN (
+    SELECT s.dst AS id, sum(p.rank * s.share) AS contrib
+    FROM shares s JOIN pr{p} p ON p.id = s.src GROUP BY s.dst
+  ) c ON c.id = v.id
+)"""
+        )
+    return (
+        ORACLE_PRELUDE
+        + "".join(ctes)
+        + f"""
+SELECT id, floor(rank * 1000000.0 + 0.5) / 1000000.0 AS rank
+FROM pr{rounds}"""
+    )
+
+
+def _lpa_modularity_sql(rounds: int = LPA_ROUNDS) -> str:
+    return (
+        ORACLE_PRELUDE
+        + _lpa_ctes(rounds)
+        + f""",
+canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+lab AS MATERIALIZED (
+  SELECT c.a, c.b, la.label AS ca, lb.label AS cb
+  FROM canon c
+  JOIN l{rounds} la ON la.id = c.a
+  JOIN l{rounds} lb ON lb.id = c.b),
+mm AS (SELECT count(*) AS m FROM lab),
+intra AS (SELECT ca AS label, count(*) AS e_c FROM lab
+          WHERE ca = cb GROUP BY ca),
+deg AS (SELECT label, count(*) AS deg_c FROM
+        (SELECT a AS id, ca AS label FROM lab
+         UNION ALL SELECT b, cb FROM lab) GROUP BY label),
+perc AS (
+  SELECT d.label, COALESCE(i.e_c, 0) AS e_c, d.deg_c
+  FROM deg d LEFT JOIN intra i ON i.label = d.label)
+SELECT count(*) AS n_communities,
+       CAST(sum(e_c) AS BIGINT) AS n_intra_edges,
+       floor(sum(e_c * 1.0 / mm.m
+                 - (deg_c * 1.0 / (2.0 * mm.m))
+                   * (deg_c * 1.0 / (2.0 * mm.m)))
+             * 1000000.0 + 0.5) / 1000000.0 AS modularity
+FROM perc, mm GROUP BY mm.m"""
+    )
+
+
+QUERIES["graph_ppr"] = q_graph_ppr
+QUERIES["graph_lpa_modularity"] = q_graph_lpa_modularity
+ORACLES["graph_ppr"] = _ppr_sql()
+ORACLES["graph_lpa_modularity"] = _lpa_modularity_sql()

@@ -631,7 +631,7 @@ def q_embedding_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.pca_pc1(emb, dim=PCA_DIM, iterations=PCA_ITERS)
 
 
-def _pca_pc1_sql(dim: int = PCA_DIM, iters: int = PCA_ITERS) -> str:
+def _pca_ctes(dim: int = PCA_DIM, iters: int = PCA_ITERS) -> str:
     """Unrolled power iteration — s{t}/p{t}/n{t}/v{t} per round, the
     fixed-iteration twin trick (PageRank/k-core/LPA oracles). The
     start vector 1/sqrt(64) = 0.125 is exact in binary, so both
@@ -662,9 +662,12 @@ p{t} AS (SELECT xc.i, sum(xc.xc * s.s) AS p
 n{t} AS (SELECT sqrt(sum(p * p)) AS nrm FROM p{t}),
 v{t} AS (SELECT i, p / nrm AS v FROM p{t}, n{t})"""
         )
+    return ORACLE_PRELUDE + "".join(ctes)
+
+
+def _pca_pc1_sql(dim: int = PCA_DIM, iters: int = PCA_ITERS) -> str:
     return (
-        ORACLE_PRELUDE
-        + "".join(ctes)
+        _pca_ctes(dim, iters)
         + f""",
 ref AS (SELECT max(abs(v)) AS m FROM v{iters}),
 sgn AS (SELECT CASE WHEN v.v >= 0 THEN 1.0 ELSE -1.0 END AS s
@@ -679,3 +682,78 @@ FROM v{iters} v, sgn"""
 QUERIES["embedding_pca_pc1"] = q_embedding_pca_pc1
 
 ORACLES["embedding_pca_pc1"] = _pca_pc1_sql()
+
+
+BIGRAM_K = 0.5  # add-k smoothing constant, exact in binary
+
+
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return text_analysis.bigram_logprob(nodes, k_smooth=BIGRAM_K)
+
+
+def q_embedding_debias_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, emb, _ = model(spark, sf_dir)
+    return curation.pca_residual_norms(
+        emb, dim=PCA_DIM, iterations=PCA_ITERS
+    )
+
+
+def _debias_sql(dim: int = PCA_DIM, iters: int = PCA_ITERS) -> str:
+    """Per-vector top-component projection + residual norm: the
+    _pca_pc1_sql chain, then one more xc ⨝ signed-direction pass."""
+    return (
+        _pca_ctes(dim, iters)
+        + f""",
+ref AS (SELECT max(abs(v)) AS m FROM v{iters}),
+sgn AS (SELECT CASE WHEN v.v >= 0 THEN 1.0 ELSE -1.0 END AS s
+        FROM v{iters} v, ref WHERE abs(v.v) = ref.m
+        ORDER BY v.i LIMIT 1),
+vs AS MATERIALIZED (SELECT v.i, v.v * sgn.s AS v FROM v{iters} v, sgn),
+sper AS MATERIALIZED (
+  SELECT xc.node_id, sum(xc.xc * vs.v) AS s
+  FROM xc JOIN vs ON vs.i = xc.i GROUP BY xc.node_id),
+resid AS (
+  SELECT xc.node_id,
+         sqrt(sum((xc.xc - sp.s * vs.v) * (xc.xc - sp.s * vs.v))) AS rn
+  FROM xc
+  JOIN vs ON vs.i = xc.i
+  JOIN sper sp ON sp.node_id = xc.node_id
+  GROUP BY xc.node_id)
+SELECT sp.node_id AS id,
+       floor(sp.s * 1000000.0 + 0.5) / 1000000.0 AS proj,
+       floor(r.rn * 1000000.0 + 0.5) / 1000000.0 AS resid_norm
+FROM sper sp JOIN resid r ON r.node_id = sp.node_id"""
+    )
+
+
+QUERIES["text_bigram_logprob"] = q_text_bigram_logprob
+QUERIES["embedding_debias_pc1"] = q_embedding_debias_pc1
+
+ORACLES["text_bigram_logprob"] = (
+    ORACLE_PRELUDE
+    + _TOKS
+    + f""",
+bigd AS (
+  SELECT id, t[i.i] AS a, t[i.i + 1] AS b
+  FROM toks CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(1, len(t) - 1)) AS i) i
+  WHERE len(t) >= 2),
+uni AS (
+  SELECT a, count(*) AS c_a
+  FROM (SELECT unnest(t) AS a FROM toks) GROUP BY a),
+vsz AS (SELECT count(*) AS v FROM uni),
+pairs AS (SELECT a, b, count(*) AS c_ab FROM bigd GROUP BY a, b)
+SELECT d.id, count(*) AS n_bigrams,
+       {sql_stable_round6(
+           "avg(ln((p.c_ab + " + str(BIGRAM_K) + ")"
+           " / (u.c_a + " + str(BIGRAM_K) + " * vz.v)))"
+       )} AS avg_logprob
+FROM bigd d
+JOIN pairs p ON p.a = d.a AND p.b = d.b
+JOIN uni u ON u.a = d.a
+CROSS JOIN vsz vz
+GROUP BY d.id"""
+)
+
+ORACLES["embedding_debias_pc1"] = _debias_sql()

@@ -795,3 +795,65 @@ SELECT d.event_type, count(*) AS n,
             AS BIGINT) AS n_outliers
 FROM dev d JOIN mad a USING (event_type)
 GROUP BY d.event_type"""
+
+
+Q3_CUTOFF = "1995-03-15 00:00:00"
+Q3_SEGMENT = "BUILDING"
+
+
+def q_olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority report: revenue still
+    unshipped at the cutoff for one market segment, top 10 orders.
+    customer (filtered, broadcastable) ⨝ orders ⨝ lineitem, one
+    aggregate on l_orderkey, then a TakeOrderedAndProject top-k —
+    the canonical dim-filter → fact-join → topk funnel. Revenue sums
+    in exact decimal (see _dec_sum) so the two-phase distributed sum
+    cannot drift from the oracle's single-pass order."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+QUERIES["olap_shipping_priority"] = q_olap_shipping_priority
+
+ORACLES["olap_shipping_priority"] = f"""
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10"""
