@@ -282,3 +282,36 @@ def test_lsh_bucket_store_partition_pruned(spark, tmp_path):
     got = q.count()
     want = bucketed.filter(F.col("bucket") == some_bucket).count()
     assert got == want and got > 0
+
+
+def test_partitioned_parquet_read_prunes_partitions(spark):
+    p = plan_of(spark, "io_parquet_partitioned")
+    # the event_type predicate must be a directory-level PartitionFilter
+    # on the hive-partitioned sink, not a row-level data filter
+    assert "PartitionFilters" in p
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert pf and "event_type" in pf.group(1), p[:2000]
+
+
+def test_range_search_is_map_only_broadcast(spark):
+    p = plan_of(spark, "ann_range_search")
+    # radius query: broadcast the query side, no shuffle, no window
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
+
+
+def test_jaccard_linkpred_never_cartesian(spark):
+    p = plan_of(spark, "graph_jaccard_linkpred")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p  # top-k, not global sort
+
+
+def test_rollup_grains_single_scan(spark):
+    p = plan_of(spark, "events_rollup_grains")
+    # grouping-set expansion happens in one Expand over one scan
+    assert p.count("Scan parquet") == 1
+    assert "Expand" in p

@@ -246,3 +246,45 @@ def test_debias_removes_dominant_axis(spark):
     # removing PC1 strips the dominant-axis energy: residual is noise
     assert mean_resid < 0.2 * mean_abs_proj
     assert all(r["resid_norm"] >= 0 for r in got)
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    from vector_graph_native_database__spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("long", "a b c d e f g h i j k l m n o p"),
+            ("excerpt", "c d e f g"),
+            ("other", "q r s t u v w x"),
+        ],
+        "id string, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(docs, k=3, threshold=0.9).collect()
+    }
+    # the excerpt's 3 shingles all appear in the host doc
+    assert cont == {("excerpt", "long"): 1.0}
+    # symmetric jaccard at the same bar misses it (3/14 << 0.9)
+    jac = ngram_jaccard_pairs(docs, k=3, threshold=0.9).collect()
+    assert jac == []
+
+
+def test_rollup_grains_totals_consistent(spark):
+    from vector_graph_native_database__spark.registry.eventsq import (
+        q_events_rollup_grains,
+    )
+
+    rows = q_events_rollup_grains(spark, "/root/testdata/sf0.001").collect()
+    grand = [r for r in rows if r["day"] == "ALL"]
+    assert len(grand) == 1 and grand[0]["hour"] == "ALL"
+    days = [r for r in rows if r["day"] != "ALL" and r["hour"] == "ALL"]
+    hours = [r for r in rows if r["hour"] != "ALL"]
+    assert grand[0]["n"] == sum(r["n"] for r in days) == sum(
+        r["n"] for r in hours
+    )
+    # decimal sums: per-grain totals add EXACTLY to the grand total
+    assert abs(sum(r["sum_value"] for r in days) - grand[0]["sum_value"]) < 1e-6

@@ -468,3 +468,51 @@ def embedding_cosine_pairs(
         .groupBy("dim", "bi", "bj")
         .applyInPandas(block_pair_cosines, "id_a string, id_b string, cos double")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT near-dup pairs
+    → (id_a, id_b, containment).
+
+    ``containment = |S(a)∩S(b)| / min(|S(a)|, |S(b)|)`` — Broder's
+    containment measure. Jaccard misses the quote/excerpt case (a
+    short doc fully embedded in a long one scores low because the
+    union is dominated by the long doc); containment normalizes by
+    the SMALLER shingle set, so an excerpt scores ~1 regardless of
+    the host's length. The candidate generation is the identical
+    shingle-postings equi-join as ``ngram_jaccard_pairs`` (shared
+    scale bound: Σ posting-list², never all-pairs); only the final
+    normalizer differs, so both measures can share one posting
+    frame in a fused pipeline.
+    """
+    sh = shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    cont6 = F.floor(
+        F.col("c").cast("double")
+        / F.least("na", "nb")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ) / F.lit(1e6)
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("containment", cont6)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from ..functions import l2_norm
 from ..operators.vector_search import metadata_predicate
+from ..sources import load_table
 from .common import ORACLE_PRELUDE, model, scratch_dir
 
 
@@ -243,3 +244,40 @@ WHERE n.id = '5'""",
         "WITH indeg", "indeg", 1
     ),
 }
+
+
+def q_io_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + partition-PRUNED read: events
+    written partitionBy(event_type), read back with an event_type
+    predicate that must resolve as a PartitionFilter (directory
+    pruning — zero row groups of other types touched; pinned by
+    tests/test_plans.py), then a per-user aggregate. The layout
+    every 100 TB event lake uses: the prune turns a full-lake scan
+    into one directory subtree."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    path = os.path.join(scratch_dir("events_part"), "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("event_type") == "purchase"
+    )
+    return (
+        back.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 6)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+QUERIES["io_parquet_partitioned"] = q_io_parquet_partitioned
+
+ORACLES["io_parquet_partitioned"] = """
+SELECT user_id, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(30,10))), 6) AS DOUBLE)
+         AS sum_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id"""

@@ -510,3 +510,47 @@ LEFT JOIN agg a ON a.id = n.id
 LEFT JOIN top t ON t.id = n.id"""
 )
 
+
+
+def q_events_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate at two time grains in
+    one pass: ROLLUP(day, hour) gives (day,hour), (day), and ()
+    rows — the multi-resolution summary a TSDB keeps materialized.
+    Spark expands grouping sets JVM-side over a single scan; sums in
+    exact decimal so the grand-total row can't drift from the
+    per-grain sums. Grain keys are formatted strings ('ALL' for
+    rolled-up levels) so the frame is engine-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    hour = F.date_format(
+        F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+    ).alias("hour")
+    return (
+        ev.select(day, hour, "value")
+        .rollup("day", "hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 6)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("hour", F.lit("ALL")).alias("hour"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+QUERIES["events_rollup_grains"] = q_events_rollup_grains
+
+ORACLES["events_rollup_grains"] = """
+SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       COALESCE(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),
+                'ALL') AS hour,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(30,10))), 6) AS DOUBLE)
+         AS sum_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))"""

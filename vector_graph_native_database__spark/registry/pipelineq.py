@@ -1061,3 +1061,38 @@ scored AS (
   ) t
 )
 SELECT qid, id, cos FROM scored WHERE cos >= {RANGE_TAU}"""
+
+
+CONTAIN_K = 3
+CONTAIN_TAU = 0.6
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return dedup.containment_pairs(
+        nodes, k=CONTAIN_K, threshold=CONTAIN_TAU
+    )
+
+
+QUERIES["dedup_containment"] = q_dedup_containment
+
+ORACLES["dedup_containment"] = (
+    ORACLE_PRELUDE
+    + _TOKS
+    + _sh_cte(CONTAIN_K, "sh3")
+    + f""",
+sizes AS (SELECT id, count(*) AS n FROM sh3 GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, containment FROM (
+  SELECT i.id_a, i.id_b,
+         floor(i.c * 1.0 / least(x.n, y.n) * 1000000.0 + 0.5)
+           / 1000000.0 AS containment
+  FROM inter i
+  JOIN sizes x ON x.id = i.id_a
+  JOIN sizes y ON y.id = i.id_b
+) WHERE containment >= {CONTAIN_TAU}"""
+)
