@@ -394,3 +394,35 @@ def test_stream_dedup_within_watermark(spark):
         assert sorted(r["event_id"] for r in got) == [1, 2]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_interval_join_pairs_bounded_by_lookback(spark):
+    from vector_graph_native_database__spark.registry.eventsq import (
+        q_events_stream_join,
+    )
+
+    rows = q_events_stream_join(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected purchase<-click attribution pairs"
+    # batch twin computed inline: identical pair counts per user
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select("user_id", F.col("ts").alias("p_ts"))
+    c = ev.filter(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select(F.col("user_id").alias("cu"), F.col("ts").alias("c_ts"))
+    batch = (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    got = {r["user_id"]: r["n_pairs"] for r in rows}
+    want = {r["user_id"]: r["n_pairs"] for r in batch.collect()}
+    assert got == want

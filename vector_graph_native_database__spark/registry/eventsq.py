@@ -554,3 +554,56 @@ SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
          AS sum_value
 FROM events
 GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))"""
+
+
+def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream–stream interval join through the REAL
+    streaming engine: purchase and click streams (two filters of one
+    parquet-backed stream) joined per user on a 1-hour lookback,
+    pairs appended to a sink, then batch-aggregated per user. With
+    availableNow replay every match is emitted before termination,
+    so the pair set is a pure function of the data and the DuckDB
+    twin is the exact batch interval join — the gate value-checks
+    the streaming join state machinery end to end."""
+    import os
+
+    from ..streaming.ingest import EVENTS_SCHEMA
+    from ..streaming.windows import stream_interval_join
+
+    base = scratch_dir("events_stream_join")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        stream_interval_join(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+QUERIES["events_stream_join"] = q_events_stream_join
+
+ORACLES["events_stream_join"] = """
+SELECT p.user_id, count(*) AS n_pairs
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND p.user_id IS NOT NULL
+GROUP BY p.user_id"""

@@ -81,3 +81,59 @@ def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
             "sum_value",
         )
     )
+
+
+def stream_interval_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    lookback: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream–stream INTERVAL join: each ``left_type`` event matched
+    to the same user's ``right_type`` events in the preceding
+    ``lookback`` → (user_id, left_id, right_id, left_ts, right_ts).
+
+    The canonical attribution join ("which clicks preceded this
+    purchase"), expressed as Structured Streaming's watermarked
+    stream-stream inner join: both sides carry a watermark and the
+    join predicate carries the time-range bound, so the state store
+    holds only ``lookback + watermark`` of either stream per user —
+    bounded state at any volume, keyed by user (AQE/skew concerns
+    are the same as any keyed join). Works identically over batch
+    frames (same API), which is how the gate's DuckDB twin checks
+    the emitted pairs exactly.
+    """
+    left = (
+        events.filter(
+            (F.col("event_type") == left_type)
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    right = (
+        events.filter(
+            (F.col("event_type") == right_type)
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    return left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("right_ts") <= F.col("left_ts"))
+        & (
+            F.col("right_ts")
+            >= F.col("left_ts") - F.expr(f"INTERVAL {lookback}")
+        ),
+    ).select("user_id", "left_id", "right_id", "left_ts", "right_ts")
