@@ -266,7 +266,7 @@ def q_io_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 6)
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 2)
             .cast("double")
             .alias("sum_value"),
         )
@@ -277,7 +277,7 @@ QUERIES["io_parquet_partitioned"] = q_io_parquet_partitioned
 
 ORACLES["io_parquet_partitioned"] = """
 SELECT user_id, count(*) AS n,
-       CAST(round(sum(CAST(value AS DECIMAL(30,10))), 6) AS DOUBLE)
+       CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE)
          AS sum_value
 FROM events WHERE event_type = 'purchase'
 GROUP BY user_id"""

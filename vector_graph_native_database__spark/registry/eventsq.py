@@ -530,7 +530,7 @@ def q_events_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("day", "hour")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 6)
+            F.round(F.sum(F.col("value").cast("decimal(30,10)")), 2)
             .cast("double")
             .alias("sum_value"),
         )
@@ -550,7 +550,7 @@ SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
        COALESCE(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),
                 'ALL') AS hour,
        count(*) AS n,
-       CAST(round(sum(CAST(value AS DECIMAL(30,10))), 6) AS DOUBLE)
+       CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE)
          AS sum_value
 FROM events
 GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))"""

@@ -36,11 +36,16 @@ SHIP_CUTOFF = "1998-09-01 00:00:00"
 # decimal removes the order dependence: each row's double is cast to
 # DECIMAL(30,10) (deterministic per row, identical in both engines),
 # the decimal sum is exact, and the final round happens in decimal.
+# Money sums round to CENTS (2dp), not 6dp: at 100 TB magnitudes
+# (~1e11+) a 6dp step is BELOW the double ULP (~1.5e-5 at 1e11),
+# so two engines converting the same exact decimal can land on
+# adjacent doubles and a 6dp compare is meaningless; 2dp stays
+# above the ULP until ~9e13. Found by the sf1 scaled gate.
 _DEC = "decimal(30,10)"
 
 
 def _dec_sum(col, alias: str):
-    return F.round(F.sum(col.cast(_DEC)), 6).cast("double").alias(alias)
+    return F.round(F.sum(col.cast(_DEC)), 2).cast("double").alias(alias)
 
 
 def q_olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,7 +316,7 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         "n",
-        F.round("sum_value", 6).cast("double").alias("sum_value"),
+        F.round("sum_value", 2).cast("double").alias("sum_value"),
         F.round("min_value", 6).alias("min_value"),
         F.round("max_value", 6).alias("max_value"),
     )
@@ -344,7 +349,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("suppkey", "s_name").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-        F.round(F.sum("price_dec"), 6).cast("double").alias("sum_price"),
+        F.round(F.sum("price_dec"), 2).cast("double").alias("sum_price"),
     )
 
 
@@ -427,10 +432,10 @@ ORACLES = {
     "olap_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 6) AS sum_qty,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 6)
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2)
             AS DOUBLE) AS sum_base_price,
        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-                           AS DECIMAL(30,10))), 6) AS DOUBLE)
+                           AS DECIMAL(30,10))), 2) AS DOUBLE)
          AS sum_disc_price,
        round(avg(l_quantity), 6) AS avg_qty,
        floor(CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE)
@@ -443,14 +448,14 @@ GROUP BY l_returnflag, l_linestatus""",
 SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,
        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-                           AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue,
+                           AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "olap_top_customers": """
 SELECT c_custkey, c_name, c_mktsegment,
        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-                           AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue,
+                           AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
        count(DISTINCT o_orderkey) AS n_orders
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -461,14 +466,14 @@ LIMIT 10""",
     "olap_cube_orders": """
 SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
        coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,
-       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 6) AS DOUBLE)
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE)
          AS total_price,
        count(*) AS n_orders
 FROM orders
 GROUP BY CUBE (o_orderpriority, year(o_orderdate))""",
     "skew_salted_agg": """
 SELECT event_type, count(event_id) AS n,
-       CAST(round(sum(CAST(value AS DECIMAL(30,10))), 6) AS DOUBLE)
+       CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE)
          AS sum_value,
        round(min(value), 6) AS min_value,
        round(max(value), 6) AS max_value
@@ -557,7 +562,7 @@ FROM u GROUP BY event_type""",
     "skew_salted_join": """
 SELECT l_suppkey AS suppkey, s_name, count(*) AS n_lines,
        round(sum(l_quantity), 6) AS sum_qty,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 6) AS DOUBLE)
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE)
          AS sum_price
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY l_suppkey, s_name""",
@@ -589,14 +594,14 @@ FROM est e JOIN exact x ON x.event_type = e.event_type""",
     "events_by_segment": """
 SELECT c.c_mktsegment,
        count(*) AS n_events,
-       CAST(round(sum(CAST(e.value AS DECIMAL(30,10))), 6) AS DOUBLE)
+       CAST(round(sum(CAST(e.value AS DECIMAL(30,10))), 2) AS DOUBLE)
          AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment""",
     "olap_local_supplier_volume": """
 SELECT n.n_name,
        CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                           AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue,
+                           AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -847,7 +852,7 @@ QUERIES["olap_shipping_priority"] = q_olap_shipping_priority
 ORACLES["olap_shipping_priority"] = f"""
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-                           AS DECIMAL(30,10))), 6) AS DOUBLE) AS revenue
+                           AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
