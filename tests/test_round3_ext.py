@@ -288,3 +288,23 @@ def test_rollup_grains_totals_consistent(spark):
     )
     # decimal sums: per-grain totals add EXACTLY to the grand total
     assert abs(sum(r["sum_value"] for r in days) - grand[0]["sum_value"]) < 1e-6
+
+
+def test_corrupt_jsonl_quarantines_not_drops(spark):
+    from vector_graph_native_database__spark.registry.coreq import (
+        q_io_jsonl_corrupt_tolerant,
+    )
+
+    rows = q_io_jsonl_corrupt_tolerant(spark, "/root/testdata/sf0.001").collect()
+    by_lang = {r["lang"]: r for r in rows}
+    assert "__corrupt__" in by_lang
+    bad = by_lang["__corrupt__"]
+    assert bad["n"] == bad["n_corrupt"] > 0  # every bad line kept+flagged
+    good_n = sum(r["n"] for r in rows if r["lang"] != "__corrupt__")
+    total = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert good_n + bad["n"] == total  # nothing silently dropped
+    assert all(
+        r["n_corrupt"] == 0 for r in rows if r["lang"] != "__corrupt__"
+    )

@@ -281,3 +281,52 @@ SELECT user_id, count(*) AS n,
          AS sum_value
 FROM events WHERE event_type = 'purchase'
 GROUP BY user_id"""
+
+
+def q_io_jsonl_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode JSONL ingest over a deliberately dirty drop:
+    every doc whose id % 13 == 0 is exported as a TRUNCATED JSON line
+    (unparseable), the rest as valid JSONL. The read must keep every
+    good row and quarantine — not drop, not crash on — every bad line
+    via ``_corrupt_record``, the contract bulk ingest at 100 TB needs
+    (one malformed shard must never kill the job). Output is the
+    per-lang good/bad tally; the oracle recomputes it from the
+    deterministic corruption rule, so a reader that silently drops or
+    double-counts quarantined lines fails the value gate."""
+    import os
+
+    nodes, _, _ = model(spark, sf_dir)
+    base = scratch_dir("nodes_jsonl_dirty")
+    path = os.path.join(base, "nodes")
+    good = F.to_json(F.struct("id", "text", "lang"))
+    line = F.when(
+        F.col("id").cast("long") % 13 == 0,
+        F.substring(good, 1, 20),  # truncated mid-object: unparseable
+    ).otherwise(good)
+    nodes.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = "id string, text string, lang string, _corrupt_record string"
+    back = spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+    return (
+        back.groupBy(
+            F.coalesce("lang", F.lit("__corrupt__")).alias("lang")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count("_corrupt_record").alias("n_corrupt"),
+        )
+    )
+
+
+QUERIES["io_jsonl_corrupt_tolerant"] = q_io_jsonl_corrupt_tolerant
+
+# The oracle replays the corruption RULE (id % 13 -> truncated, lang
+# lost), not the file: good rows tally under their lang with
+# n_corrupt = 0, bad rows all land in __corrupt__.
+ORACLES["io_jsonl_corrupt_tolerant"] = ORACLE_PRELUDE + """
+SELECT lang, count(*) AS n, CAST(0 AS BIGINT) AS n_corrupt
+FROM nodes WHERE CAST(id AS BIGINT) % 13 <> 0
+GROUP BY lang
+UNION ALL
+SELECT '__corrupt__' AS lang, count(*) AS n,
+       count(*) AS n_corrupt
+FROM nodes WHERE CAST(id AS BIGINT) % 13 = 0"""
