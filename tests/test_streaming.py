@@ -426,3 +426,59 @@ def test_stream_interval_join_pairs_bounded_by_lookback(spark):
     got = {r["user_id"]: r["n_pairs"] for r in rows}
     want = {r["user_id"]: r["n_pairs"] for r in batch.collect()}
     assert got == want
+
+
+def test_tws_running_totals_v2_api(spark):
+    # transformWithStateInPandas execution needs a working protobuf
+    # (see UserTotalsProcessor docstring); skip in containers without it
+    pytest.importorskip("google.protobuf.descriptor")
+    import pandas as pd  # noqa: F401
+
+    from vector_graph_native_database__spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="vgs-tws-")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    schema = "user_id long, value double"
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], schema
+    ).write.mode("append").parquet(src)
+    rows = []
+
+    def capture(batch_df, batch_id):
+        rows.extend(batch_df.collect())
+
+    q = (
+        running_user_totals_tws(
+            spark.readStream.schema(schema).parquet(src)
+        )
+        .writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"])
+        for r in rows
+    }
+    assert got == {1: (2, 15.0, 10.0), 2: (1, 7.0, 7.0)}
+
+
+def test_tws_plan_builds_without_protobuf(spark):
+    """The v2-API operator must at least ANALYZE in this container
+    (the capability gate is at execution, not plan time)."""
+    from vector_graph_native_database__spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    schema = "user_id long, value double"
+    stream = spark.readStream.schema(schema).parquet(
+        tempfile.mkdtemp(prefix="vgs-twsplan-")
+    )
+    df = running_user_totals_tws(stream)
+    assert df.schema.simpleString().startswith(
+        "struct<user_id:bigint,n_events:bigint"
+    )

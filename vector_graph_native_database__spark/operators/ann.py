@@ -979,3 +979,47 @@ def mmr_rerank(
     return cand.groupBy("qid").applyInPandas(
         greedy, "qid string, id string, mmr double, pick int"
     )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Lloyd's k-means cluster assignment → (id, cluster, dist).
+
+    Exposes the deterministic training core the IVF index already
+    uses (``ivf_centroids``: smallest-id seeds, min-distance/
+    min-index assignment, 6dp-stabilized means) as a first-class
+    clustering operator — per-vector cluster label plus the exact
+    squared distance to its final centroid, the standard corpus-
+    structuring primitive (topic buckets, stratified mixing,
+    diversity quotas). Each assignment pass is one broadcast of C
+    centroids over a single scan (map-side min_by, no shuffle of
+    vectors); at 100 TB cost is iters+1 scans, all broadcast joins.
+    """
+    e = (
+        emb.filter(F.size("vector") == dim)
+        .select(F.col("node_id").alias("id"), "vector")
+        .withColumn("vv", dot("vector", "vector"))
+    )
+    centroids = ivf_centroids(emb, n_centroids, iters, dim).withColumn(
+        "cc", dot("cvec", "cvec")
+    )
+    scored = e.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", F.col("vv") + F.col("cc") - 2 * dot("vector", "cvec")
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.min_by("cidx", F.struct("dist", "cidx")).alias("cluster"),
+            (
+                F.floor(
+                    F.min(F.struct("dist", "cidx"))["dist"] * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("dist"),
+        )
+    )

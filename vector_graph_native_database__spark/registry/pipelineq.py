@@ -1096,3 +1096,28 @@ SELECT id_a, id_b, containment FROM (
   JOIN sizes y ON y.id = i.id_b
 ) WHERE containment >= {CONTAIN_TAU}"""
 )
+
+
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, emb, _ = model(spark, sf_dir)
+    return ann.kmeans_assign(emb, n_centroids=8, iters=2, dim=64)
+
+
+QUERIES["embedding_kmeans"] = q_embedding_kmeans
+
+# assignment + exact squared distance from the shared IVF CTE chain
+ORACLES["embedding_kmeans"] = (
+    ORACLE_PRELUDE
+    + _ivf_ctes(8, 2, 2)
+    + """
+SELECT id, cluster, floor(dist * 1000000.0 + 0.5) / 1000000.0 AS dist
+FROM (
+  SELECT t.id, c.cidx AS cluster,
+         t.vv + c.cc - 2 * list_dot_product(t.v, c.cvec) AS dist,
+         row_number() OVER (
+           PARTITION BY t.id
+           ORDER BY t.vv + c.cc - 2 * list_dot_product(t.v, c.cvec),
+                    c.cidx) AS rn
+  FROM e t CROSS JOIN cf c
+) WHERE rn = 1"""
+)
