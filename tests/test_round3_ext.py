@@ -308,3 +308,63 @@ def test_corrupt_jsonl_quarantines_not_drops(spark):
     assert all(
         r["n_corrupt"] == 0 for r in rows if r["lang"] != "__corrupt__"
     )
+
+
+def test_residual_ivfpq_wins_on_clustered_data(spark):
+    """On clustered data residual PQ encodes offsets around each
+    cell centroid, so its ADC distortion must beat plain IVF-PQ
+    (on isotropic data they tie — this fixture has real clusters)."""
+    import random
+
+    from vector_graph_native_database__spark.operators import ann
+
+    rng = random.Random(3)
+    dim, n_clusters = 8, 4
+    centers = [
+        [rng.uniform(-50, 50) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    for i in range(400):
+        c = centers[i % n_clusters]
+        rows.append(
+            (str(i), [x + rng.gauss(0, 0.5) for x in c], dim)
+        )
+    emb = spark.createDataFrame(
+        rows, "node_id string, vector array<double>, dim int"
+    ).withColumn("vector", F.col("vector").cast("array<float>"))
+    qids = ["0", "1", "2", "3"]
+
+    e = emb.select(F.col("node_id").alias("id"), "vector")
+    q = e.filter(F.col("id").isin(qids)).select(
+        F.col("id").alias("qid"), F.col("vector").alias("qvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "vector",
+            "qvec",
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", "id", d2.alias("true_d2"))
+    )
+
+    def mae(fn):
+        res = fn(
+            emb, qids, k=5, n_centroids=4, iters=2, nprobe=2, m=4,
+            ksub=8, dim=dim,
+        )
+        (row,) = (
+            res.join(exact, ["qid", "id"])
+            .agg(F.avg(F.abs(F.col("adist") - F.col("true_d2"))).alias("m"))
+            .collect()
+        )
+        return row["m"]
+
+    plain, resid = mae(ann.ivfpq_topk), mae(ann.ivfpq_residual_topk)
+    assert resid < 0.5 * plain, (plain, resid)

@@ -1023,3 +1023,166 @@ def kmeans_assign(
             ).alias("dist"),
         )
     )
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    query_ids: list[str],
+    k: int = 5,
+    n_centroids: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """RESIDUAL IVF-PQ → (qid, id, adist, rnk): the faiss-style
+    composition where PQ encodes each vector's residual
+    ``x − centroid(cell(x))`` rather than x itself.
+
+    Residuals concentrate around 0 with far less variance than raw
+    vectors, so the same m×ksub codebook budget quantizes them with
+    much lower distortion — the reason production IVFPQ indexes are
+    residual-encoded. The ADC table becomes per (query, PROBED
+    cell): ``q_res = q − c_cell`` against the shared residual
+    codebooks — |queries|·nprobe·m·ksub entries, still a constant
+    broadcast. Everything else keeps ivfpq_topk's shape (partition-
+    prunable codes, broadcast-only joins, sorted ADC fold), and both
+    Lloyd trainings stay deterministic, so the DuckDB twin replays
+    the full residual index build exactly.
+    """
+    e = (
+        emb.filter(F.size("vector") == dim)
+        .select(F.col("node_id").alias("id"), "vector")
+        .withColumn("vv", dot("vector", "vector"))
+    )
+    cf = ivf_centroids(emb, n_centroids, iters, dim).withColumn(
+        "cc", dot("cvec", "cvec")
+    )
+    af = (
+        e.crossJoin(F.broadcast(cf))
+        .withColumn(
+            "dist", F.col("vv") + F.col("cc") - 2 * dot("vector", "cvec")
+        )
+        .groupBy("id")
+        .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("cidx"))
+    )
+    # residual corpus in emb layout, cached: read by PQ training,
+    # code assignment, and nothing else — one scan each otherwise
+    resid = (
+        e.join(af, "id")
+        .join(F.broadcast(cf.select("cidx", "cvec")), "cidx")
+        .select(
+            F.col("id").alias("node_id"),
+            F.zip_with(
+                F.col("vector").cast("array<double>"),
+                "cvec",
+                lambda a, b: a - b,
+            ).alias("vector"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cb = pq_train(resid, m, ksub, iters, dim).withColumn(
+        "cc", dot("cvec", "cvec")
+    )
+    es = _subvectors(resid, m, dim)
+    codes = (
+        es.join(F.broadcast(cb), "sm")
+        .withColumn(
+            "dist", F.col("vv") + F.col("cc") - 2 * dot("sv", "cvec")
+        )
+        .groupBy("id", "sm")
+        .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("code"))
+    )
+    qv = e.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("qid"),
+        F.col("vector").cast("array<double>").alias("qvec"),
+        "vv",
+    )
+    wp = Window.partitionBy("qid").orderBy("dist", "cidx")
+    probes = (
+        qv.crossJoin(F.broadcast(cf))
+        .withColumn(
+            "dist", F.col("vv") + F.col("cc") - 2 * dot("qvec", "cvec")
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", F.col("cidx").alias("cell"))
+    )
+    sub = dim // m
+    qres = (
+        probes.join(qv.select("qid", "qvec"), "qid")
+        .join(
+            F.broadcast(
+                cf.select(F.col("cidx").alias("cell"), "cvec")
+            ),
+            "cell",
+        )
+        .select(
+            "qid",
+            "cell",
+            F.zip_with("qvec", "cvec", lambda a, b: a - b).alias("rv"),
+        )
+    )
+    qsub = qres.select(
+        "qid",
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sm"),
+        "rv",
+    ).select(
+        "qid",
+        "cell",
+        "sm",
+        F.slice("rv", F.col("sm") * sub + 1, F.lit(sub)).alias("qsv"),
+    )
+    tables = qsub.join(F.broadcast(cb), "sm").select(
+        "qid",
+        "cell",
+        "sm",
+        "cidx",
+        (
+            dot("qsv", "qsv") + F.col("cc") - 2 * dot("qsv", "cvec")
+        ).alias("d"),
+    )
+    sel = (
+        af.join(
+            F.broadcast(probes),
+            af["cidx"] == probes["cell"],
+        )
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", "cell", "id")
+    )
+    cand = (
+        codes.alias("cd")
+        .join(sel.alias("sl"), F.col("cd.id") == F.col("sl.id"))
+        .join(
+            F.broadcast(tables.alias("tb")),
+            (F.col("sl.qid") == F.col("tb.qid"))
+            & (F.col("sl.cell") == F.col("tb.cell"))
+            & (F.col("cd.sm") == F.col("tb.sm"))
+            & (F.col("cd.code") == F.col("tb.cidx")),
+        )
+        .select(
+            F.col("sl.qid").alias("qid"),
+            F.col("cd.id").alias("id"),
+            F.col("cd.sm").alias("psm"),
+            F.col("tb.d").alias("d"),
+        )
+        .groupBy("qid", "id")
+        .agg(F.array_sort(F.collect_list(F.struct("psm", "d"))).alias("ds"))
+    )
+    adist = F.aggregate(
+        F.transform("ds", lambda s: s["d"]), F.lit(0.0), lambda a, x: a + x
+    )
+    wk = Window.partitionBy("qid").orderBy("adist", "id")
+    return (
+        cand.select(
+            "qid",
+            "id",
+            (F.floor(adist * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "adist"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+    )

@@ -379,7 +379,8 @@ SELECT qid, id, cos, rnk FROM (
 
 
 def _pq_ctes(
-    m: int = 4, ksub: int = 16, iters: int = 2, dim: int = 64
+    m: int = 4, ksub: int = 16, iters: int = 2, dim: int = 64,
+    src: str = "emb", id_col: str = "node_id", vec_col: str = "vector",
 ) -> str:
     """The PQ index-build CTE chain — per-subspace Lloyd training
     (same seed rule, 6dp centroid rounding, and argmin tie-break as
@@ -391,8 +392,8 @@ def _pq_ctes(
     parts = [
         f""",
 es AS (
-  SELECT node_id AS id, CAST(vector AS DOUBLE[]) AS v
-  FROM emb WHERE len(vector) = {dim}
+  SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v
+  FROM {src} WHERE len({vec_col}) = {dim}
 ),
 e AS (
   SELECT id, s.sm AS sm,
@@ -1121,3 +1122,78 @@ FROM (
   FROM e t CROSS JOIN cf c
 ) WHERE rn = 1"""
 )
+
+
+def _ivfpq_residual_sql(
+    n_centroids: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    """Residual IVF-PQ oracle: the prefixed IVF chain, then the PQ
+    chain retargeted (via ``src``) at the residual corpus
+    ``x − centroid(cell(x))``, then per-(query, probed-cell) ADC
+    tables built from the query's residual against that cell —
+    the exact composition operators.ann.ivfpq_residual_topk runs."""
+    sub = dim // m
+    remb = f""",
+remb AS MATERIALIZED (
+  SELECT e.id AS node_id,
+         list_transform(generate_series(1, {dim}),
+                        i -> e.v[i] - c.cvec[i]) AS vector
+  FROM ive e
+  JOIN ivaf a ON a.id = e.id
+  JOIN ivcf c ON c.cidx = a.cidx
+)"""
+    final = f""",
+qres AS (
+  SELECT p.qid, p.cidx AS cell,
+         list_transform(generate_series(1, {dim}),
+                        i -> p.qv[i] - c.cvec[i]) AS rv
+  FROM ivprobes p JOIN ivcf c ON c.cidx = p.cidx
+),
+qsub AS (
+  SELECT qid, cell, s.sm,
+         list_slice(rv, s.sm * {sub} + 1, s.sm * {sub} + {sub}) AS qsv
+  FROM qres CROSS JOIN
+       (SELECT unnest(generate_series(0, {m - 1})) AS sm) s
+),
+rtbl AS MATERIALIZED (
+  SELECT q.qid, q.cell, c.sm, c.cidx,
+         list_dot_product(q.qsv, q.qsv) + c.cc
+         - 2 * list_dot_product(q.qsv, c.cvec) AS d
+  FROM qsub q JOIN cf c ON c.sm = q.sm
+),
+rsel AS (
+  SELECT p.qid, p.cidx AS cell, a.id
+  FROM ivaf a JOIN ivprobes p ON p.cidx = a.cidx
+  WHERE a.id <> p.qid
+),
+cand AS (
+  SELECT t.qid, s.id, list(t.d ORDER BY k.sm) AS ds
+  FROM rsel s
+  JOIN codes k ON k.id = s.id
+  JOIN rtbl t ON t.qid = s.qid AND t.cell = s.cell
+             AND t.sm = k.sm AND t.cidx = k.code
+  GROUP BY t.qid, s.id
+)"""
+    return (
+        ORACLE_PRELUDE
+        + _ivf_ctes(n_centroids, iters, nprobe, x="iv")
+        + remb
+        + _pq_ctes(m, ksub, iters, dim, src="remb")
+        + final
+        + _adc_select(m, k)
+    )
+
+
+def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, emb, _ = model(spark, sf_dir)
+    return ann.ivfpq_residual_topk(emb, ANN_QUERY_IDS, k=5)
+
+
+QUERIES["ann_ivfpq_residual_topk"] = q_ann_ivfpq_residual_topk
+ORACLES["ann_ivfpq_residual_topk"] = _ivfpq_residual_sql()
