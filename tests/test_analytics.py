@@ -226,3 +226,62 @@ def test_sampled_percentiles_sane(spark):
     # the sample median estimates the true median within a loose band
     assert abs(row["p50_est"] - row["p50_exact"]) < 200
     assert row["p90_est"] > row["p50_est"]
+
+
+def test_hits_known_graph(spark):
+    """Star: 0→1, 0→2, 3→1 — node 0 is the dominant hub, node 1 the
+    dominant authority; scores within each half L1-normalize to 1."""
+    from vector_graph_native_database__spark.operators.analytics import hits
+
+    edges = spark.createDataFrame(
+        [("0", "1", 1.0), ("0", "2", 1.0), ("3", "1", 1.0)],
+        "src string, dst string, weight double",
+    )
+    verts = spark.createDataFrame([("0",), ("1",), ("2",), ("3",)], "id string")
+    got = {r["id"]: r for r in hits(verts, edges, iterations=3).collect()}
+    assert abs(sum(r["hub"] for r in got.values()) - 1.0) < 1e-9
+    assert abs(sum(r["authority"] for r in got.values()) - 1.0) < 1e-9
+    assert got["0"]["hub"] > got["3"]["hub"] > 0
+    assert got["1"]["authority"] > got["2"]["authority"] > 0
+    assert got["1"]["hub"] == 0.0 and got["0"]["authority"] == 0.0
+
+
+def test_clustering_coefficient_triangle_plus_tail(spark):
+    """Triangle a-b-c plus tail c-d: a,b have coeff 1, c has 1/3
+    (deg 3, one closed pair of three), d has deg 1 → coeff 0."""
+    from vector_graph_native_database__spark.operators.analytics import (
+        clustering_coefficient,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    got = {r["id"]: r for r in clustering_coefficient(edges).collect()}
+    assert got["a"]["coeff"] == 1.0 and got["b"]["coeff"] == 1.0
+    assert abs(got["c"]["coeff"] - 0.333333) < 1e-6
+    assert got["d"]["coeff"] == 0.0 and got["d"]["triangles"] == 0
+
+
+def test_adamic_adar_prefers_rare_hub(spark):
+    """(a,b) share low-degree hub z (deg 2); (c,d) share high-degree
+    hub h (deg 4): AA must rank (a,b) above (c,d), Jaccard-style
+    common counts are 1 for both."""
+    from vector_graph_native_database__spark.operators.analytics import (
+        adamic_adar_link_prediction,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "z"), ("b", "z"),
+            ("c", "h"), ("d", "h"), ("x", "h"), ("y", "h"),
+        ],
+        "src string, dst string",
+    )
+    rows = adamic_adar_link_prediction(edges, top_k=100).collect()
+    scores = {(r["src"], r["dst"]): r["aa_score"] for r in rows}
+    assert scores[("a", "b")] > scores[("c", "d")]
+    import math
+
+    assert abs(scores[("a", "b")] - 1.0 / math.log(2)) < 1e-5
+    assert abs(scores[("c", "d")] - 1.0 / math.log(4)) < 1e-5

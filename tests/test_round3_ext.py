@@ -368,3 +368,110 @@ def test_residual_ivfpq_wins_on_clustered_data(spark):
 
     plain, resid = mae(ann.ivfpq_topk), mae(ann.ivfpq_residual_topk)
     assert resid < 0.5 * plain, (plain, resid)
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from vector_graph_native_database__spark.operators.text_analysis import (
+        pii_scrub,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("1", "mail me at bob@example.com or alice@test.org now"),
+            ("2", "server 192.168.0.1 and phone 555-123-4567"),
+            ("3", "nothing sensitive here"),
+        ],
+        "id string, text string",
+    )
+    got = {r["id"]: r for r in pii_scrub(df).collect()}
+    assert got["1"]["n_emails"] == 2 and got["1"]["n_ipv4"] == 0
+    assert got["2"]["n_ipv4"] == 1 and got["2"]["n_phones"] == 1
+    assert got["3"]["n_emails"] == got["3"]["n_ipv4"] == got["3"]["n_phones"] == 0
+    # hash of the clean doc is unchanged; redacted docs differ from raw md5
+    import hashlib
+
+    assert got["3"]["clean_hash"] == hashlib.md5(
+        b"nothing sensitive here"
+    ).hexdigest()
+    assert got["2"]["clean_hash"] == hashlib.md5(
+        b"server <IP> and phone <PHONE>"
+    ).hexdigest()
+
+
+def test_boilerplate_ngrams_flags_template_text(spark):
+    from vector_graph_native_database__spark.operators.text_analysis import (
+        boilerplate_ngrams,
+    )
+
+    template = "click here to subscribe"
+    rows = [(str(i), f"doc {i} body text unique{i} " + template) for i in range(6)]
+    rows.append(("9", "completely original content with no template at all"))
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {
+        r["id"]: r
+        for r in boilerplate_ngrams(df, k=3, min_docs=5).collect()
+    }
+    # the template trigrams appear in 6 docs -> boilerplate
+    assert got["0"]["n_boiler"] >= 2
+    assert got["9"]["n_boiler"] == 0 and got["9"]["boiler_ratio"] == 0.0
+    assert 0 < got["0"]["boiler_ratio"] < 1
+
+
+def test_winnowing_density_and_common_substring(spark):
+    from vector_graph_native_database__spark.operators.text_analysis import (
+        winnowing_fingerprint,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            ("a", "intro words first " + shared),
+            ("b", shared + " trailing other stuff here"),
+            ("c", "totally different text with no overlap at all whatsoever ok"),
+        ],
+        "id string, text string",
+    )
+    fps = winnowing_fingerprint(df, k=4, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    # winnowing guarantee: >= 1 fingerprint per window, density ~2/(w+1)
+    n_grams_c = 12 - 3  # 12 tokens, k=4
+    assert len([r for r in fps if r["id"] == "c"]) >= (n_grams_c - 4 + 1) // 4
+    # the shared substring must yield shared fingerprints; c shares none
+    assert len(by_doc["a"] & by_doc["b"]) >= 3
+    assert not (by_doc["a"] & by_doc["c"])
+
+
+def test_cms_overestimates_never_under(spark):
+    from vector_graph_native_database__spark.operators.sketch import (
+        cms_heavy_hitters,
+    )
+
+    rows = [("d", " ".join(f"tok{i % 50}" for i in range(500)))]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = cms_heavy_hitters(df, depth=4, width=32, top_n=10).collect()
+    assert len(got) == 10
+    for r in got:
+        assert r["est_cnt"] >= r["exact_cnt"], r  # one-sided CMS bound
+
+
+def test_bloom_semi_join_no_false_negatives(spark):
+    from vector_graph_native_database__spark.operators.sketch import (
+        bloom_semi_join_stats,
+    )
+
+    build = spark.createDataFrame(
+        [(i,) for i in range(50)], "k bigint"
+    )
+    probe = spark.createDataFrame(
+        [(i % 500,) for i in range(2000)], "k bigint"
+    )
+    (row,) = bloom_semi_join_stats(
+        build, probe, "k", "k", m_bits=256, k_hashes=3
+    ).collect()
+    assert row["n_probe"] == 2000
+    assert row["n_true_match"] == 200  # keys 0..49, 4 rows each
+    # Bloom filters never drop a true match
+    assert row["n_pass_bloom"] >= row["n_true_match"]
+    assert row["n_false_pos"] == row["n_pass_bloom"] - row["n_true_match"]

@@ -596,3 +596,207 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("modularity"),
         )
     )
+
+
+def hits(
+    vertices: DataFrame,
+    edges: DataFrame,
+    iterations: int = 5,
+) -> DataFrame:
+    """HITS hubs-and-authorities, fixed iteration count →
+    (id, hub, authority).
+
+    Kleinberg's mutual-reinforcement recursion on the deduplicated
+    directed adjacency: ``auth'(v) = Σ_{u→v} hub(u)`` then
+    ``hub'(u) = Σ_{u→v} auth'(v)``, each half-step SUM-normalized
+    (L1) so scores are comparable across graphs and every arithmetic
+    step is a plain aggregate a SQL twin can unroll — the same
+    fixed-iteration oracle trick as ``pagerank``. Nodes touching no
+    edges hold score 0 after the first normalization.
+
+    Scale shape: the adjacency is computed once, checkpointed, and
+    reused 2×iterations times; every half-step is one shuffle
+    equi-join (on src or dst) + one map-side-combinable sum + one
+    scalar total — identical cost profile to one PageRank round, and
+    the same bucketing/AQE-skew levers apply at 100 TB.
+    """
+    adj = (
+        edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    )
+    n_df = vertices.agg(F.count("*").alias("__n"))
+    hubs = (
+        vertices.crossJoin(F.broadcast(n_df))
+        .select("id", (F.lit(1.0) / F.col("__n")).alias("hub"))
+        .localCheckpoint(eager=False)
+    )
+    auths = None
+    for _ in range(iterations):
+        raw_a = (
+            adj.join(hubs, adj["src"] == hubs["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("raw"))
+        )
+        tot_a = raw_a.agg(
+            F.coalesce(F.sum("raw"), F.lit(1.0)).alias("__tot")
+        )
+        auths = (
+            vertices.join(raw_a, "id", "left_outer")
+            .crossJoin(F.broadcast(tot_a))
+            .select(
+                "id",
+                (
+                    F.coalesce("raw", F.lit(0.0)) / F.col("__tot")
+                ).alias("authority"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        raw_h = (
+            adj.join(auths, adj["dst"] == auths["id"])
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("authority").alias("raw"))
+        )
+        tot_h = raw_h.agg(
+            F.coalesce(F.sum("raw"), F.lit(1.0)).alias("__tot")
+        )
+        hubs = (
+            vertices.join(raw_h, "id", "left_outer")
+            .crossJoin(F.broadcast(tot_h))
+            .select(
+                "id",
+                (
+                    F.coalesce("raw", F.lit(0.0)) / F.col("__tot")
+                ).alias("hub"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return hubs.join(auths, "id")
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node →
+    (id, degree, triangles, coeff) over the undirected simple graph.
+
+    ``coeff(v) = 2·T(v) / (deg(v)·(deg(v)−1))`` where ``T(v)`` is the
+    number of triangles through v (0 when deg < 2). Triangles are
+    enumerated once with the canonical a<b<c two-equi-join (the same
+    plan as ``triangle_count`` but keeping the corner columns), then
+    each triangle credits its three corners — a 3× explode, not a
+    re-enumeration. Degrees come from the symmetrized distinct
+    adjacency. All equi-joins; Σ deg² candidate bound; hub skew is
+    the one hot-key risk and is AQE-splittable.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .union(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    e1 = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = canon.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = canon.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tris = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(
+            e3,
+            (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")),
+        )
+        .select("x", "y", "z")
+    )
+    corner_counts = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(corner_counts, "id", "left_outer")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.floor(
+                    F.lit(2.0)
+                    * F.coalesce("triangles", F.lit(0)).cast("double")
+                    / (
+                        F.col("degree").cast("double")
+                        * (F.col("degree") - F.lit(1)).cast("double")
+                    )
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coeff"),
+        )
+    )
+
+
+def adamic_adar_link_prediction(
+    edges: DataFrame, top_k: int = 20
+) -> DataFrame:
+    """Adamic–Adar link prediction → (src, dst, common, aa_score) for
+    the ``top_k`` highest-scoring non-adjacent pairs.
+
+    ``AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg(z))`` — common neighbors
+    weighted by the rarity of the shared hub, the classic refinement
+    of the Jaccard score (same candidate generation: postings
+    equi-join on the middle node, cost Σ_v deg(v)², never all-pairs).
+    Every middle node on a candidate pair has degree ≥ 2 (it touches
+    both endpoints), so ln(deg) ≥ ln 2 > 0 and the weight is finite.
+    Existing edges are anti-joined out; ties rank (src, dst)
+    ascending for a deterministic top-k.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    # Only deg >= 2 nodes can be the middle of a candidate pair, but
+    # the weight column is computed for EVERY node before the join
+    # filters it — the deg=1 rows must be dropped here or 1/ln(1)
+    # raises under ANSI mode (and is +inf otherwise).
+    mid_w = deg.filter(F.col("deg") >= 2).select(
+        F.col("src").alias("mid"),
+        (F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("w_mid"),
+    )
+    a = sym.select(F.col("dst").alias("mid"), F.col("src").alias("a"))
+    b = sym.select(F.col("dst").alias("mid"), F.col("src").alias("b"))
+    pair_scores = (
+        a.join(b, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .join(mid_w, "mid")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"), F.sum("w_mid").alias("aa_raw"))
+    )
+    candidates = pair_scores.join(
+        sym.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    scored = candidates.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        "common",
+        (F.floor(F.col("aa_raw") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "aa_score"
+        ),
+    )
+    return scored.orderBy(
+        F.col("aa_score").desc(), F.col("src").asc(), F.col("dst").asc()
+    ).limit(top_k)

@@ -230,3 +230,158 @@ def sampled_percentiles(
         r6(F.col("pe")[1]).alias("p90_exact"),
         r6(F.col("pe")[2]).alias("p99_exact"),
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+    top_n: int = 20,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min-sketch heavy hitters → (tok, exact_cnt, est_cnt) for
+    the ``top_n`` most frequent tokens (ties → token ascending).
+
+    The sketch is ``depth`` hash rows × ``width`` counters; a token's
+    estimate is the MIN over rows of its counter — the classic
+    Cormode/Muthukrishnan one-sided estimator (est ≥ exact always;
+    overestimate bounded by ε·N with ε = e/width at the usual
+    analysis). Hashing is the same stable md5-derived family as the
+    dedup/LSH/KMV/HLL operators, so the DuckDB twin computes
+    bit-identical counters and the entry is fully value-checked —
+    engine-native sketches never are.
+
+    Scale shape: the token stream is first collapsed to the
+    VOCABULARY frame by one map-side-combinable count (the 100 TB
+    stream never hits the sketch directly); counters are a
+    depth×width-row aggregate of that frame; the candidate probe is a
+    ``top_n``-row broadcast join. exact_cnt rides along to expose the
+    realized overestimate.
+    """
+    from ..functions.textfn import tokenize
+
+    toks = df.select(F.explode(tokenize(text_col)).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    rows_d = F.array(*[F.lit(i) for i in range(depth)])
+    vb = exact.select(
+        "tok",
+        "exact_cnt",
+        F.explode(rows_d).alias("d"),
+    ).withColumn(
+        "b",
+        stable_hash60(
+            F.concat(
+                F.lit(salt),
+                F.col("d").cast("string"),
+                F.lit("|"),
+                F.col("tok"),
+            )
+        )
+        % F.lit(width),
+    )
+    counters = vb.groupBy("d", "b").agg(F.sum("exact_cnt").alias("cnt"))
+    cand = exact.orderBy(
+        F.col("exact_cnt").desc(), F.col("tok").asc()
+    ).limit(top_n)
+    cand_b = vb.join(F.broadcast(cand.select("tok")), "tok")
+    return (
+        cand_b.join(counters, ["d", "b"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select("tok", "exact_cnt", "est_cnt")
+    )
+
+
+def bloom_semi_join_stats(
+    build: DataFrame,
+    probe: DataFrame,
+    build_key: str,
+    probe_key: str,
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom-filter semi-join pruning, with its realized accuracy →
+    one row (n_probe, n_pass_bloom, n_true_match, n_false_pos,
+    fp_rate).
+
+    The build side's distinct keys set ``k_hashes`` md5-derived bit
+    positions each in an ``m_bits`` filter; a probe ROW passes when
+    all of its key's positions are set. This is the pre-shuffle
+    pruning pattern for big joins at 100 TB: the filter (here a
+    distinct-positions frame, ≤ k·|build keys| rows ≪ m_bits ints,
+    broadcastable by construction) travels to the probe scan and
+    drops non-matching rows BEFORE the shuffle — Spark's own
+    runtime-row-group bloom does this opaquely; this operator makes
+    the mechanism explicit, deterministic, and value-checkable, and
+    reports the false-positive cost of the chosen (m, k)
+    (fp ≈ (1−e^{−kn/m})^k).
+
+    Membership is decided once per DISTINCT probe key (the
+    vocabulary-sized frame), then joined back to rows — the 100 TB
+    probe stream pays one hash-partition pass, not k.
+    """
+    keys = (
+        build.select(F.col(build_key).cast("string").alias("k"))
+        .filter(F.col("k").isNotNull())
+        .distinct()
+    )
+    hashes_j = F.array(*[F.lit(j) for j in range(k_hashes)])
+
+    def positions(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "k", F.explode(hashes_j).alias("j")
+        ).withColumn(
+            "pos",
+            stable_hash60(
+                F.concat(
+                    F.lit(salt),
+                    F.col("j").cast("string"),
+                    F.lit("|"),
+                    F.col("k"),
+                )
+            )
+            % F.lit(m_bits),
+        )
+    bloom_bits = positions(keys).select("pos").distinct()
+    pk = probe.select(F.col(probe_key).cast("string").alias("k")).filter(
+        F.col("k").isNotNull()
+    )
+    pkd = pk.distinct()
+    passes = (
+        positions(pkd)
+        .join(F.broadcast(bloom_bits), "pos")
+        .groupBy("k")
+        .agg(F.countDistinct("j").alias("n_hit"))
+        .filter(F.col("n_hit") == k_hashes)
+        .select("k", F.lit(True).alias("pass_bloom"))
+    )
+    truth = keys.select("k", F.lit(True).alias("true_match"))
+    flags = (
+        pkd.join(passes, "k", "left_outer")
+        .join(truth, "k", "left_outer")
+        .select(
+            "k",
+            F.coalesce("pass_bloom", F.lit(False)).alias("pass_bloom"),
+            F.coalesce("true_match", F.lit(False)).alias("true_match"),
+        )
+    )
+    per_row = pk.join(flags, "k")
+    return per_row.agg(
+        F.count("*").alias("n_probe"),
+        F.sum(F.col("pass_bloom").cast("long")).alias("n_pass_bloom"),
+        F.sum(F.col("true_match").cast("long")).alias("n_true_match"),
+        F.sum(
+            (F.col("pass_bloom") & ~F.col("true_match")).cast("long")
+        ).alias("n_false_pos"),
+        (
+            F.floor(
+                F.sum((F.col("pass_bloom") & ~F.col("true_match")).cast("double"))
+                / F.count("*")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("fp_rate"),
+    )

@@ -455,3 +455,198 @@ def bigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+# PII patterns shared by the Spark expression and the DuckDB twin —
+# kept to the regex dialect subset (no lookaround, no backrefs) that
+# Java regex and RE2 interpret identically.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "phone": r"\d{3}-\d{3}-\d{4}",
+}
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """PII detection + redaction → (id, n_emails, n_ipv4, n_phones,
+    clean_hash).
+
+    Counts are matched occurrences per pattern on the ORIGINAL text
+    (each pattern counted independently); ``clean_hash`` is the md5
+    of the text after redacting email → ipv4 → phone in that fixed
+    order (order matters only for overlapping matches, and the fixed
+    order makes the output deterministic). Pure JVM regex column
+    expressions — no UDF — so the scan parallelizes like any other
+    projection and Catalyst pushes the id/text pruning to parquet.
+    DuckDB twin: ``len(regexp_extract_all(...))`` and chained
+    ``regexp_replace(..., 'g')`` (Spark's regexp_replace is global by
+    default; DuckDB needs the explicit flag).
+    """
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(alias)
+        for pat, alias in (
+            (PII_PATTERNS["email"], "n_emails"),
+            (PII_PATTERNS["ipv4"], "n_ipv4"),
+            (PII_PATTERNS["phone"], "n_phones"),
+        )
+    ]
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_PATTERNS["email"], "<EMAIL>"),
+            PII_PATTERNS["ipv4"],
+            "<IP>",
+        ),
+        PII_PATTERNS["phone"],
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col).alias("id"), *counts, F.md5(clean).alias("clean_hash")
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 3,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Cross-document boilerplate detection → (id, n_shingles,
+    n_boiler, boiler_ratio).
+
+    A k-token shingle is BOILERPLATE when it occurs in ≥ ``min_docs``
+    distinct documents (the CCNet/C4-style template-text heuristic,
+    applied to shingles because the corpus has no line structure).
+    Per document: distinct shingle count, boilerplate shingle count,
+    and their ratio (0 for docs with < k tokens).
+
+    Scale shape: the frequency frame is VOCABULARY-sized (one row per
+    distinct shingle — tiny next to the corpus), built by one
+    map-side-combinable groupBy over the distinct-per-doc shingle
+    postings; the flag joins back to postings on the shingle key, the
+    same equi-join pattern as dedup_ngram_jaccard. No all-pairs
+    stage anywhere.
+    """
+    from .dedup import shingles
+
+    sh = shingles(df, id_col, text_col, k=k)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
+    flagged = sh.join(
+        freq.select(
+            "shingle", (F.col("df_cnt") >= min_docs).alias("is_boiler")
+        ),
+        "shingle",
+    )
+    per_doc = flagged.groupBy("id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_boiler"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left_outer")
+        .select(
+            "id",
+            F.coalesce("n_shingles", F.lit(0).cast("long")).alias(
+                "n_shingles"
+            ),
+            F.coalesce("n_boiler", F.lit(0).cast("long")).alias("n_boiler"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.floor(
+                    F.col("n_boiler").cast("double")
+                    / F.col("n_shingles").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boiler_ratio"),
+        )
+    )
+
+
+# 44-bit hash range leaves headroom for key = hash*w + offset in int64.
+WINNOW_HASH_MOD = 1 << 44
+
+
+def winnowing_fingerprint(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm) → (id, pos, fp), one row per
+    selected k-gram.
+
+    Every window of ``w`` consecutive k-gram hashes selects its
+    minimum hash, ties broken by the RIGHTMOST position (the paper's
+    rule); selections are deduplicated, guaranteeing at least one
+    fingerprint per window with density 2/(w+1). The min-with-
+    rightmost-tie is encoded as one integer key
+    ``hash·w + (reversed offset in window)`` so a plain ``min()``
+    aggregate implements the rule identically on any engine — no
+    argmin/min_by semantics to disagree over.
+
+    Scale shape: tokens → k-gram hashes is a stateless projection;
+    the window replication is a bounded ×w explode; selection is one
+    map-side-combinable groupBy (id, window). Documents never
+    interact, so the whole plan is embarrassingly partition-parallel
+    on id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokenize(text_col).alias("t")
+    )
+    grams = toks.filter(F.size("t") >= k).select(
+        "id",
+        (F.size("t") - F.lit(k - 1)).alias("g"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {k - 1}),"
+                f" i -> array_join(slice(t, i, {k}), ' '))"
+            )
+        ).alias("p", "gram"),
+    )
+    hashed = grams.select(
+        "id",
+        "p",
+        "g",
+        (stable_hash60(F.col("gram")) % F.lit(WINNOW_HASH_MOD)).alias(
+            "hmod"
+        ),
+    )
+    # replicate each gram into the ≤w windows that contain it
+    wins = hashed.select(
+        "id",
+        "p",
+        "hmod",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.col("p") - F.lit(w - 1)),
+                F.least(
+                    F.col("p"), F.greatest(F.lit(0), F.col("g") - F.lit(w))
+                ),
+            )
+        ).alias("ws"),
+    )
+    keyed = wins.select(
+        "id",
+        "ws",
+        (
+            F.col("hmod") * F.lit(w)
+            + (F.col("ws") + F.lit(w - 1) - F.col("p"))
+        ).alias("key"),
+    )
+    picks = keyed.groupBy("id", "ws").agg(F.min("key").alias("key"))
+    return picks.select(
+        "id",
+        (F.col("ws") + F.lit(w - 1) - (F.col("key") % F.lit(w))).alias(
+            "pos"
+        ),
+        F.expr(f"key div {w}").alias("fp"),
+    ).distinct()

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     analyticsq,
+    enrichq,
     olapq,
     coreq,
     crudq,
@@ -30,6 +31,7 @@ from . import (
 
 _MODULES = [
     analyticsq,
+    enrichq,
     olapq,
     coreq,
     crudq,

@@ -411,3 +411,115 @@ QUERIES["graph_ppr"] = q_graph_ppr
 QUERIES["graph_lpa_modularity"] = q_graph_lpa_modularity
 ORACLES["graph_ppr"] = _ppr_sql()
 ORACLES["graph_lpa_modularity"] = _lpa_modularity_sql()
+
+
+HITS_ITERS = 5
+AA_TOPK = 20
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import hits
+
+    nodes, _, edges = model(spark, sf_dir)
+    hs = hits(nodes.select("id"), edges, iterations=HITS_ITERS)
+    r6 = lambda c: F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return hs.select("id", r6("hub").alias("hub"), r6("authority").alias("authority"))
+
+
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import clustering_coefficient
+
+    _, _, edges = model(spark, sf_dir)
+    return clustering_coefficient(edges)
+
+
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import adamic_adar_link_prediction
+
+    _, _, edges = model(spark, sf_dir)
+    return adamic_adar_link_prediction(edges, top_k=AA_TOPK)
+
+
+def _hits_sql(rounds: int = HITS_ITERS) -> str:
+    """Unrolled HITS — ar/at/a (authority raw/total/normalized) and
+    hr/ht/h (hub) CTE triples per round, the same fixed-iteration
+    twin trick as _pagerank_sql."""
+    ctes = [
+        """,
+adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+verts AS MATERIALIZED (SELECT id FROM nodes),
+nv AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+h0 AS MATERIALIZED (SELECT v.id, 1.0 / nv.n AS hub FROM verts v, nv)"""
+    ]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(
+            f""",
+ar{t} AS MATERIALIZED (SELECT a.dst AS id, sum(h.hub) AS raw
+          FROM adj a JOIN h{p} h ON h.id = a.src GROUP BY a.dst),
+at{t} AS MATERIALIZED (SELECT COALESCE(sum(raw), 1.0) AS tot FROM ar{t}),
+a{t} AS MATERIALIZED (SELECT v.id, COALESCE(r.raw, 0) / t.tot AS authority
+         FROM verts v CROSS JOIN at{t} t
+         LEFT JOIN ar{t} r ON r.id = v.id),
+hr{t} AS MATERIALIZED (SELECT a.src AS id, sum(x.authority) AS raw
+          FROM adj a JOIN a{t} x ON x.id = a.dst GROUP BY a.src),
+ht{t} AS MATERIALIZED (SELECT COALESCE(sum(raw), 1.0) AS tot FROM hr{t}),
+h{t} AS MATERIALIZED (SELECT v.id, COALESCE(r.raw, 0) / t.tot AS hub
+         FROM verts v CROSS JOIN ht{t} t
+         LEFT JOIN hr{t} r ON r.id = v.id)"""
+        )
+    return (
+        ORACLE_PRELUDE
+        + "".join(ctes)
+        + f"""
+SELECT h.id,
+       floor(h.hub * 1000000.0 + 0.5) / 1000000.0 AS hub,
+       floor(a.authority * 1000000.0 + 0.5) / 1000000.0 AS authority
+FROM h{rounds} h JOIN a{rounds} a ON a.id = h.id"""
+    )
+
+
+QUERIES["graph_hits"] = q_graph_hits
+QUERIES["graph_clustering_coeff"] = q_graph_clustering_coeff
+QUERIES["graph_adamic_adar"] = q_graph_adamic_adar
+
+ORACLES["graph_hits"] = _hits_sql()
+ORACLES["graph_clustering_coeff"] = ORACLE_PRELUDE + """,
+canon AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst GROUP BY 1, 2),
+deg AS (SELECT id, count(*) AS degree FROM
+        (SELECT a AS id FROM canon UNION ALL SELECT b FROM canon)
+        GROUP BY id),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM canon e1
+        JOIN canon e2 ON e2.a = e1.b
+        JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b),
+tc AS (SELECT id, count(*) AS triangles FROM
+       (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) GROUP BY id)
+SELECT d.id, d.degree, COALESCE(t.triangles, 0) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN floor(2.0 * COALESCE(t.triangles, 0)
+                       / (d.degree * (d.degree - 1.0))
+                       * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS coeff
+FROM deg d LEFT JOIN tc t ON t.id = d.id"""
+ORACLES["graph_adamic_adar"] = ORACLE_PRELUDE + f""",
+sym AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+        WHERE src <> dst),
+deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+pairs AS (
+  SELECT a.src AS a, b.src AS b, count(*) AS common,
+         sum(1.0 / ln(d.deg)) AS aa_raw
+  FROM sym a
+  JOIN sym b ON a.dst = b.dst AND a.src < b.src
+  JOIN deg d ON d.src = a.dst
+  GROUP BY a.src, b.src),
+cand AS (
+  SELECT p.a, p.b, p.common, p.aa_raw FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = p.a AND s.dst = p.b))
+SELECT a AS src, b AS dst, common,
+       floor(aa_raw * 1000000.0 + 0.5) / 1000000.0 AS aa_score
+FROM cand
+ORDER BY aa_score DESC, src ASC, dst ASC LIMIT {AA_TOPK}"""

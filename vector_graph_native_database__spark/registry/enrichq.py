@@ -1,0 +1,278 @@
+"""Round-3 enrichment wave: PII scrubbing, boilerplate detection,
+winnowing fingerprints, count-min heavy hitters, and Bloom semi-join
+pruning — the data-curation / scan-pruning operators a 100 TB
+training-data pipeline layers on top of the dedup/quality families.
+
+Oracle notes:
+- The PII entry AUGMENTS the fixture text with deterministic
+  synthetic PII (doc_id-derived emails / IPv4s / phone numbers) so
+  the detector has real positives to find at every scale; both
+  engines apply the identical augmentation expression.
+- Winnowing's min-with-rightmost-tie window rule is encoded as one
+  integer key (hash·w + reversed offset) so a plain ``min()``
+  aggregate implements it identically in Spark and DuckDB — no
+  argmin/min_by tie semantics to disagree over.
+- The CMS and Bloom entries use the same md5-derived hash family as
+  the dedup/LSH/KMV/HLL operators: both engines compute bit-identical
+  counters/bit-positions, so even the "approximate" outputs get the
+  full value-hash check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketch import bloom_semi_join_stats, cms_heavy_hitters
+from ..operators.text_analysis import (
+    PII_PATTERNS,
+    boilerplate_ngrams,
+    pii_scrub,
+    winnowing_fingerprint,
+)
+from .common import ORACLE_PRELUDE, model
+
+_H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_TOKS = r""",
+toks AS (
+  SELECT id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM nodes
+)"""
+
+BOILER_K = 3
+BOILER_MIN_DOCS = 5
+WINNOW_K = 4
+WINNOW_W = 4
+WINNOW_MOD = 1 << 44
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPN = 20
+BLOOM_M = 2048
+BLOOM_K = 3
+BLOOM_ACCTBAL = 7000.0
+
+
+def _augment_pii(nodes: DataFrame) -> DataFrame:
+    """Deterministic synthetic-PII augmentation (Spark side). The SQL
+    twin is _SQL_PII_AUG — keep the two in lockstep."""
+    did = F.col("id").cast("long")
+    return nodes.select(
+        "id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 10 == 0,
+                F.concat(
+                    F.lit(" contact user"), F.col("id"), F.lit("@example.com")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" call 555-010-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+_SQL_PII_AUG = """,
+aug AS (
+  SELECT id,
+         text
+         || CASE WHEN CAST(id AS BIGINT) % 10 = 0
+                 THEN ' contact user' || id || '@example.com' ELSE '' END
+         || CASE WHEN CAST(id AS BIGINT) % 7 = 0
+                 THEN ' host 10.0.'
+                      || CAST(CAST(id AS BIGINT) % 256 AS VARCHAR) || '.1'
+                 ELSE '' END
+         || CASE WHEN CAST(id AS BIGINT) % 13 = 0
+                 THEN ' call 555-010-'
+                      || lpad(CAST(CAST(id AS BIGINT) % 10000 AS VARCHAR),
+                              4, '0')
+                 ELSE '' END AS text
+  FROM nodes
+)"""
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return pii_scrub(_augment_pii(nodes))
+
+
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return boilerplate_ngrams(
+        nodes, k=BOILER_K, min_docs=BOILER_MIN_DOCS
+    )
+
+
+def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return winnowing_fingerprint(nodes, k=WINNOW_K, w=WINNOW_W)
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return cms_heavy_hitters(
+        nodes, depth=CMS_DEPTH, width=CMS_WIDTH, top_n=CMS_TOPN
+    )
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return bloom_semi_join_stats(
+        customer.filter(F.col("c_acctbal") > BLOOM_ACCTBAL),
+        orders,
+        "c_custkey",
+        "o_custkey",
+        m_bits=BLOOM_M,
+        k_hashes=BLOOM_K,
+    )
+
+
+QUERIES = {
+    "text_pii_scrub": q_text_pii_scrub,
+    "text_boilerplate": q_text_boilerplate,
+    "doc_winnowing": q_doc_winnowing,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
+    "bloom_semi_join": q_bloom_semi_join,
+}
+
+_EMAIL = PII_PATTERNS["email"]
+_IPV4 = PII_PATTERNS["ipv4"]
+_PHONE = PII_PATTERNS["phone"]
+
+ORACLES = {
+    "text_pii_scrub": ORACLE_PRELUDE
+    + _SQL_PII_AUG
+    + f"""
+SELECT id,
+       len(regexp_extract_all(text, '{_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{_IPV4}')) AS n_ipv4,
+       len(regexp_extract_all(text, '{_PHONE}')) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'),
+               '{_IPV4}', '<IP>', 'g'),
+             '{_PHONE}', '<PHONE>', 'g')) AS clean_hash
+FROM aug""",
+    "text_boilerplate": ORACLE_PRELUDE
+    + _TOKS
+    + f""",
+sh AS (
+  SELECT id, unnest(list_distinct(
+    CASE WHEN len(t) >= {BOILER_K}
+    THEN list_transform(generate_series(1, len(t) - {BOILER_K - 1}),
+                        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+    ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+  FROM toks),
+freq AS (SELECT shingle, count(*) AS df_cnt FROM sh GROUP BY shingle),
+per_doc AS (
+  SELECT s.id, count(*) AS n_shingles,
+         sum(CASE WHEN f.df_cnt >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END)
+           AS n_boiler
+  FROM sh s JOIN freq f ON f.shingle = s.shingle
+  GROUP BY s.id)
+SELECT n.id,
+       CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CASE WHEN COALESCE(p.n_shingles, 0) > 0
+            THEN floor(p.n_boiler * 1.0 / p.n_shingles * 1000000.0 + 0.5)
+                 / 1000000.0
+            ELSE 0.0 END AS boiler_ratio
+FROM nodes n LEFT JOIN per_doc p ON p.id = n.id""",
+    "doc_winnowing": ORACLE_PRELUDE
+    + _TOKS
+    + f""",
+grams AS (
+  SELECT id, i.i - 1 AS p, len(t) - {WINNOW_K - 1} AS g,
+         {_H60.format(x=f"t[i.i] || ' ' || t[i.i + 1] || ' ' || t[i.i + 2] || ' ' || t[i.i + 3]")}
+           % {WINNOW_MOD} AS hmod
+  FROM toks
+  CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(1, len(t) - {WINNOW_K - 1})) AS i) i
+  WHERE len(t) >= {WINNOW_K}),
+wins AS (
+  SELECT id, p, hmod, wz.ws
+  FROM grams
+  CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(
+       greatest(0, p - {WINNOW_W - 1}),
+       least(p, greatest(0, g - {WINNOW_W})))) AS ws) wz),
+picks AS (
+  SELECT id, ws,
+         min(hmod * {WINNOW_W} + (ws + {WINNOW_W - 1} - p)) AS key
+  FROM wins GROUP BY id, ws)
+SELECT DISTINCT id,
+       ws + {WINNOW_W - 1} - (key % {WINNOW_W}) AS pos,
+       key // {WINNOW_W} AS fp
+FROM picks""",
+    "heavy_hitters_cms": ORACLE_PRELUDE
+    + _TOKS
+    + f""",
+alltok AS (SELECT unnest(t) AS tok FROM toks),
+exact AS (SELECT tok, count(*) AS exact_cnt FROM alltok GROUP BY tok),
+vb AS (
+  SELECT e.tok, e.exact_cnt, d.d,
+         {_H60.format(x="'cms' || CAST(d.d AS VARCHAR) || '|' || e.tok")}
+           % {CMS_WIDTH} AS b
+  FROM exact e
+  CROSS JOIN (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS d) d),
+counters AS (SELECT d, b, sum(exact_cnt) AS cnt FROM vb GROUP BY d, b),
+cand AS (SELECT tok FROM exact
+         ORDER BY exact_cnt DESC, tok ASC LIMIT {CMS_TOPN})
+SELECT v.tok, v.exact_cnt, CAST(min(c.cnt) AS BIGINT) AS est_cnt
+FROM vb v
+JOIN cand q ON q.tok = v.tok
+JOIN counters c ON c.d = v.d AND c.b = v.b
+GROUP BY v.tok, v.exact_cnt""",
+    "bloom_semi_join": f"""
+WITH keys AS (
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+  FROM customer WHERE c_acctbal > {BLOOM_ACCTBAL}),
+build_pos AS (
+  SELECT DISTINCT
+         {_H60.format(x="'bloom' || CAST(j.j AS VARCHAR) || '|' || k.k")}
+           % {BLOOM_M} AS pos
+  FROM keys k
+  CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j) j),
+pk AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+       WHERE o_custkey IS NOT NULL),
+pkd AS (SELECT DISTINCT k FROM pk),
+probe_pos AS (
+  SELECT p.k, j.j,
+         {_H60.format(x="'bloom' || CAST(j.j AS VARCHAR) || '|' || p.k")}
+           % {BLOOM_M} AS pos
+  FROM pkd p
+  CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j) j),
+passes AS (
+  SELECT pp.k FROM probe_pos pp
+  JOIN build_pos b ON b.pos = pp.pos
+  GROUP BY pp.k HAVING count(DISTINCT pp.j) = {BLOOM_K}),
+flags AS (
+  SELECT p.k,
+         EXISTS (SELECT 1 FROM passes s WHERE s.k = p.k) AS pass_bloom,
+         EXISTS (SELECT 1 FROM keys t WHERE t.k = p.k) AS true_match
+  FROM pkd p)
+SELECT CAST(count(*) AS BIGINT) AS n_probe,
+       CAST(sum(CASE WHEN f.pass_bloom THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+       CAST(sum(CASE WHEN f.true_match THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+       CAST(sum(CASE WHEN f.pass_bloom AND NOT f.true_match
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       floor(sum(CASE WHEN f.pass_bloom AND NOT f.true_match
+                      THEN 1.0 ELSE 0.0 END) / count(*)
+             * 1000000.0 + 0.5) / 1000000.0 AS fp_rate
+FROM pk JOIN flags f ON f.k = pk.k""",
+}
