@@ -66,6 +66,13 @@ HEADLINE = [
     "embedding_pca_pc1",
     "graph_ppr",
     "text_bigram_logprob",
+    # enrichment wave: HITS, bloom pruning, CMS heavy hitters,
+    # winnowing fingerprints, sampled closeness
+    "graph_hits",
+    "bloom_semi_join",
+    "heavy_hitters_cms",
+    "doc_winnowing",
+    "graph_closeness_sampled",
 ]
 
 

@@ -285,3 +285,39 @@ def test_adamic_adar_prefers_rare_hub(spark):
 
     assert abs(scores[("a", "b")] - 1.0 / math.log(2)) < 1e-5
     assert abs(scores[("c", "d")] - 1.0 / math.log(4)) < 1e-5
+
+
+def test_multi_source_bfs_and_closeness(spark):
+    """Path a→b→c→d: from a, dists are 1,2,3; closeness(a)=3/6.
+    From c: reaches d only → closeness 1/1."""
+    from vector_graph_native_database__spark.operators.analytics import (
+        closeness_sampled,
+        multi_source_bfs,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    srcs = spark.createDataFrame([("a",), ("c",), ("d",)], "id string")
+    d = {
+        (r["root"], r["id"]): r["dist"]
+        for r in multi_source_bfs(edges, srcs, 5).collect()
+    }
+    assert d[("a", "d")] == 3 and d[("a", "a")] == 0 and ("c", "a") not in d
+    got = {r["id"]: r for r in closeness_sampled(edges, srcs, 5).collect()}
+    assert got["a"]["n_reached"] == 3 and abs(got["a"]["closeness"] - 0.5) < 1e-6
+    assert got["c"]["closeness"] == 1.0
+    assert got["d"]["n_reached"] == 0 and got["d"]["closeness"] == 0.0
+
+
+def test_multi_source_bfs_hop_bound(spark):
+    from vector_graph_native_database__spark.operators.analytics import (
+        multi_source_bfs,
+    )
+
+    edges = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(10)], "src string, dst string"
+    )
+    srcs = spark.createDataFrame([("0",)], "id string")
+    rows = multi_source_bfs(edges, srcs, 3).collect()
+    assert max(r["dist"] for r in rows) == 3 and len(rows) == 4

@@ -523,3 +523,37 @@ SELECT a AS src, b AS dst, common,
        floor(aa_raw * 1000000.0 + 0.5) / 1000000.0 AS aa_score
 FROM cand
 ORDER BY aa_score DESC, src ASC, dst ASC LIMIT {AA_TOPK}"""
+
+
+CLOSENESS_HOPS = 6
+CLOSENESS_MOD = 100  # sources: ids divisible by this (deterministic sample)
+
+
+def q_graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import closeness_sampled
+
+    nodes, _, edges = model(spark, sf_dir)
+    sources = nodes.select("id").filter(
+        F.col("id").cast("long") % CLOSENESS_MOD == 0
+    )
+    return closeness_sampled(edges, sources, max_hops=CLOSENESS_HOPS)
+
+
+QUERIES["graph_closeness_sampled"] = q_graph_closeness_sampled
+ORACLES["graph_closeness_sampled"] = ORACLE_PRELUDE + f""",
+srcs AS (SELECT id FROM nodes WHERE CAST(id AS BIGINT) % {CLOSENESS_MOD} = 0),
+walk AS (
+  SELECT id AS root, id AS node, 0 AS dist FROM srcs
+  UNION ALL
+  SELECT w.root, e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {CLOSENESS_HOPS}
+),
+md AS (SELECT root, node, min(dist) AS dist FROM walk GROUP BY root, node)
+SELECT root AS id,
+       CAST(count(*) - 1 AS BIGINT) AS n_reached,
+       CASE WHEN sum(dist) > 0
+            THEN floor((count(*) - 1) * 1.0 / sum(dist)
+                       * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS closeness
+FROM md GROUP BY root"""

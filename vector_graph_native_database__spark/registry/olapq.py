@@ -862,3 +862,100 @@ WHERE c_mktsegment = '{Q3_SEGMENT}'
 GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10"""
+
+
+def q_events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean per event type → (event_type, p05, p95,
+    mean_raw, mean_wins): values clamped into [p05, p95] before
+    averaging — the standard outlier-robust aggregate for telemetry
+    at scale. One exact-percentile aggregate per type (tiny frame),
+    broadcast back onto the stream, then one map-side-combinable avg;
+    the 100 TB shape is scan + broadcast + single shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.05, 0.95))").alias("p")
+    )
+    clamped = ev.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        "value",
+        F.col("p")[0].alias("p05"),
+        F.col("p")[1].alias("p95"),
+        F.greatest(F.col("p")[0], F.least(F.col("p")[1], F.col("value"))).alias(
+            "wv"
+        ),
+    )
+    return clamped.groupBy("event_type").agg(
+        stable_round6(F.first("p05")).alias("p05"),
+        stable_round6(F.first("p95")).alias("p95"),
+        stable_round6(F.avg("value")).alias("mean_raw"),
+        stable_round6(F.avg("wv")).alias("mean_wins"),
+    )
+
+
+HIST_BINS = 10
+
+
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of value per event type →
+    (event_type, bin, cnt): min/max per type (tiny frame, broadcast
+    back), bin = floor((v − min)/width) clamped to the last bin. The
+    bin expression is the identical IEEE double arithmetic in both
+    engines, so bucket boundaries cannot drift."""
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.groupBy("event_type").agg(
+        F.min("value").alias("bmin"), F.max("value").alias("bmax")
+    )
+    w = (F.col("bmax") - F.col("bmin")) / F.lit(float(HIST_BINS))
+    binned = ev.join(F.broadcast(mm), "event_type").select(
+        "event_type",
+        F.when(F.col("bmax") == F.col("bmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(HIST_BINS - 1),
+                F.floor((F.col("value") - F.col("bmin")) / w),
+            )
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+QUERIES["events_winsorize"] = q_events_winsorize
+QUERIES["events_histogram"] = q_events_histogram
+
+ORACLES["events_winsorize"] = """
+WITH pct AS (
+  SELECT event_type, quantile_cont(value, [0.05, 0.95]) AS p
+  FROM events GROUP BY event_type
+),
+clamped AS (
+  SELECT e.event_type, e.value, p[1] AS p05, p[2] AS p95,
+         greatest(p[1], least(p[2], e.value)) AS wv
+  FROM events e JOIN pct ON pct.event_type = e.event_type
+)
+SELECT event_type,
+       floor(any_value(p05) * 1000000.0 + 0.5) / 1000000.0 AS p05,
+       floor(any_value(p95) * 1000000.0 + 0.5) / 1000000.0 AS p95,
+       floor(avg(value) * 1000000.0 + 0.5) / 1000000.0 AS mean_raw,
+       floor(avg(wv) * 1000000.0 + 0.5) / 1000000.0 AS mean_wins
+FROM clamped GROUP BY event_type"""
+
+ORACLES["events_histogram"] = f"""
+WITH mm AS (
+  SELECT event_type, min(value) AS bmin, max(value) AS bmax
+  FROM events GROUP BY event_type
+),
+binned AS (
+  SELECT e.event_type,
+         CAST(CASE WHEN m.bmax = m.bmin THEN 0
+              ELSE least({HIST_BINS - 1},
+                         floor((e.value - m.bmin)
+                               / ((m.bmax - m.bmin) / {float(HIST_BINS)})))
+              END AS BIGINT) AS bin
+  FROM events e JOIN mm m ON m.event_type = e.event_type
+)
+SELECT event_type, bin, count(*) AS cnt
+FROM binned GROUP BY event_type, bin"""
