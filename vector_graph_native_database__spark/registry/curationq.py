@@ -638,7 +638,11 @@ def _pca_ctes(dim: int = PCA_DIM, iters: int = PCA_ITERS) -> str:
     engines iterate from identical bits. X/xc are MATERIALIZED —
     the iteration chain references xc twice per round, and DuckDB's
     CTE inlining would otherwise re-derive it exponentially (51s →
-    6s at sf0.1)."""
+    6s at sf0.1). s/p/v are ALSO materialized: p{t} and v{iters} are
+    referenced more than once, and at >10k rows DuckDB's parallel
+    sums make each inlined re-evaluation differ in the last bits —
+    the sign-pick's float equality abs(v) = max(abs(v)) then matches
+    zero rows. Materializing pins one evaluation per CTE."""
     ctes = [
         f""",
 X AS MATERIALIZED (
@@ -655,12 +659,12 @@ v0 AS (SELECT i, 0.125 AS v FROM mu)"""
         p = t - 1
         ctes.append(
             f""",
-s{t} AS (SELECT xc.node_id, sum(xc.xc * v.v) AS s
+s{t} AS MATERIALIZED (SELECT xc.node_id, sum(xc.xc * v.v) AS s
         FROM xc JOIN v{p} v ON v.i = xc.i GROUP BY xc.node_id),
-p{t} AS (SELECT xc.i, sum(xc.xc * s.s) AS p
+p{t} AS MATERIALIZED (SELECT xc.i, sum(xc.xc * s.s) AS p
         FROM xc JOIN s{t} s ON s.node_id = xc.node_id GROUP BY xc.i),
 n{t} AS (SELECT sqrt(sum(p * p)) AS nrm FROM p{t}),
-v{t} AS (SELECT i, p / nrm AS v FROM p{t}, n{t})"""
+v{t} AS MATERIALIZED (SELECT i, p / nrm AS v FROM p{t}, n{t})"""
         )
     return ORACLE_PRELUDE + "".join(ctes)
 
