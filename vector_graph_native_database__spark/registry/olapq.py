@@ -959,3 +959,95 @@ binned AS (
 )
 SELECT event_type, bin, count(*) AS cnt
 FROM binned GROUP BY event_type, bin"""
+
+
+RETURNED_TOPN = 20
+
+
+def q_olap_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    enriched with the nation dimension → top RETURNED_TOPN.
+
+    Scale shape: the l_returnflag = 'R' predicate is pushed to the
+    lineitem scan (the big table is filtered BEFORE the join);
+    customer and nation are broadcast; revenue sums exactly in
+    DECIMAL(30,10) (order-independent — see _dec_sum) and the top-k
+    compiles to TakeOrderedAndProject, never a global sort.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(RETURNED_TOPN)
+    )
+
+
+QUERIES["olap_returned_items"] = q_olap_returned_items
+ORACLES["olap_returned_items"] = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {RETURNED_TOPN}"""
+
+
+LATE_DAYS = 60
+
+
+def q_olap_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per order priority, how many orders have at
+    least one LATE lineitem (shipped > LATE_DAYS after the order
+    date) — the canonical EXISTS/semi-join aggregate.
+
+    Scale shape: LEFT SEMI join on the order key (Spark never
+    materializes the multiplicity of matching lineitems), then a
+    5-row map-side-combinable count. The date arithmetic stays on
+    the join output, not inside a correlated subquery per row.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (
+            li["l_shipdate"]
+            > orders["o_orderdate"] + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_late_orders")
+    )
+
+
+QUERIES["olap_priority_late"] = q_olap_priority_late
+ORACLES["olap_priority_late"] = f"""
+SELECT o_orderpriority, count(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY)
+GROUP BY o_orderpriority"""
