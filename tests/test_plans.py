@@ -315,3 +315,40 @@ def test_rollup_grains_single_scan(spark):
     # grouping-set expansion happens in one Expand over one scan
     assert p.count("Scan parquet") == 1
     assert "Expand" in p
+
+
+def test_returned_items_pushes_filter_and_broadcasts_dims(spark):
+    p = plan_of(spark, "olap_returned_items")
+    assert "EqualTo(l_returnflag,R)" in p, "big-table filter must reach scan"
+    assert "TakeOrderedAndProject" in p  # top-k, never a global sort
+    assert p.count("BroadcastHashJoin") >= 2  # customer + nation dims
+
+
+def test_priority_late_uses_semi_join(spark):
+    p = plan_of(spark, "olap_priority_late")
+    assert "LeftSemi" in p, "EXISTS must compile to a semi join"
+    assert "CartesianProduct" not in p
+
+
+def test_pii_scrub_is_scan_projection_only(spark):
+    s = plan_summary(registry.all_queries()["text_pii_scrub"](spark, SF))
+    assert s["exchanges"] == 0, "PII scrub must stay a stateless projection"
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
+
+
+def test_winnowing_has_no_cross_document_shuffle_joins(spark):
+    s = plan_summary(registry.all_queries()["doc_winnowing"](spark, SF))
+    assert s["sort_merge_joins"] == 0 and s["shuffled_hash_joins"] == 0
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
+
+
+def test_bloom_semi_join_broadcasts_filter_bits(spark):
+    p = plan_of(spark, "bloom_semi_join")
+    assert "BroadcastHashJoin" in p, "bloom bit-positions must broadcast"
+    assert "CartesianProduct" not in p
+
+
+def test_adamic_adar_never_cartesian_and_distributed_topk(spark):
+    p = plan_of(spark, "graph_adamic_adar")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p

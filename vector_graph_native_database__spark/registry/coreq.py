@@ -330,3 +330,98 @@ UNION ALL
 SELECT '__corrupt__' AS lang, count(*) AS n,
        count(*) AS n_corrupt
 FROM nodes WHERE CAST(id AS BIGINT) % 13 = 0"""
+
+
+COMPACT_SMALL_FILES = 64
+COMPACT_TARGET_FILES = 4
+
+
+def q_io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction, the routine lakehouse maintenance op: a
+    table fragmented into COMPACT_SMALL_FILES tiny parquet files is
+    rewritten into COMPACT_TARGET_FILES right-sized ones, and the
+    compacted copy must be byte-for-byte the same TABLE (oracle =
+    the original rows). The query returns the post-compaction rows
+    plus the realized file count so the gate value-checks both the
+    data integrity and that compaction actually happened.
+
+    Scale shape: compaction is one repartition (or coalesce when only
+    merging) write — no join, no aggregate; at 100 TB it runs
+    per-partition-directory so each compaction unit is independent.
+    The real deployment sizes output files via
+    spark.sql.files.maxRecordsPerFile instead of a fixed count; the
+    fixed count here makes the file-count assertion deterministic.
+    """
+    import os
+
+    nodes, _, _ = model(spark, sf_dir)
+    root = scratch_dir("compact")
+    frag = os.path.join(root, "fragmented")
+    compacted = os.path.join(root, "compacted")
+    nodes.repartition(COMPACT_SMALL_FILES).write.mode("overwrite").parquet(
+        frag
+    )
+    spark.read.parquet(frag).repartition(COMPACT_TARGET_FILES).write.mode(
+        "overwrite"
+    ).parquet(compacted)
+    n_files = len(
+        [f for f in os.listdir(compacted) if f.endswith(".parquet")]
+    )
+    return spark.read.parquet(compacted).select(
+        "id",
+        "text",
+        "lang",
+        "n_chars",
+        F.lit(n_files).alias("n_files"),
+    )
+
+
+def q_io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: an old batch written WITHOUT a column
+    and a new batch WITH it are read as one table via mergeSchema;
+    old rows surface NULL for the new column. This is the append-only
+    data-lake reality at 100 TB — producers add columns and historic
+    files are never rewritten. The split (old = even ids, new = odd)
+    and the added column (quality = n_chars / 100.0) are
+    deterministic so the oracle reproduces the merged view exactly.
+    """
+    import os
+
+    nodes, _, _ = model(spark, sf_dir)
+    root = scratch_dir("schemaevo")
+    did = F.col("id").cast("long")
+    nodes.filter(did % 2 == 0).select("id", "text", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "v=1"))
+    nodes.filter(did % 2 == 1).select(
+        "id",
+        "text",
+        "n_chars",
+        (F.col("n_chars").cast("double") / F.lit(100.0)).alias("quality"),
+    ).write.mode("overwrite").parquet(os.path.join(root, "v=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "v=1"), os.path.join(root, "v=2")
+    )
+    return merged.select(
+        "id",
+        "n_chars",
+        (F.floor(F.col("quality") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "quality"
+        ),
+    )
+
+
+QUERIES["io_compact_small_files"] = q_io_compact_small_files
+QUERIES["io_schema_evolution"] = q_io_schema_evolution
+
+ORACLES["io_compact_small_files"] = ORACLE_PRELUDE + f"""
+SELECT id, text, lang, n_chars,
+       {COMPACT_TARGET_FILES} AS n_files
+FROM nodes"""
+
+ORACLES["io_schema_evolution"] = ORACLE_PRELUDE + """
+SELECT id, n_chars,
+       CASE WHEN CAST(id AS BIGINT) % 2 = 1
+            THEN floor((n_chars / 100.0) * 1000000.0 + 0.5) / 1000000.0
+            ELSE NULL END AS quality
+FROM nodes"""
