@@ -73,6 +73,8 @@ HEADLINE = [
     "heavy_hitters_cms",
     "doc_winnowing",
     "graph_closeness_sampled",
+    "ann_binary_hamming_topk",
+    "dedup_winnowing_pairs",
 ]
 
 

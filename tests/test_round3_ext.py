@@ -475,3 +475,56 @@ def test_bloom_semi_join_no_false_negatives(spark):
     # Bloom filters never drop a true match
     assert row["n_pass_bloom"] >= row["n_true_match"]
     assert row["n_false_pos"] == row["n_pass_bloom"] - row["n_true_match"]
+
+
+def test_binary_hamming_pack_and_ranking(spark):
+    """Known sign patterns: query [+…+]; a = identical signs (ham 0),
+    b = one sign flipped (ham 1), c = all flipped (ham 64)."""
+    from vector_graph_native_database__spark.operators.ann import (
+        binary_hamming_topk,
+    )
+
+    def vec(signs):
+        return [1.0 * s for s in signs]
+
+    plus = [1] * 64
+    one_flip = [1] * 63 + [-1]
+    minus = [-1] * 64
+    rows = [
+        ("q", vec(plus), 64),
+        ("a", vec(plus), 64),
+        ("b", vec(one_flip), 64),
+        ("c", vec(minus), 64),
+    ]
+    emb = spark.createDataFrame(
+        rows, "node_id string, vector array<double>, dim int"
+    )
+    got = {
+        r["id"]: r
+        for r in binary_hamming_topk(emb, ["q"], k=3, dim=64).collect()
+    }
+    assert got["a"]["hamming"] == 0 and got["a"]["rnk"] == 1
+    assert got["b"]["hamming"] == 1 and got["b"]["rnk"] == 2
+    assert got["c"]["hamming"] == 64 and got["c"]["rnk"] == 3
+
+
+def test_winnowing_pairs_find_shared_passage(spark):
+    from vector_graph_native_database__spark.operators.text_analysis import (
+        winnowing_pairs,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog every day"
+    df = spark.createDataFrame(
+        [
+            ("a", "start text here " + passage),
+            ("b", passage + " plus some ending words too"),
+            ("c", "entirely unrelated content about completely other things"),
+        ],
+        "id string, text string",
+    )
+    pairs = winnowing_pairs(df, min_shared=2).collect()
+    keys = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ("a", "b") in keys
+    assert all("c" not in pair for pair in keys)
+    (ab,) = [r for r in pairs if (r["id_a"], r["id_b"]) == ("a", "b")]
+    assert 0 < ab["overlap"] <= 1.0

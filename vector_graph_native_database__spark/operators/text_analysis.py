@@ -650,3 +650,64 @@ def winnowing_fingerprint(
         ),
         F.expr(f"key div {w}").alias("fp"),
     ).distinct()
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidates from shared winnowing fingerprints →
+    (id_a, id_b, shared, overlap): document pairs sharing ≥
+    ``min_shared`` distinct selected hashes, with
+    ``overlap = shared / min(|fp_a|, |fp_b|)`` (containment of the
+    smaller fingerprint set — MOSS's match metric).
+
+    Scale shape: the same postings equi-join as every dedup candidate
+    generator here — fingerprints join on the hash value, so cost is
+    Σ_h df(h)² over fingerprint document-frequencies, never an
+    all-pairs product; common-hash hot keys are the one skew risk
+    (AQE-splittable), and min_shared prunes before the size join.
+    """
+    fps = (
+        winnowing_fingerprint(df, id_col, text_col, k=k, w=w)
+        .select("id", "fp")
+        .distinct()
+    )
+    sizes = fps.groupBy("id").agg(F.count("*").alias("n_fp"))
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_fp").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n_fp").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            (
+                F.floor(
+                    F.col("shared").cast("double")
+                    / F.least("na", "nb").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("overlap"),
+        )
+    )

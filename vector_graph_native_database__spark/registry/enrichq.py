@@ -154,6 +154,36 @@ _EMAIL = PII_PATTERNS["email"]
 _IPV4 = PII_PATTERNS["ipv4"]
 _PHONE = PII_PATTERNS["phone"]
 
+
+_WINNOW_CTES = (
+    _TOKS
+    + f""",
+grams AS (
+  SELECT id, i.i - 1 AS p, len(t) - {WINNOW_K - 1} AS g,
+         {_H60.format(x="t[i.i] || ' ' || t[i.i + 1] || ' ' || t[i.i + 2] || ' ' || t[i.i + 3]")}
+           % {WINNOW_MOD} AS hmod
+  FROM toks
+  CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(1, len(t) - {WINNOW_K - 1})) AS i) i
+  WHERE len(t) >= {WINNOW_K}),
+wins AS (
+  SELECT id, p, hmod, wz.ws
+  FROM grams
+  CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(
+       greatest(0, p - {WINNOW_W - 1}),
+       least(p, greatest(0, g - {WINNOW_W})))) AS ws) wz),
+picks AS (
+  SELECT id, ws,
+         min(hmod * {WINNOW_W} + (ws + {WINNOW_W - 1} - p)) AS key
+  FROM wins GROUP BY id, ws),
+fps AS MATERIALIZED (
+  SELECT DISTINCT id,
+         ws + {WINNOW_W - 1} - (key % {WINNOW_W}) AS pos,
+         key // {WINNOW_W} AS fp
+  FROM picks)"""
+)
+
 ORACLES = {
     "text_pii_scrub": ORACLE_PRELUDE
     + _SQL_PII_AUG
@@ -194,31 +224,9 @@ SELECT n.id,
             ELSE 0.0 END AS boiler_ratio
 FROM nodes n LEFT JOIN per_doc p ON p.id = n.id""",
     "doc_winnowing": ORACLE_PRELUDE
-    + _TOKS
-    + f""",
-grams AS (
-  SELECT id, i.i - 1 AS p, len(t) - {WINNOW_K - 1} AS g,
-         {_H60.format(x=f"t[i.i] || ' ' || t[i.i + 1] || ' ' || t[i.i + 2] || ' ' || t[i.i + 3]")}
-           % {WINNOW_MOD} AS hmod
-  FROM toks
-  CROSS JOIN LATERAL
-    (SELECT unnest(generate_series(1, len(t) - {WINNOW_K - 1})) AS i) i
-  WHERE len(t) >= {WINNOW_K}),
-wins AS (
-  SELECT id, p, hmod, wz.ws
-  FROM grams
-  CROSS JOIN LATERAL
-    (SELECT unnest(generate_series(
-       greatest(0, p - {WINNOW_W - 1}),
-       least(p, greatest(0, g - {WINNOW_W})))) AS ws) wz),
-picks AS (
-  SELECT id, ws,
-         min(hmod * {WINNOW_W} + (ws + {WINNOW_W - 1} - p)) AS key
-  FROM wins GROUP BY id, ws)
-SELECT DISTINCT id,
-       ws + {WINNOW_W - 1} - (key % {WINNOW_W}) AS pos,
-       key // {WINNOW_W} AS fp
-FROM picks""",
+    + _WINNOW_CTES
+    + """
+SELECT id, pos, fp FROM fps""",
     "heavy_hitters_cms": ORACLE_PRELUDE
     + _TOKS
     + f""",
@@ -276,3 +284,83 @@ SELECT CAST(count(*) AS BIGINT) AS n_probe,
              * 1000000.0 + 0.5) / 1000000.0 AS fp_rate
 FROM pk JOIN flags f ON f.k = pk.k""",
 }
+
+
+WINNOW_MIN_SHARED = 3
+HAMMING_K = 10
+HAMMING_DIM = 64
+
+
+def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import winnowing_pairs
+
+    nodes, _, _ = model(spark, sf_dir)
+    return winnowing_pairs(
+        nodes, k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED
+    )
+
+
+def q_ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import binary_hamming_topk
+    from .pipelineq import ANN_QUERY_IDS
+
+    _, emb, _ = model(spark, sf_dir)
+    return binary_hamming_topk(
+        emb, ANN_QUERY_IDS, k=HAMMING_K, dim=HAMMING_DIM
+    )
+
+
+QUERIES["dedup_winnowing_pairs"] = q_dedup_winnowing_pairs
+QUERIES["ann_binary_hamming_topk"] = q_ann_binary_hamming_topk
+
+ORACLES["dedup_winnowing_pairs"] = (
+    ORACLE_PRELUDE
+    + _WINNOW_CTES
+    + f""",
+sizes AS (SELECT id, count(*) AS n_fp FROM fps GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(DISTINCT a.fp) AS shared
+  FROM (SELECT DISTINCT id, fp FROM fps) a
+  JOIN (SELECT DISTINCT id, fp FROM fps) b
+    ON a.fp = b.fp AND a.id < b.id
+  GROUP BY a.id, b.id
+  HAVING count(DISTINCT a.fp) >= {WINNOW_MIN_SHARED})
+SELECT s.id_a, s.id_b, CAST(s.shared AS BIGINT) AS shared,
+       floor(s.shared * 1.0 / least(x.n_fp, y.n_fp)
+             * 1000000.0 + 0.5) / 1000000.0 AS overlap
+FROM shared s
+JOIN sizes x ON x.id = s.id_a
+JOIN sizes y ON y.id = s.id_b"""
+)
+
+
+def _sign_word_sql(lo: int, n: int) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {n}), "
+        f"i -> CASE WHEN vector[{lo} + i] > 0 "
+        f"THEN (CAST(1 AS BIGINT) << (i - 1)) "
+        f"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+
+
+ORACLES["ann_binary_hamming_topk"] = (
+    ORACLE_PRELUDE
+    + f""",
+packed AS MATERIALIZED (
+  SELECT node_id,
+         {_sign_word_sql(0, HAMMING_DIM // 2)} AS w0,
+         {_sign_word_sql(HAMMING_DIM // 2, HAMMING_DIM - HAMMING_DIM // 2)} AS w1
+  FROM emb WHERE len(vector) = {HAMMING_DIM}),
+q AS (SELECT node_id AS qid, w0 AS q0, w1 AS q1 FROM packed
+      WHERE node_id IN ('0', '100', '200', '300', '400')),
+scored AS (
+  SELECT q.qid, p.node_id AS id,
+         bit_count(xor(p.w0, q.q0)) + bit_count(xor(p.w1, q.q1)) AS hamming
+  FROM packed p, q WHERE p.node_id <> q.qid),
+ranked AS (
+  SELECT qid, id, hamming,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY hamming ASC, id ASC) AS rnk
+  FROM scored)
+SELECT qid, id, hamming, rnk FROM ranked WHERE rnk <= {HAMMING_K}"""
+)
