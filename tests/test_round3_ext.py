@@ -528,3 +528,28 @@ def test_winnowing_pairs_find_shared_passage(spark):
     assert all("c" not in pair for pair in keys)
     (ab,) = [r for r in pairs if (r["id_a"], r["id_b"]) == ("a", "b")]
     assert 0 < ab["overlap"] <= 1.0
+
+
+def test_cms_partial_counters_merge_to_full_sketch(spark):
+    """CMS mergeability: counters(A) ⊕ counters(B) == counters(A∪B)
+    element-wise, for a disjoint split — the monoid law the streaming
+    maintenance relies on."""
+    from vector_graph_native_database__spark.operators.sketch import (
+        cms_partial_counters,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(str(i), f"alpha beta tok{i % 7} gamma") for i in range(40)]
+    df = spark.createDataFrame(rows, "id string, text string")
+    a = df.filter(F.col("id").cast("int") % 2 == 0)
+    b = df.filter(F.col("id").cast("int") % 2 == 1)
+    full = {
+        (r["d"], r["b"]): r["cnt"]
+        for r in cms_partial_counters(df, "text", 4, 32).collect()
+    }
+    pa = cms_partial_counters(a, "text", 4, 32).collect()
+    pb = cms_partial_counters(b, "text", 4, 32).collect()
+    merged: dict = {}
+    for r in list(pa) + list(pb):
+        merged[(r["d"], r["b"])] = merged.get((r["d"], r["b"]), 0) + r["cnt"]
+    assert merged == full

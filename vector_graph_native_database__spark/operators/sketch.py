@@ -385,3 +385,83 @@ def bloom_semi_join_stats(
             / F.lit(1e6)
         ).alias("fp_rate"),
     )
+
+
+def cms_token_buckets(
+    counts: DataFrame, depth: int, width: int, salt: str = "cms"
+) -> DataFrame:
+    """(tok, cnt) vocabulary frame → (tok, cnt, d, b): each token
+    replicated to its ``depth`` counter coordinates. Shared by the
+    batch estimator and the streaming counter maintenance so the two
+    can never disagree on the hash family."""
+    rows_d = F.array(*[F.lit(i) for i in range(depth)])
+    return counts.select(
+        "tok", "cnt", F.explode(rows_d).alias("d")
+    ).withColumn(
+        "b",
+        stable_hash60(
+            F.concat(
+                F.lit(salt),
+                F.col("d").cast("string"),
+                F.lit("|"),
+                F.col("tok"),
+            )
+        )
+        % F.lit(width),
+    )
+
+
+def cms_partial_counters(
+    docs: DataFrame,
+    text_col: str,
+    depth: int,
+    width: int,
+    salt: str = "cms",
+) -> DataFrame:
+    """Documents → (d, b, cnt) PARTIAL count-min counters for just
+    these documents. CMS counters are a commutative monoid under
+    element-wise sum, so partials from any corpus split sum-merge to
+    exactly the full-corpus sketch — the property the streaming
+    maintenance entry proves end-to-end. (The same additivity is why
+    a CMS cannot retract: incremental maintenance is append-only by
+    contract, unlike the latest-wins BM25/embedding state.)"""
+    from ..functions.textfn import tokenize
+
+    toks = docs.select(F.explode(tokenize(text_col)).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    return (
+        cms_token_buckets(counts, depth, width, salt)
+        .groupBy("d", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate_heavy_hitters(
+    docs: DataFrame,
+    counters: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+    top_n: int = 20,
+    salt: str = "cms",
+) -> DataFrame:
+    """Estimate the ``top_n`` heavy hitters from an EXTERNAL counter
+    frame (e.g. streaming-maintained state) → (tok, exact_cnt,
+    est_cnt). Identical estimator to ``cms_heavy_hitters``; exact
+    counts come from ``docs`` so a corrupted counter state shows up
+    as an estimate drift against the oracle."""
+    from ..functions.textfn import tokenize
+
+    toks = docs.select(F.explode(tokenize(text_col)).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    cand = exact.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(
+        top_n
+    )
+    cand_b = cms_token_buckets(cand, depth, width, salt)
+    return (
+        cand_b.withColumnRenamed("cnt", "exact_cnt")
+        .join(counters, ["d", "b"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select("tok", "exact_cnt", "est_cnt")
+    )

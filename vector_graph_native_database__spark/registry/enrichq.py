@@ -364,3 +364,46 @@ ranked AS (
   FROM scored)
 SELECT qid, id, hamming, rnk FROM ranked WHERE rnk <= {HAMMING_K}"""
 )
+
+
+def q_cms_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof that streaming CMS counter maintenance merges
+    to the batch sketch: the corpus replays as THREE disjoint
+    micro-batches (crc32(id) mod 3) through the real foreachBatch
+    machinery, each batch's constant-size partial counters sum-merged
+    into the transactional state store; the final heavy-hitter
+    estimates from the MAINTAINED counters must hash-equal the
+    single-pass batch CMS (the ``heavy_hitters_cms`` oracle — it
+    knows nothing about batches, so one dropped batch, double merge,
+    or stale snapshot fails the value check)."""
+    import os
+
+    from ..streaming.ingest import incremental_cms_maintenance, read_state
+    from ..operators.sketch import cms_estimate_heavy_hitters
+    from .common import scratch_dir
+
+    base = scratch_dir("cms_incremental")
+    src = os.path.join(base, "src")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    nodes, _, _ = model(spark, sf_dir)
+    docs = nodes.select("id", "text")
+    part = F.pmod(F.crc32(F.col("id")), F.lit(3))
+    schema = "id string, text string"
+    for i in range(3):
+        docs.filter(part == i).write.mode("append").parquet(src)
+        incremental_cms_maintenance(
+            spark, src, schema, state, ckpt, depth=CMS_DEPTH, width=CMS_WIDTH
+        )
+    counters = read_state(spark, state)
+    return cms_estimate_heavy_hitters(
+        docs,
+        counters,
+        depth=CMS_DEPTH,
+        width=CMS_WIDTH,
+        top_n=CMS_TOPN,
+    )
+
+
+QUERIES["cms_incremental_equiv"] = q_cms_incremental_equiv
+ORACLES["cms_incremental_equiv"] = ORACLES["heavy_hitters_cms"]

@@ -304,3 +304,55 @@ def dedup_stream(
     return events.withWatermark(
         watermark_col, delay
     ).dropDuplicatesWithinWatermark(key_cols)
+
+
+def incremental_cms_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    doc_schema: str | StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 256,
+):
+    """Documents stream → per-batch maintenance of count-min-sketch
+    counters (d, b, cnt) by element-wise SUM merge.
+
+    CMS counters form a commutative monoid, so per-batch partial
+    sketches merge into exactly the full-corpus sketch regardless of
+    batch boundaries or arrival order — the mergeability contract
+    that makes sketches THE streaming aggregate at 100 TB (per-batch
+    partials are depth×width rows, constant size, however large the
+    batch). Append-only by contract: a CMS cannot retract, so unlike
+    the latest-wins BM25/embedding maintenance there is no
+    drop-and-replace path. State publishes through ``commit_state``
+    (versioned snapshot + atomic pointer flip, crash-safe).
+    """
+    from ..operators.sketch import cms_partial_counters
+
+    docs = spark.readStream.schema(doc_schema).parquet(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        fresh = cms_partial_counters(
+            batch_df, "text", depth=depth, width=width
+        )
+        current = read_state(spark, state_dir)
+        merged = (
+            current.unionByName(fresh)
+            .groupBy("d", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+            if current is not None
+            else fresh
+        )
+        commit_state(merged, state_dir)
+
+    q = (
+        docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
