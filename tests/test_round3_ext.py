@@ -553,3 +553,29 @@ def test_cms_partial_counters_merge_to_full_sketch(spark):
     for r in list(pa) + list(pb):
         merged[(r["d"], r["b"])] = merged.get((r["d"], r["b"]), 0) + r["cnt"]
     assert merged == full
+
+
+def test_hll_registers_max_merge_law(spark):
+    """HLL mergeability: registers(A) max-merged with registers(B)
+    equal registers(A∪B) for a disjoint split."""
+    from vector_graph_native_database__spark.operators.sketch import (
+        hll_registers,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("g1" if i % 3 else "g2", f"u{i % 40}") for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    a = df.filter(F.length("v") % 2 == 0)
+    b = df.filter(F.length("v") % 2 == 1)
+    full = {
+        (r["grp"], r["reg"]): r["mrho"]
+        for r in hll_registers(df, "g", "v").collect()
+    }
+    merged: dict = {}
+    for r in (
+        hll_registers(a, "g", "v").collect()
+        + hll_registers(b, "g", "v").collect()
+    ):
+        k = (r["grp"], r["reg"])
+        merged[k] = max(merged.get(k, 0), r["mrho"])
+    assert merged == full

@@ -106,6 +106,24 @@ def hll_distinct_union(
     to expose the realized error (standard error ≈ 1.04/√m ≈ 13% at
     m=64).
     """
+    regs = hll_registers(df, group_col, value_col, m=m, salt=salt)
+    return hll_estimate_from_registers(
+        regs, df, group_col, value_col, m=m
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    m: int = 64,
+    salt: str = "hll",
+) -> DataFrame:
+    """→ (grp, reg, mrho): per-group HLL register vectors — the
+    max-mergeable sketch state (registers from any data split merge
+    to the full-data registers by element-wise max). Shared by the
+    batch estimator and the streaming register maintenance so the
+    hash family can never diverge."""
     w_rho = 51  # ranks drawn from 50 bits: rho ∈ [1, 51]
     base = df.select(
         F.col(group_col).alias("grp").cast("string"),
@@ -126,7 +144,23 @@ def hll_distinct_union(
             ),
         )
     )
-    regs = hashed.groupBy("grp", "reg").agg(F.max("rho").alias("mrho"))
+    return hashed.groupBy("grp", "reg").agg(F.max("rho").alias("mrho"))
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """Registers (possibly streaming-maintained) + the raw data (for
+    the exact-count audit columns) → the hll_distinct_union output
+    frame: per-group rows plus the register-max-merged 'ALL' row."""
+    base = df.select(
+        F.col(group_col).alias("grp").cast("string"),
+        F.col(value_col).alias("v"),
+    ).filter(F.col(value_col).isNotNull())
     merged = (
         regs.groupBy("reg")
         .agg(F.max("mrho").alias("mrho"))

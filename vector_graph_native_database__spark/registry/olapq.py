@@ -1051,3 +1051,44 @@ WHERE EXISTS (
   WHERE l.l_orderkey = o.o_orderkey
     AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY)
 GROUP BY o_orderpriority"""
+
+
+def q_hll_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of approx_distinct_hll_union: the events table
+    replays as three disjoint micro-batches (event_id mod 3) through
+    the real foreachBatch machinery, HLL registers max-merged into
+    the transactional state store per batch; the final per-type and
+    register-UNION 'ALL' estimates from the MAINTAINED registers must
+    hash-equal the single-pass batch sketch's oracle. One dropped
+    batch, stale snapshot, or double-merge changes a register max and
+    fails the value check — the max-merge monoid law proven through
+    the actual streaming path."""
+    import os
+
+    from ..operators.sketch import hll_estimate_from_registers
+    from ..streaming.ingest import incremental_hll_maintenance, read_state
+    from .common import scratch_dir
+
+    base = scratch_dir("hll_incremental")
+    src = os.path.join(base, "src")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    schema = "event_id long, event_type string, user_id long"
+    for i in range(3):
+        ev.filter(F.pmod("event_id", F.lit(3)) == i).write.mode(
+            "append"
+        ).parquet(src)
+        incremental_hll_maintenance(
+            spark, src, schema, state, ckpt, "event_type", "user_id", m=64
+        )
+    regs = read_state(spark, state)
+    return hll_estimate_from_registers(
+        regs, ev, "event_type", "user_id", m=64
+    )
+
+
+QUERIES["hll_incremental_equiv"] = q_hll_incremental_equiv
+ORACLES["hll_incremental_equiv"] = ORACLES["approx_distinct_hll_union"]

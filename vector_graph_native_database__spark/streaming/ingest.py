@@ -356,3 +356,53 @@ def incremental_cms_maintenance(
     )
     q.awaitTermination()
     return q
+
+
+def incremental_hll_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    event_schema: str | StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    value_col: str,
+    m: int = 64,
+):
+    """Event stream → per-batch maintenance of HyperLogLog register
+    state (grp, reg, mrho) by element-wise MAX merge.
+
+    The max-merge twin of ``incremental_cms_maintenance`` (sum-merge):
+    together they pin the two sketch-monoid laws a 100 TB telemetry
+    pipeline lives on — registers from any batch split max-merge to
+    exactly the full-data registers, so per-batch state is
+    constant-size (≤ groups×m rows) no matter how large the batch,
+    and daily states roll up to monthly with no rescan. State
+    publishes through ``commit_state`` (versioned snapshot + atomic
+    pointer flip).
+    """
+    from ..operators.sketch import hll_registers
+
+    events = spark.readStream.schema(event_schema).parquet(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        fresh = hll_registers(batch_df, group_col, value_col, m=m)
+        current = read_state(spark, state_dir)
+        merged = (
+            current.unionByName(fresh)
+            .groupBy("grp", "reg")
+            .agg(F.max("mrho").alias("mrho"))
+            if current is not None
+            else fresh
+        )
+        commit_state(merged, state_dir)
+
+    q = (
+        events.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
