@@ -75,6 +75,7 @@ HEADLINE = [
     "graph_closeness_sampled",
     "ann_binary_hamming_topk",
     "dedup_winnowing_pairs",
+    "ann_binary_rerank_topk",
 ]
 
 

@@ -579,3 +579,29 @@ def test_hll_registers_max_merge_law(spark):
         k = (r["grp"], r["reg"])
         merged[k] = max(merged.get(k, 0), r["mrho"])
     assert merged == full
+
+
+def test_binary_rerank_recall_vs_brute(spark):
+    """Two-stage binary+rerank recall@10 vs exact brute cosine: with
+    50 candidates over the sf0.001 embeddings the sign-LSH candidate
+    set must recover most of the true top-10, and every returned
+    score must MATCH brute exactly (stage 2 is exact on candidates)."""
+    from vector_graph_native_database__spark.operators.ann import (
+        binary_rerank_topk,
+        brute_topk,
+    )
+    from vector_graph_native_database__spark.sources import embeddings_df
+
+    emb = embeddings_df(spark, "/root/testdata/sf0.001")
+    qids = ["0", "10", "20"]
+    brute = brute_topk(emb, qids, k=10, round_scores=6).collect()
+    rr = binary_rerank_topk(
+        emb, qids, k=10, n_candidates=50, round_scores=6
+    ).collect()
+    b = {(r["qid"], r["id"]): r["cos"] for r in brute}
+    g = {(r["qid"], r["id"]): r["cos"] for r in rr}
+    hits = set(b) & set(g)
+    recall = len(hits) / len(b)
+    assert recall >= 0.5, f"recall@10 {recall}"
+    for key in hits:  # exact re-rank: identical scores on overlap
+        assert abs(b[key] - g[key]) < 1e-9

@@ -1254,3 +1254,49 @@ def binary_hamming_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "id", "hamming", "rnk")
     )
+
+
+def binary_rerank_topk(
+    emb: DataFrame,
+    query_ids: list[str],
+    k: int = 10,
+    n_candidates: int = 50,
+    dim: int = 64,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Two-stage retrieval → (qid, id, cos, rnk): binary sign-Hamming
+    candidate generation (``n_candidates`` per query from the 16-byte
+    codes) followed by EXACT cosine re-ranking of just those
+    candidates — the production ANN deployment shape (faiss binary
+    index + refine, or any compressed-first/exact-second pipeline).
+
+    Scale shape: stage 1 scans codes (32× smaller than the vectors);
+    stage 2 touches ``|queries| × n_candidates`` full vectors via an
+    equi-join on the candidate ids — at 100 TB the expensive float
+    read is limited to a few thousand rows however large the corpus.
+    Recall is governed by n_candidates/k (the sign-LSH estimator
+    concentration); both stages and their composition are exact
+    integer/fixed-expression arithmetic, so the whole pipeline is
+    value-checkable cross-engine — including the recall-relevant
+    candidate cut, which ties by (hamming, id) deterministically.
+    """
+    cands = binary_hamming_topk(
+        emb, query_ids, k=n_candidates, dim=dim
+    ).select("qid", "id")
+    q = emb.filter(F.col("node_id").isin(query_ids)).select(
+        F.col("node_id").alias("qid"), F.col("vector").alias("qvec")
+    )
+    vecs = emb.select(F.col("node_id").alias("id"), "vector")
+    scored = (
+        cands.join(vecs, "id")
+        .join(F.broadcast(q), "qid")
+        .withColumn("cos", cosine("vector", "qvec"))
+    )
+    if round_scores is not None:
+        scored = scored.withColumn("cos", F.round("cos", round_scores))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "id", "cos", "rnk")
+    )

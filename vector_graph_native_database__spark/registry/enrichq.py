@@ -407,3 +407,71 @@ def q_cms_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["cms_incremental_equiv"] = q_cms_incremental_equiv
 ORACLES["cms_incremental_equiv"] = ORACLES["heavy_hitters_cms"]
+
+
+RERANK_CANDIDATES = 50
+
+
+def q_ann_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ann import binary_rerank_topk
+    from .pipelineq import ANN_QUERY_IDS
+
+    _, emb, _ = model(spark, sf_dir)
+    return binary_rerank_topk(
+        emb,
+        ANN_QUERY_IDS,
+        k=HAMMING_K,
+        n_candidates=RERANK_CANDIDATES,
+        dim=HAMMING_DIM,
+        round_scores=6,
+    )
+
+
+QUERIES["ann_binary_rerank_topk"] = q_ann_binary_rerank_topk
+
+_HAMMING_CTES = f""",
+packed AS MATERIALIZED (
+  SELECT node_id,
+         {_sign_word_sql(0, HAMMING_DIM // 2)} AS w0,
+         {_sign_word_sql(HAMMING_DIM // 2, HAMMING_DIM - HAMMING_DIM // 2)} AS w1
+  FROM emb WHERE len(vector) = {HAMMING_DIM}),
+hq AS (SELECT node_id AS qid, w0 AS q0, w1 AS q1 FROM packed
+       WHERE node_id IN ('0', '100', '200', '300', '400')),
+hscored AS (
+  SELECT hq.qid, p.node_id AS id,
+         bit_count(xor(p.w0, hq.q0)) + bit_count(xor(p.w1, hq.q1)) AS hamming
+  FROM packed p, hq WHERE p.node_id <> hq.qid),
+hranked AS MATERIALIZED (
+  SELECT qid, id, hamming,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY hamming ASC, id ASC) AS rnk
+  FROM hscored)"""
+
+ORACLES["ann_binary_rerank_topk"] = (
+    ORACLE_PRELUDE
+    + _HAMMING_CTES
+    + f""",
+cand AS (SELECT qid, id FROM hranked WHERE rnk <= {RERANK_CANDIDATES}),
+qv AS (SELECT node_id AS qid, vector AS qvec FROM emb
+       WHERE node_id IN ('0', '100', '200', '300', '400')),
+rescored AS (
+  SELECT c.qid, c.id,
+         round(CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb) ELSE 0.0 END, 6)
+           AS cos
+  FROM cand c
+  JOIN emb e ON e.node_id = c.id
+  JOIN qv ON qv.qid = c.qid
+  CROSS JOIN LATERAL (
+    SELECT list_dot_product(CAST(e.vector AS DOUBLE[]),
+                            CAST(qv.qvec AS DOUBLE[])) AS d,
+           sqrt(list_dot_product(CAST(e.vector AS DOUBLE[]),
+                                 CAST(e.vector AS DOUBLE[]))) AS na,
+           sqrt(list_dot_product(CAST(qv.qvec AS DOUBLE[]),
+                                 CAST(qv.qvec AS DOUBLE[]))) AS nb
+  ) t)
+SELECT qid, id, cos, rnk FROM (
+  SELECT qid, id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rnk
+  FROM rescored
+) WHERE rnk <= {HAMMING_K}"""
+)
