@@ -76,6 +76,7 @@ HEADLINE = [
     "ann_binary_hamming_topk",
     "dedup_winnowing_pairs",
     "ann_binary_rerank_topk",
+    "graph_betweenness_sampled",
 ]
 
 

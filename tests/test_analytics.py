@@ -321,3 +321,48 @@ def test_multi_source_bfs_hop_bound(spark):
     srcs = spark.createDataFrame([("0",)], "id string")
     rows = multi_source_bfs(edges, srcs, 3).collect()
     assert max(r["dist"] for r in rows) == 3 and len(rows) == 4
+
+
+def test_betweenness_path_and_diamond(spark):
+    """Path a→b→c→d from root a: δ(b)=2, δ(c)=1, δ(d)=0.
+    Diamond a→{b,c}→d: σ(d)=2 so b,c each get 0.5."""
+    from vector_graph_native_database__spark.operators.analytics import (
+        betweenness_sampled,
+    )
+
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    srcs = spark.createDataFrame([("a",)], "id string")
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_sampled(path, srcs, 3).collect()
+    }
+    assert got == {"a": 0.0, "b": 2.0, "c": 1.0, "d": 0.0}
+
+    diamond = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")],
+        "src string, dst string",
+    )
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_sampled(diamond, srcs, 3).collect()
+    }
+    assert got == {"a": 0.0, "b": 0.5, "c": 0.5, "d": 0.0}
+
+
+def test_betweenness_hop_truncation(spark):
+    from vector_graph_native_database__spark.operators.analytics import (
+        betweenness_sampled,
+    )
+
+    path = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(6)], "src string, dst string"
+    )
+    srcs = spark.createDataFrame([("0",)], "id string")
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_sampled(path, srcs, 2).collect()
+    }
+    # only paths of length ≤2 count: node 1 mediates one 2-hop path
+    assert got["1"] == 1.0 and got["2"] == 0.0

@@ -557,3 +557,87 @@ SELECT root AS id,
                        * 1000000.0 + 0.5) / 1000000.0
             ELSE 0.0 END AS closeness
 FROM md GROUP BY root"""
+
+
+BETW_HOPS = 4
+
+
+def q_graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import betweenness_sampled
+
+    nodes, _, edges = model(spark, sf_dir)
+    sources = nodes.select("id").filter(
+        F.col("id").cast("long") % CLOSENESS_MOD == 0
+    )
+    return betweenness_sampled(edges, sources, max_hops=BETW_HOPS)
+
+
+def _betweenness_sql(hops: int = BETW_HOPS) -> str:
+    """Unrolled bounded-hop Brandes — forward σ levels l0..lH (each
+    level's NOT EXISTS guards pin first-visit distance), then
+    backward dependency CTEs bH-1..b0, the same fixed-iteration twin
+    trick as the PageRank/HITS/k-core oracles. Everything referenced
+    twice is MATERIALIZED (see the PCA oracle note: DuckDB re-inlines
+    CTEs per reference and parallel float sums drift at scale)."""
+    ctes = [
+        f""",
+srcs AS (SELECT id FROM nodes WHERE CAST(id AS BIGINT) % {CLOSENESS_MOD} = 0),
+adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+l0 AS MATERIALIZED (
+  SELECT id AS root, id AS node, CAST(1 AS DOUBLE) AS sig FROM srcs)"""
+    ]
+    for ell in range(1, hops + 1):
+        guards = "\n    ".join(
+            f"AND NOT EXISTS (SELECT 1 FROM l{p} s{p} "
+            f"WHERE s{p}.root = p.root AND s{p}.node = a.dst)"
+            for p in range(ell)
+        )
+        ctes.append(
+            f""",
+l{ell} AS MATERIALIZED (
+  SELECT p.root, a.dst AS node, sum(p.sig) AS sig
+  FROM l{ell - 1} p JOIN adj a ON a.src = p.node
+  WHERE TRUE
+    {guards}
+  GROUP BY p.root, a.dst)"""
+        )
+    for ell in range(hops - 1, -1, -1):
+        if ell == hops - 1:
+            djoin, dexpr = "", "0"
+        else:
+            djoin = (
+                f"\n  LEFT JOIN b{ell + 1} bw"
+                f" ON bw.root = w.root AND bw.node = w.node"
+            )
+            dexpr = "COALESCE(bw.delta, 0)"
+        ctes.append(
+            f""",
+b{ell} AS MATERIALIZED (
+  SELECT v.root, v.node, sum(v.sig / w.sig * (1 + {dexpr})) AS delta
+  FROM l{ell} v
+  JOIN adj a ON a.src = v.node
+  JOIN l{ell + 1} w ON w.root = v.root AND w.node = a.dst{djoin}
+  GROUP BY v.root, v.node)"""
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT root, node, delta FROM b{ell}" for ell in range(hops)
+    )
+    return (
+        ORACLE_PRELUDE
+        + "".join(ctes)
+        + f""",
+ub AS ({union}),
+acc AS (SELECT node, sum(delta) AS bc FROM ub
+        WHERE node <> root GROUP BY node),
+verts AS (SELECT DISTINCT id FROM
+          (SELECT src AS id FROM edges
+           UNION ALL SELECT dst FROM edges))
+SELECT v.id,
+       floor(COALESCE(acc.bc, 0) * 1000000.0 + 0.5) / 1000000.0
+         AS betweenness
+FROM verts v LEFT JOIN acc ON acc.node = v.id"""
+    )
+
+
+QUERIES["graph_betweenness_sampled"] = q_graph_betweenness_sampled
+ORACLES["graph_betweenness_sampled"] = _betweenness_sql()
