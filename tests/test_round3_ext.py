@@ -605,3 +605,32 @@ def test_binary_rerank_recall_vs_brute(spark):
     assert recall >= 0.5, f"recall@10 {recall}"
     for key in hits:  # exact re-rank: identical scores on overlap
         assert abs(b[key] - g[key]) < 1e-9
+
+
+def test_kmv_state_min_merge_law(spark):
+    """KMV mergeability: state(A) ∪ state(B) keep-k == state(A∪B)
+    for a disjoint split."""
+    from vector_graph_native_database__spark.operators.sketch import (
+        kmv_merge_states,
+        kmv_state,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [("g", f"user-{i % 90}") for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    a = df.filter(F.length("v") % 2 == 0)
+    b = df.filter(F.length("v") % 2 == 1)
+    k = 16
+    full = sorted(
+        r["u"] for r in kmv_state(df, "g", "v", k=k).collect()
+    )
+    merged = sorted(
+        r["u"]
+        for r in kmv_merge_states(
+            kmv_state(a, "g", "v", k=k),
+            kmv_state(b, "g", "v", k=k),
+            "g",
+            k=k,
+        ).collect()
+    )
+    assert merged == full and len(full) == k

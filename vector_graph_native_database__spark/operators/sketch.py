@@ -43,24 +43,15 @@ def kmv_distinct(
     the realized error. Deterministic: same data → same estimate, on
     any engine that computes md5.
     """
-    pairs = df.select(group_col, value_col).distinct()
-    u = (
-        stable_hash60(
-            F.concat(F.lit(salt), F.col(value_col).cast("string"))
-        )
-        / F.lit(TWO_60)
-    )
-    w = Window.partitionBy(group_col).orderBy("u")
-    kept = (
-        pairs.withColumn("u", u)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-    )
+    kept = kmv_state(df, group_col, value_col, k=k, salt=salt)
     est = kept.groupBy(group_col).agg(
         F.count("*").alias("n_kept"), F.max("u").alias("u_k")
     )
-    exact = pairs.groupBy(group_col).agg(
-        F.count("*").alias("exact_distinct")
+    exact = (
+        df.select(group_col, value_col)
+        .distinct()
+        .groupBy(group_col)
+        .agg(F.count("*").alias("exact_distinct"))
     )
     est_col = F.when(
         F.col("n_kept") < k, F.col("n_kept").cast("double")
@@ -74,6 +65,87 @@ def kmv_distinct(
             ),
             "exact_distinct",
         )
+    )
+
+
+
+def kmv_state(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """→ (group, u): the k smallest distinct value-hashes per group —
+    the KMV sketch STATE. Min-k sets form a monoid under
+    union-then-keep-k-smallest, so states from any data split merge
+    to exactly the full-data state (bounded at k rows per group
+    however large the input) — the third sketch-merge law next to
+    CMS sum and HLL max. Distinctness is on the hash u: same value →
+    same u on every engine/batch (60-bit md5 collisions between
+    DIFFERENT values are assumed absent, the same contract every
+    md5-hash operator here relies on)."""
+    pairs = df.select(group_col, value_col).distinct()
+    u = (
+        stable_hash60(
+            F.concat(F.lit(salt), F.col(value_col).cast("string"))
+        )
+        / F.lit(TWO_60)
+    )
+    w = Window.partitionBy(group_col).orderBy("u")
+    return (
+        pairs.withColumn("u", u)
+        .select(group_col, "u")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(group_col, "u")
+    )
+
+
+def kmv_merge_states(
+    a: DataFrame, b: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Union two KMV states and keep the k smallest distinct hashes
+    per group — the monoid merge the streaming maintenance applies
+    per batch."""
+    w = Window.partitionBy(group_col).orderBy("u")
+    return (
+        a.unionByName(b)
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(group_col, "u")
+    )
+
+
+def kmv_estimate_from_state(
+    state: DataFrame,
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV state (possibly streaming-maintained) + raw data (for the
+    exact-count audit column) → the kmv_distinct output frame."""
+    est = state.groupBy(group_col).agg(
+        F.count("*").alias("n_kept"), F.max("u").alias("u_k")
+    )
+    exact = (
+        df.select(group_col, value_col)
+        .distinct()
+        .groupBy(group_col)
+        .agg(F.count("*").alias("exact_distinct"))
+    )
+    est_col = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("u_k"))
+    return est.join(exact, group_col).select(
+        group_col,
+        (F.floor(est_col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "est_distinct"
+        ),
+        "exact_distinct",
     )
 
 

@@ -1092,3 +1092,40 @@ def q_hll_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["hll_incremental_equiv"] = q_hll_incremental_equiv
 ORACLES["hll_incremental_equiv"] = ORACLES["approx_distinct_hll_union"]
+
+
+def q_kmv_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-k twin of the CMS/HLL streaming-equivalence entries: events
+    replay as three disjoint micro-batches through foreachBatch, the
+    KMV state union-merged keeping the k smallest hashes per type;
+    the final estimates from the MAINTAINED state must hash-equal the
+    single-pass batch sketch's oracle."""
+    import os
+
+    from ..operators.sketch import kmv_estimate_from_state
+    from ..streaming.ingest import incremental_kmv_maintenance, read_state
+    from .common import scratch_dir
+
+    base = scratch_dir("kmv_incremental")
+    src = os.path.join(base, "src")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    schema = "event_id long, event_type string, user_id long"
+    for i in range(3):
+        ev.filter(F.pmod("event_id", F.lit(3)) == i).write.mode(
+            "append"
+        ).parquet(src)
+        incremental_kmv_maintenance(
+            spark, src, schema, state, ckpt, "event_type", "user_id", k=64
+        )
+    state_df = read_state(spark, state)
+    return kmv_estimate_from_state(
+        state_df, ev, "event_type", "user_id", k=64
+    )
+
+
+QUERIES["kmv_incremental_equiv"] = q_kmv_incremental_equiv
+ORACLES["kmv_incremental_equiv"] = ORACLES["approx_distinct_kmv"]

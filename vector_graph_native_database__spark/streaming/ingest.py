@@ -406,3 +406,48 @@ def incremental_hll_maintenance(
     )
     q.awaitTermination()
     return q
+
+
+def incremental_kmv_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    event_schema: str | StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+):
+    """Event stream → per-batch maintenance of KMV distinct-sketch
+    state (group, u) by union-then-keep-k-smallest merge.
+
+    The min-k twin of the CMS (sum) and HLL (max) maintenance:
+    min-k sets are a monoid, so per-batch states merge to exactly
+    the full-data sketch and the state stays ≤ k rows per group
+    forever. State publishes through ``commit_state`` (versioned
+    snapshot + atomic pointer flip).
+    """
+    from ..operators.sketch import kmv_merge_states, kmv_state
+
+    events = spark.readStream.schema(event_schema).parquet(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        fresh = kmv_state(batch_df, group_col, value_col, k=k)
+        current = read_state(spark, state_dir)
+        merged = (
+            kmv_merge_states(current, fresh, group_col, k=k)
+            if current is not None
+            else fresh
+        )
+        commit_state(merged, state_dir)
+
+    q = (
+        events.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
