@@ -352,3 +352,71 @@ def test_adamic_adar_never_cartesian_and_distributed_topk(spark):
     p = plan_of(spark, "graph_adamic_adar")
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_forecast_revenue_pushes_all_range_predicates(spark):
+    p = plan_of(spark, "olap_forecast_revenue")
+    # all range filters must reach the parquet scan; the formatted
+    # plan truncates the PushedFilters list, so assert the stable
+    # prefix (all three columns present + the first range op)
+    assert (
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+        "IsNotNull(l_quantity), GreaterThanOrEqual" in p
+    ), "Q6 range predicates must reach the parquet scan"
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    li = [s for s in schemas if "l_extendedprice" in s]
+    assert li and all("l_orderkey" not in s for s in li), (
+        "Q6 must prune to the 4 referenced lineitem columns"
+    )
+
+
+def test_promo_revenue_broadcasts_part_dimension(spark):
+    p = plan_of(spark, "olap_promo_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p, "part side must broadcast"
+
+
+def test_large_orders_filters_before_join_and_topk(spark):
+    p = plan_of(spark, "olap_large_orders")
+    assert "TakeOrderedAndProject" in p  # top-N never a global sort
+    assert "CartesianProduct" not in p
+
+
+def test_ewma_is_window_only_no_self_join(spark):
+    s = plan_summary(registry.all_queries()["events_ewma"](spark, SF))
+    # the frame formulation must not fall back to an rn-range self-join
+    assert s["sort_merge_joins"] == 0 and s["shuffled_hash_joins"] == 0
+    assert s["broadcast_hash_joins"] == 0
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
+    assert s["exchanges"] <= 1, "one shuffle on user_id only"
+
+
+def test_gapfill_spine_is_span_bounded_no_calendar_cross(spark):
+    p = plan_of(spark, "events_gapfill")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_profile_stats_prunes_scan_to_profiled_columns(spark):
+    p = plan_of(spark, "profile_table_stats")
+    assert "CartesianProduct" not in p and "Join" not in p
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert schemas and all("l_orderkey" not in s for s in schemas), (
+        "profiling must not read unprofiled columns"
+    )
+
+
+def test_dq_constraints_use_anti_joins_not_cartesian(spark):
+    p = plan_of(spark, "dq_constraint_check")
+    assert "LeftAnti" in p, "FK probes must compile to anti joins"
+    assert "CartesianProduct" not in p
+
+
+def test_ann_recall_eval_stays_broadcast_side(spark):
+    p = plan_of(spark, "ann_recall_eval")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p

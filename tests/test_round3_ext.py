@@ -634,3 +634,62 @@ def test_kmv_state_min_merge_law(spark):
         ).collect()
     )
     assert merged == full and len(full) == k
+
+
+def test_gapfill_carries_last_value_across_gaps(spark):
+    from vector_graph_native_database__spark.registry.eventsq import (
+        q_events_gapfill,
+    )
+    import vector_graph_native_database__spark.sources.loaders as L
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "click", 2.0, "{}"),
+            (2, "2024-01-01 11:00:00", 7, "click", 3.0, "{}"),
+            (3, "2024-01-04 09:00:00", 7, "click", 10.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        L, "load_table", side_effect=lambda s, d, t: ev
+    ):
+        from vector_graph_native_database__spark.registry import eventsq
+
+        with mock.patch.object(
+            eventsq, "_events", side_effect=lambda s, d: ev
+        ):
+            rows = {
+                (r["day"], r["is_gap"]): r["sum_value"]
+                for r in q_events_gapfill(spark, "unused").collect()
+            }
+    # 4 spine days; the two gap days repeat day-1's sum (5.0)
+    assert rows[("2024-01-01", 0)] == 5.0
+    assert rows[("2024-01-02", 1)] == 5.0
+    assert rows[("2024-01-03", 1)] == 5.0
+    assert rows[("2024-01-04", 0)] == 10.0
+
+
+def test_ewma_first_row_is_value_and_weights_decay(spark):
+    from vector_graph_native_database__spark.registry import eventsq
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "click", 4.0, "{}"),
+            (2, "2024-01-01 11:00:00", 7, "click", 8.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import unittest.mock as mock
+
+    with mock.patch.object(eventsq, "_events", side_effect=lambda s, d: ev):
+        got = {
+            r["event_id"]: r["ewma"]
+            for r in eventsq.q_events_ewma(spark, "unused").collect()
+        }
+    assert got[1] == 4.0  # single-element frame → the value itself
+    # frame [4, 8], p=0.7: (4*0.7 + 8) / (0.7 + 1)
+    assert abs(got[2] - (4 * 0.7 + 8) / 1.7) < 1e-6

@@ -1,0 +1,136 @@
+"""Data-profiling and constraint-validation operators.
+
+The quality gate every large-scale training-data pipeline runs before
+(and after) curation: per-column profiles (null fraction, distinct
+cardinality, ranges) and a Deequ-style declarative constraint suite
+(key uniqueness, referential integrity, value-range rules) evaluated
+in a handful of scan passes. The reference engine has no profiling
+surface; this family extends SURVEY §2.7's "absent; Spark has the
+building blocks" list the same way the OLAP queries do.
+
+Scale notes
+-----------
+- ``profile_columns`` is ONE aggregate pass over the table. Multiple
+  exact ``count(distinct)`` aggregates compile to Spark's Expand
+  operator (rows × #distinct-aggs before the partial aggregate) —
+  the documented single-pass trade. At 100 TB swap the exact counts
+  for ``approx_count_distinct`` (same plan minus Expand) when ±2%
+  cardinality error is acceptable; the oracle-checked entry keeps
+  exact counts so DuckDB can verify values.
+- ``constraint_check`` unions independent small aggregates; each FK
+  probe is a LEFT ANTI equi-join where the primary-key side is the
+  smaller frame (broadcast-eligible, AQE decides). Nothing here
+  materializes violation ROWS — only counts — so the output is O(1)
+  regardless of how broken the input is; a `violations_sample`
+  companion would be the debugging tool, the gate wants counts.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _num_profile(df: DataFrame, col: str, expr: Column) -> DataFrame:
+    return df.agg(
+        F.lit(col).alias("col_name"),
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count(expr)).alias("n_null"),
+        F.countDistinct(expr).alias("n_distinct"),
+        F.round(F.min(expr), 6).cast("double").alias("min_num"),
+        F.round(F.max(expr), 6).cast("double").alias("max_num"),
+        F.lit(None).cast("string").alias("min_str"),
+        F.lit(None).cast("string").alias("max_str"),
+    )
+
+
+def _str_profile(df: DataFrame, col: str) -> DataFrame:
+    c = F.col(col)
+    return df.agg(
+        F.lit(col).alias("col_name"),
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count(c)).alias("n_null"),
+        F.countDistinct(c).alias("n_distinct"),
+        F.lit(None).cast("double").alias("min_num"),
+        F.lit(None).cast("double").alias("max_num"),
+        F.min(c).alias("min_str"),
+        F.max(c).alias("max_str"),
+    )
+
+
+def profile_columns(
+    df: DataFrame,
+    numeric_cols: list[str],
+    string_cols: list[str],
+    timestamp_cols: list[str],
+) -> DataFrame:
+    """Per-column profile → (col_name, n_rows, n_null, n_distinct,
+    min_num, max_num, min_str, max_str), one row per profiled column.
+
+    Numeric mins/maxes are rounded to 6dp (engine-parity); timestamp
+    columns profile as epoch seconds (double) so the numeric channel
+    carries them without a string-formatting parity risk. Each column
+    is an independent aggregate over the same scan; Spark schedules
+    them as one job and the parquet reader prunes to exactly the
+    profiled columns.
+    """
+    parts = [_num_profile(df, c, F.col(c)) for c in numeric_cols]
+    parts += [
+        _num_profile(df, c, F.col(c).cast("double"))
+        for c in timestamp_cols
+    ]
+    parts += [_str_profile(df, c) for c in string_cols]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def constraint_check(
+    constraints: list[tuple[str, DataFrame]]
+) -> DataFrame:
+    """Deequ-style constraint suite → (constraint, n_violations).
+
+    Each entry is (name, single-row DataFrame with a ``n_violations``
+    long column) — built by the helpers below so the suite stays
+    declarative at the call site. Passing gate ⇒ every count is 0.
+    """
+    parts = [
+        df.select(
+            F.lit(name).alias("constraint"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+        )
+        for name, df in constraints
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def fk_violations(child: DataFrame, child_key: str,
+                  parent: DataFrame, parent_key: str) -> DataFrame:
+    """Rows of ``child`` whose key has no match in ``parent`` —
+    referential integrity as a LEFT ANTI count (never materializes
+    the join multiplicity; the parent side ships as a broadcast when
+    it fits, a shuffle hash join otherwise)."""
+    orphans = child.select(F.col(child_key)).join(
+        parent.select(F.col(parent_key).alias(child_key)),
+        child_key,
+        "left_anti",
+    )
+    return orphans.agg(F.count("*").alias("n_violations"))
+
+
+def unique_violations(df: DataFrame, *keys: str) -> DataFrame:
+    """count(*) − count(distinct keys): 0 iff the key is unique.
+    One map-side-combinable aggregate; no self-join."""
+    return df.agg(
+        (F.count("*") - F.countDistinct(*keys)).alias("n_violations")
+    )
+
+
+def predicate_violations(df: DataFrame, pred: Column) -> DataFrame:
+    """Rows where ``pred`` does NOT hold (nulls count as violations
+    — a constraint must evaluate TRUE to pass, the Deequ rule)."""
+    return df.agg(
+        F.sum(
+            F.when(pred.isNull() | ~pred, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_violations")
+    )

@@ -24,6 +24,7 @@ from . import (
     graphq,
     mmq,
     pipelineq,
+    qualityq,
     samplingq,
     searchq,
     temporalq,
@@ -41,6 +42,7 @@ _MODULES = [
     graphq,
     mmq,
     pipelineq,
+    qualityq,
     samplingq,
     searchq,
     temporalq,

@@ -607,3 +607,146 @@ JOIN events c
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'
   AND p.user_id IS NOT NULL
 GROUP BY p.user_id"""
+
+
+# --- round-3 extension: time-series gap-fill and bounded EWMA --------
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily spine with forward fill → (user_id, day,
+    sum_value, is_gap): aggregate events to (user, day), generate
+    every calendar day between each user's first and last active day
+    with ``F.sequence`` + explode, left-join the actuals back, and
+    carry the last observed daily sum across the gaps with
+    ``last(ignorenulls)`` over an unbounded-preceding frame — the
+    standard time-series densification every telemetry/feature
+    pipeline needs before resampling.
+
+    Scale shape: the spine is generated FROM the per-user min/max
+    aggregate (2 values/user), never a calendar cross join — output
+    is Σ_user span_days, not |users|×|calendar|. One shuffle to the
+    daily grain, one partition-local window per user for the fill
+    (same (user, day) clustering as the join, so AQE coalesces; no
+    second shuffle). At 100 TB the spine explode is pennies next to
+    the daily aggregate, and a user's span is bounded by the
+    retention window."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum("value").alias("sum_value"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    from .common import stable_round6
+
+    filled = spine.join(daily, ["user_id", "day"], "left_outer").select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        stable_round6(
+            F.last("sum_value", ignorenulls=True).over(w)
+        ).alias("sum_value"),
+        F.col("sum_value").isNull().cast("int").alias("is_gap"),
+    )
+    return filled
+
+
+QUERIES["events_gapfill"] = q_events_gapfill
+ORACLES["events_gapfill"] = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS sum_value
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT s.user_id, unnest(generate_series(s.d0, s.d1,
+                                           INTERVAL 1 DAY)) AS day
+  FROM spans s
+)
+SELECT sp.user_id, strftime(sp.day, '%Y-%m-%d') AS day,
+       floor(last_value(d.sum_value IGNORE NULLS) OVER (
+           PARTITION BY sp.user_id ORDER BY sp.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) * 1000000.0 + 0.5) / 1000000.0 AS sum_value,
+       CAST(d.sum_value IS NULL AS INT) AS is_gap
+FROM spine sp
+LEFT JOIN daily d ON d.user_id = sp.user_id AND d.day = sp.day"""
+
+
+EWMA_ALPHA = 0.3
+EWMA_WINDOW = 10  # preceding rows in the frame (frame size ≤ 11)
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window EWMA per user → (event_id, user_id, ewma):
+    over the last ``EWMA_WINDOW``+1 events (ordered by ts, event_id),
+    the normalized exponential mean Σ v_j·(1−α)^(i−j) / Σ (1−α)^(i−j)
+    — the streaming-friendly smoother (truncated at the frame bound,
+    so weights below (1−α)^10 ≈ 0.028 are dropped rather than carried
+    forever; the unbounded recursion is not window-expressible and
+    its infinite tail is numerically irrelevant at this α).
+
+    Scale shape: NO self-join — the frame is a partition-local
+    ``collect_list`` over a 11-row sliding window, and the weighted
+    sum runs JVM-side via ``transform``/``aggregate`` higher-order
+    functions in array order (deterministic summation, identical in
+    the oracle's rn-range formulation because both sum ≤11 terms).
+    One shuffle on user_id total; cost O(rows·K) with K=11 fixed —
+    at 100 TB this is the same plan as any sliding aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-EWMA_WINDOW, 0)
+    )
+    p = 1.0 - EWMA_ALPHA
+    vals = F.collect_list("value").over(w)
+    num = F.expr(
+        f"aggregate(transform(__vals, (x, i) -> "
+        f"x * pow({p}, size(__vals) - 1 - i)), 0D, (a, x) -> a + x)"
+    )
+    den = F.expr(
+        f"aggregate(transform(__vals, (x, i) -> "
+        f"pow({p}, size(__vals) - 1 - i)), 0D, (a, x) -> a + x)"
+    )
+    from .common import stable_round6
+
+    return (
+        ev.select("event_id", "user_id", vals.alias("__vals"))
+        .select(
+            "event_id",
+            "user_id",
+            stable_round6(num / den).alias("ewma"),
+        )
+    )
+
+
+QUERIES["events_ewma"] = q_events_ewma
+ORACLES["events_ewma"] = f"""
+WITH r AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT a.event_id, a.user_id,
+       floor(sum(b.value * pow({1.0 - EWMA_ALPHA}, a.rn - b.rn))
+               / sum(pow({1.0 - EWMA_ALPHA}, a.rn - b.rn))
+             * 1000000.0 + 0.5) / 1000000.0 AS ewma
+FROM r a JOIN r b
+  ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - {EWMA_WINDOW} AND a.rn
+GROUP BY a.event_id, a.user_id"""

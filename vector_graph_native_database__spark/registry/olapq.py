@@ -1129,3 +1129,178 @@ def q_kmv_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["kmv_incremental_equiv"] = q_kmv_incremental_equiv
 ORACLES["kmv_incremental_equiv"] = ORACLES["approx_distinct_kmv"]
+
+
+# --- round-3 extension: pushdown / join-shape showcase queries -------
+
+FORECAST_Q6 = dict(
+    lo="1996-01-01 00:00:00",
+    hi="1997-01-01 00:00:00",
+    disc_lo=0.03,
+    disc_hi=0.07,
+    qty_lt=24.0,
+)
+
+
+def q_olap_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue gained by dropping small-quantity
+    discounts in a ship-date year — ``sum(extendedprice * discount)``
+    under four conjunctive range predicates, one output row.
+
+    Scale shape: THE predicate-pushdown benchmark. Every filter is a
+    min/max-prunable range on a scan column, so at 100 TB the parquet
+    reader skips whole row groups on l_shipdate/l_discount/l_quantity
+    statistics before a single byte of l_extendedprice is decoded
+    (``PushedFilters`` carries all four; ReadSchema is 4 columns of
+    11). No join, no shuffle beyond the final 1-row partial-agg
+    merge; the decimal cast keeps the money sum order-independent
+    (see _dec_sum note)."""
+    c = FORECAST_Q6
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(c["lo"]).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(c["hi"]).cast("timestamp"))
+            & (F.col("l_discount") >= c["disc_lo"])
+            & (F.col("l_discount") <= c["disc_hi"])
+            & (F.col("l_quantity") < c["qty_lt"])
+        )
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), "revenue"
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+QUERIES["olap_forecast_revenue"] = q_olap_forecast_revenue
+ORACLES["olap_forecast_revenue"] = f"""
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                           AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{FORECAST_Q6["lo"]}'
+  AND l_shipdate <  TIMESTAMP '{FORECAST_Q6["hi"]}'
+  AND l_discount BETWEEN {FORECAST_Q6["disc_lo"]} AND {FORECAST_Q6["disc_hi"]}
+  AND l_quantity < {FORECAST_Q6["qty_lt"]}"""
+
+
+PROMO_MONTH = ("1997-03-01 00:00:00", "1997-04-01 00:00:00")
+
+
+def q_olap_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage of one month's revenue that came
+    from promotional parts — a fact⨝dimension join feeding a
+    conditional aggregate, one output row.
+
+    Scale shape: part is the dimension side (millions of rows at
+    100 TB but ~1% of lineitem) — ``F.broadcast`` pins the hash join
+    with zero shuffle of the fact table; the month filter prunes the
+    lineitem scan before the join. The CASE lives in the aggregate,
+    not a second scan: one pass computes both numerator and
+    denominator as map-side-combinable decimal sums, and the final
+    ratio divides the two exact decimals before rounding."""
+    lo, hi = PROMO_MONTH
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("p_type").startswith("PROMO"), rev)
+            .otherwise(F.lit(0.0))
+            .cast(_DEC)
+        ).alias("promo"),
+        F.sum(rev.cast(_DEC)).alias("total"),
+    )
+    return agg.select(
+        F.round(
+            (F.lit(100.0).cast(_DEC) * F.col("promo") / F.col("total")).cast(
+                "double"
+            ),
+            6,
+        ).alias("promo_pct"),
+        F.round(F.col("total"), 2).cast("double").alias("total_revenue"),
+    )
+
+
+QUERIES["olap_promo_revenue"] = q_olap_promo_revenue
+ORACLES["olap_promo_revenue"] = f"""
+WITH j AS (
+  SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)) AS rev,
+         p_type
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '{PROMO_MONTH[0]}'
+    AND l_shipdate <  TIMESTAMP '{PROMO_MONTH[1]}'
+), a AS (
+  SELECT sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+                  ELSE CAST(0 AS DECIMAL(30,10)) END) AS promo,
+         sum(rev) AS total
+  FROM j
+)
+SELECT round(CAST(CAST(100.0 AS DECIMAL(30,10)) * promo / total
+             AS DOUBLE), 6) AS promo_pct,
+       CAST(round(total, 2) AS DOUBLE) AS total_revenue
+FROM a"""
+
+
+LARGE_QTY = 150.0
+LARGE_TOPN = 20
+
+
+def q_olap_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers who placed the largest-volume
+    orders — groupBy-HAVING over the fact table identifies the heavy
+    orders, then joins orders + customer for the envelope, top-N by
+    quantity.
+
+    Scale shape: the HAVING aggregate runs FIRST and is map-side
+    combinable, so the expensive join only ever sees the tiny
+    qualifying-order set (a few rows per million at TPC-H selectivity
+    — the filter does the data reduction before any wide row is
+    built). Qualifying orders then broadcast against orders/customer;
+    top-N compiles to TakeOrderedAndProject, never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("total_qty"))
+        .filter(F.col("total_qty") > LARGE_QTY)
+    )
+    return (
+        orders.join(
+            F.broadcast(heavy), orders["o_orderkey"] == heavy["l_orderkey"]
+        )
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(LARGE_TOPN)
+    )
+
+
+QUERIES["olap_large_orders"] = q_olap_large_orders
+ORACLES["olap_large_orders"] = f"""
+WITH heavy AS (
+  SELECT l_orderkey, round(sum(l_quantity), 6) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 6) > {LARGE_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+FROM orders
+JOIN heavy ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT {LARGE_TOPN}"""

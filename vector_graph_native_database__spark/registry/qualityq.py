@@ -1,0 +1,218 @@
+"""Data-quality registry: per-column profiling, a Deequ-style
+constraint suite, and the ANN recall-evaluation harness.
+
+These are the gate queries a 100 TB training-data pipeline runs
+around every curation step: profile the raw tables, assert the
+relational invariants, and score the approximate index against the
+exact one — each with an exact DuckDB twin so the driver value-checks
+the whole quality surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import profiling
+from ..sources import load_table
+from .common import stable_round6
+
+
+def q_profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of lineitem → one row per column:
+    (col_name, n_rows, n_null, n_distinct, min_num, max_num,
+    min_str, max_str). See operators/profiling.py for the Expand
+    trade on exact distinct counts and the approx_count_distinct
+    swap at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return profiling.profile_columns(
+        li,
+        numeric_cols=["l_quantity", "l_discount", "l_extendedprice"],
+        string_cols=["l_returnflag"],
+        timestamp_cols=["l_shipdate"],
+    )
+
+
+def _col_profile_sql(col: str, kind: str) -> str:
+    n_null = f"count(*) - count({col})"
+    nd = f"count(DISTINCT {col})"
+    if kind == "num":
+        mn, mx = (
+            f"CAST(round(min({col}), 6) AS DOUBLE)",
+            f"CAST(round(max({col}), 6) AS DOUBLE)",
+        )
+        ms = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+    elif kind == "ts":
+        mn, mx = (
+            f"CAST(round(min(epoch({col})), 6) AS DOUBLE)",
+            f"CAST(round(max(epoch({col})), 6) AS DOUBLE)",
+        )
+        ms = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+    else:
+        mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        ms = f"min({col})", f"max({col})"
+    return (
+        f"SELECT '{col}' AS col_name, count(*) AS n_rows, "
+        f"{n_null} AS n_null, {nd} AS n_distinct, "
+        f"{mn} AS min_num, {mx} AS max_num, "
+        f"{ms[0]} AS min_str, {ms[1]} AS max_str FROM lineitem"
+    )
+
+
+def q_dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite over the star schema →
+    (constraint, n_violations): FK integrity (orders→customer,
+    lineitem→orders), key uniqueness (o_orderkey; the composite
+    lineitem line key), and value-range rules — the pre-training
+    data contract, all counts expected 0 on healthy data."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    return profiling.constraint_check(
+        [
+            (
+                "fk_orders_custkey",
+                profiling.fk_violations(orders, "o_custkey", cust, "c_custkey"),
+            ),
+            (
+                "fk_lineitem_orderkey",
+                profiling.fk_violations(li, "l_orderkey", orders, "o_orderkey"),
+            ),
+            (
+                "unique_orders_orderkey",
+                profiling.unique_violations(orders, "o_orderkey"),
+            ),
+            (
+                "unique_lineitem_line",
+                profiling.unique_violations(li, "l_orderkey", "l_linenumber"),
+            ),
+            (
+                "range_quantity_positive",
+                profiling.predicate_violations(li, F.col("l_quantity") > 0),
+            ),
+            (
+                "range_discount_unit",
+                profiling.predicate_violations(
+                    li,
+                    (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1),
+                ),
+            ),
+            (
+                "notnull_event_value",
+                profiling.predicate_violations(
+                    ev, F.col("value").isNotNull()
+                ),
+            ),
+        ]
+    )
+
+
+ANN_EVAL_K = 5
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the sign-LSH index against exact brute-force →
+    (qid, n_hits, recall): the evaluation harness every approximate
+    index ships with. Composes the two existing oracled entries —
+    brute top-k (truncated to k=ANN_EVAL_K) LEFT JOIN the LSH top-k
+    on (qid, id), hits counted per query.
+
+    Scale shape: both sides are the already-audited top-k plans
+    (broadcast query side, TakeOrderedAndProject); the comparison
+    join is |queries|·k rows — driver-free, tiny, exact."""
+    from .pipelineq import q_ann_brute_topk, q_ann_lsh_topk
+
+    brute = (
+        q_ann_brute_topk(spark, sf_dir)
+        .filter(F.col("rnk") <= ANN_EVAL_K)
+        .select("qid", "id")
+    )
+    lsh = q_ann_lsh_topk(spark, sf_dir).select(
+        "qid", "id", F.lit(1).alias("__hit")
+    )
+    return (
+        brute.join(F.broadcast(lsh), ["qid", "id"], "left_outer")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"))
+        .select(
+            "qid",
+            "n_hits",
+            stable_round6(
+                F.col("n_hits") / F.lit(float(ANN_EVAL_K))
+            ).alias("recall"),
+        )
+    )
+
+
+QUERIES = {
+    "profile_table_stats": q_profile_table_stats,
+    "dq_constraint_check": q_dq_constraint_check,
+    "ann_recall_eval": q_ann_recall_eval,
+}
+
+
+def _profile_oracle() -> str:
+    parts = [
+        _col_profile_sql("l_quantity", "num"),
+        _col_profile_sql("l_discount", "num"),
+        _col_profile_sql("l_extendedprice", "num"),
+        _col_profile_sql("l_shipdate", "ts"),
+        _col_profile_sql("l_returnflag", "str"),
+    ]
+    return "\nUNION ALL ".join(parts)
+
+
+def _constraint_oracle() -> str:
+    return """
+SELECT 'fk_orders_custkey' AS constraint, count(*) AS n_violations
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'fk_lineitem_orderkey', count(*)
+FROM lineitem l WHERE NOT EXISTS
+  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'unique_orders_orderkey',
+       count(*) - count(DISTINCT o_orderkey) FROM orders
+UNION ALL
+SELECT 'unique_lineitem_line',
+       count(*) - (SELECT count(*) FROM
+         (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+FROM lineitem
+UNION ALL
+SELECT 'range_quantity_positive',
+       CAST(sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'range_discount_unit',
+       CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'notnull_event_value',
+       CAST(sum(CASE WHEN value IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+FROM events"""
+
+
+def _recall_oracle() -> str:
+    from .pipelineq import ORACLES as PIPE_ORACLES
+
+    brute = PIPE_ORACLES["ann_brute_topk"]
+    lsh = PIPE_ORACLES["ann_lsh_topk"]
+    k = ANN_EVAL_K
+    return f"""
+SELECT b.qid, count(l.id) AS n_hits,
+       floor(count(l.id) / {float(k)} * 1000000.0 + 0.5) / 1000000.0
+         AS recall
+FROM ({brute}) b
+LEFT JOIN ({lsh}) l ON l.qid = b.qid AND l.id = b.id
+WHERE b.rnk <= {k}
+GROUP BY b.qid"""
+
+
+ORACLES = {
+    "profile_table_stats": _profile_oracle(),
+    "dq_constraint_check": _constraint_oracle(),
+    "ann_recall_eval": _recall_oracle(),
+}
