@@ -77,6 +77,12 @@ HEADLINE = [
     "dedup_winnowing_pairs",
     "ann_binary_rerank_topk",
     "graph_betweenness_sampled",
+    # quality / OLAP-pushdown / time-series wave
+    "olap_forecast_revenue",
+    "events_ohlc_bars",
+    "events_ewma",
+    "dq_constraint_check",
+    "profile_table_stats",
 ]
 
 

@@ -420,3 +420,36 @@ def test_ann_recall_eval_stays_broadcast_side(spark):
     p = plan_of(spark, "ann_recall_eval")
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_ohlc_bars_single_exchange(spark):
+    # asc/desc windows and the groupBy all share the (user_id, day)
+    # partitioning — one Exchange total, no joins
+    s = plan_summary(registry.all_queries()["events_ohlc_bars"](spark, SF))
+    assert s["sort_merge_joins"] == 0 and s["broadcast_hash_joins"] == 0
+    assert s["exchanges"] == 1
+
+
+def test_market_share_broadcasts_all_dimension_chains(spark):
+    s = plan_summary(registry.all_queries()["olap_market_share"](spark, SF))
+    # region→nation→customer, supplier→nation, plus orders at this sf:
+    # every dimension attachment is broadcast; no cartesian anywhere
+    assert s["broadcast_hash_joins"] >= 4
+    p = plan_of(spark, "olap_market_share")
+    assert "CartesianProduct" not in p
+
+
+def test_idle_customers_anti_join_on_recency_filtered_keys(spark):
+    p = plan_of(spark, "olap_idle_customers")
+    assert "LeftAnti" in p
+    # the cutoff must prune the orders scan before the distinct
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "CartesianProduct" not in p
+
+
+def test_changelog_apply_single_window_shuffle_no_joins(spark):
+    s = plan_summary(
+        registry.all_queries()["cdc_changelog_apply"](spark, SF)
+    )
+    assert s["sort_merge_joins"] == 0 and s["broadcast_hash_joins"] == 0
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0

@@ -693,3 +693,29 @@ def test_ewma_first_row_is_value_and_weights_decay(spark):
     assert got[1] == 4.0  # single-element frame → the value itself
     # frame [4, 8], p=0.7: (4*0.7 + 8) / (0.7 + 1)
     assert abs(got[2] - (4 * 0.7 + 8) / 1.7) < 1e-6
+
+
+def test_changelog_apply_latest_seq_wins_and_deletes(spark):
+    from vector_graph_native_database__spark.operators.cdc import (
+        changelog_apply,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "k string, v double"
+    )
+    log = spark.createDataFrame(
+        [
+            ("a", 10.0, 1, "U"),
+            ("a", 20.0, 2, "U"),   # higher seq wins
+            ("b", 0.0, 1, "D"),    # delete
+            ("d", 4.0, 1, "I"),    # insert
+            ("c", 9.0, 2, "U"),
+            ("c", 0.0, 3, "D"),    # delete AFTER update → gone
+        ],
+        "k string, v double, seq long, op string",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in changelog_apply(base, log, ["k"]).collect()
+    }
+    assert got == {"a": 20.0, "d": 4.0}

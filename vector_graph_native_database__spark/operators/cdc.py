@@ -62,3 +62,43 @@ def scd2_merge(
         .withColumn("valid_to", F.lead("valid_from").over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def changelog_apply(
+    base: DataFrame,
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an ordered insert/update/delete changelog to a snapshot
+    → the new snapshot (log compaction, the Debezium/Kafka-connect
+    apply step every lakehouse ingestion runs).
+
+    ``changelog`` rows carry the full payload plus ``op`` ∈
+    {'I','U','D'} and a monotonically increasing ``seq``; the base
+    snapshot acts as seq 0. Per key, the highest-seq row wins; a
+    winning 'D' removes the key. One union + ONE per-key window
+    shuffle — never a join per operation type, never a driver loop
+    over the log. At 100 TB the changelog is the small delta and the
+    per-key window is the same single-shuffle shape as scd2_merge;
+    compaction output is written via the atomic versioned-snapshot
+    commit (streaming/state.py) exactly like streaming state.
+    """
+    keys = list(key_cols)
+    payload = [
+        c for c in base.columns if c not in keys
+    ]
+    base_v = base.select(
+        *keys, *payload,
+        F.lit(0).cast("long").alias(seq_col),
+        F.lit("I").alias(op_col),
+    )
+    log_v = changelog.select(*keys, *payload, seq_col, op_col)
+    w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
+    return (
+        base_v.unionByName(log_v)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != "D"))
+        .drop("__rn", seq_col, op_col)
+    )

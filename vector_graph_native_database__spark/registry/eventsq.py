@@ -750,3 +750,74 @@ SELECT a.event_id, a.user_id,
 FROM r a JOIN r b
   ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - {EWMA_WINDOW} AND a.rn
 GROUP BY a.event_id, a.user_id"""
+
+
+def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC resampling per user → (user_id, day, open, high,
+    low, close, n_events, sum_value): the canonical time-series bar
+    aggregation (open/close = first/last value in the bar by
+    (ts, event_id); high/low = extremes).
+
+    Scale shape: open/close come from two row_number windows (asc /
+    desc) on the (user_id, day) partitioning, then ONE groupBy on the
+    same keys — Spark reuses the window's hash partitioning, so the
+    whole bar build is a single exchange; every aggregate is
+    map-side-combinable. No arg_min/arg_max tie-break ambiguity:
+    (ts, event_id) is a total order in both engines."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    wa = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    from .common import stable_round6
+
+    r6 = stable_round6
+    return (
+        ev.select(
+            "user_id",
+            "day",
+            "value",
+            F.row_number().over(wa).alias("rn_a"),
+            F.row_number().over(wd).alias("rn_d"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            r6(F.max(F.when(F.col("rn_a") == 1, F.col("value")))).alias(
+                "open"
+            ),
+            r6(F.max("value")).alias("high"),
+            r6(F.min("value")).alias("low"),
+            r6(F.max(F.when(F.col("rn_d") == 1, F.col("value")))).alias(
+                "close"
+            ),
+            F.count("*").alias("n_events"),
+            r6(F.sum("value")).alias("sum_value"),
+        )
+    )
+
+
+QUERIES["events_ohlc_bars"] = q_events_ohlc_bars
+ORACLES["events_ohlc_bars"] = """
+WITH r AS (
+  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT user_id, day,
+       floor(max(CASE WHEN rn_a = 1 THEN value END) * 1000000.0 + 0.5)
+         / 1000000.0 AS open,
+       floor(max(value) * 1000000.0 + 0.5) / 1000000.0 AS high,
+       floor(min(value) * 1000000.0 + 0.5) / 1000000.0 AS low,
+       floor(max(CASE WHEN rn_d = 1 THEN value END) * 1000000.0 + 0.5)
+         / 1000000.0 AS close,
+       count(*) AS n_events,
+       floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
+FROM r GROUP BY user_id, day"""

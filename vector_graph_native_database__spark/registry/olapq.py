@@ -1304,3 +1304,227 @@ JOIN heavy ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
 ORDER BY total_qty DESC, o_orderkey ASC
 LIMIT {LARGE_TOPN}"""
+
+
+MARKET_REGION = "ASIA"
+MARKET_NATION = "CHINA"
+
+
+def q_olap_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's order revenue
+    per order-year → (o_year, mkt_share, total_revenue). The widest
+    join in the registry: lineitem ⨝ orders ⨝ customer ⨝ nation ⨝
+    region on the demand side plus lineitem ⨝ supplier ⨝ nation on
+    the supply side — six dimension hops around one fact table.
+
+    Scale shape: every dimension chain is pre-joined OUTWARD-IN
+    (region→nation→customer collapses to a customer-key set before
+    touching facts) and broadcast — the fact table shuffles ZERO
+    times for dimension attachment; the only wide exchange is the
+    final 2-row year aggregate. The share is a conditional decimal
+    sum over one pass (no per-nation second scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    mkt_cust = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        region.filter(F.col("r_name") == MARKET_REGION)
+                    ),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                )
+            ),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select("c_custkey")
+    )
+    supp_nat = supp.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supp["s_nationkey"] == nation["n_nationkey"],
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        # orders is the second fact: AQE picks the lineitem⨝orders
+        # strategy (shuffle join at scale, broadcast at small sf)
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(mkt_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), li["l_suppkey"] == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.cast(_DEC).alias("rev"),
+            F.col("supp_nation"),
+        )
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == MARKET_NATION, F.col("rev"))
+            .otherwise(F.lit(0).cast(_DEC))
+        ).alias("nat"),
+        F.sum("rev").alias("total"),
+    )
+    return agg.select(
+        "o_year",
+        F.round((F.col("nat") / F.col("total")).cast("double"), 6).alias(
+            "mkt_share"
+        ),
+        F.round(F.col("total"), 2).cast("double").alias("total_revenue"),
+    )
+
+
+QUERIES["olap_market_share"] = q_olap_market_share
+ORACLES["olap_market_share"] = f"""
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)) AS rev,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = cn.n_regionkey AND r_name = '{MARKET_REGION}'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = '{MARKET_NATION}' THEN rev
+                           ELSE CAST(0 AS DECIMAL(30,10)) END)
+                  / sum(rev) AS DOUBLE), 6) AS mkt_share,
+       CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue
+FROM j GROUP BY o_year"""
+
+
+IDLE_CUTOFF = "2001-01-01 00:00:00"
+
+
+def q_olap_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per market segment, customers with
+    above-average positive account balance and NO order since
+    IDLE_CUTOFF → (c_mktsegment, n_custs, total_acctbal). Scalar-
+    subquery average + NOT EXISTS anti-join — the churned
+    high-value-accounts report.
+
+    Scale shape: the global average is a 1-row broadcast (never a
+    driver collect); the NOT EXISTS compiles to LEFT ANTI against
+    the DISTINCT recent-order customer keys (the cutoff filter is
+    pushed to the orders scan BEFORE the distinct, so the key set is
+    recency-sized); final aggregate is segment-cardinality rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    has_orders = (
+        orders.filter(
+            F.col("o_orderdate") >= F.lit(IDLE_CUTOFF).cast("timestamp")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            has_orders,
+            cust["c_custkey"] == has_orders["o_custkey"],
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            _dec_sum(F.col("c_acctbal"), "total_acctbal"),
+        )
+    )
+
+
+QUERIES["olap_idle_customers"] = q_olap_idle_customers
+ORACLES["olap_idle_customers"] = f"""
+SELECT c_mktsegment, count(*) AS n_custs,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,10))), 2) AS DOUBLE)
+         AS total_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{IDLE_CUTOFF}')
+GROUP BY c_mktsegment"""
+
+
+def q_cdc_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction end-to-end: a deterministic I/U/D log
+    derived from orders (keys ≡0 mod 10 deleted; keys ≡1 updated
+    TWICE — seq 1 doubles, seq 2 triples the price, so only the
+    higher seq may win; keys ≡2 inserted as new 'N'-status rows)
+    applied to the orders snapshot via ``changelog_apply``; the
+    resulting snapshot is aggregated per status so the gate checks
+    row counts AND summed payloads of the applied state.
+
+    Scale shape: one union + one per-key row_number window = a
+    single shuffle regardless of op mix (operators/cdc.py)."""
+    from ..operators.cdc import changelog_apply
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    dels = orders.filter(k % 10 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    upd1 = orders.filter(k % 10 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    upd2 = orders.filter(k % 10 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 3).alias("o_totalprice"),
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    ins = orders.filter(k % 10 == 2).select(
+        (k + 10_000_000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    log = dels.unionByName(upd1).unionByName(upd2).unionByName(ins)
+    snap = changelog_apply(orders, log, ["o_orderkey"])
+    return snap.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        _dec_sum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+QUERIES["cdc_changelog_apply"] = q_cdc_changelog_apply
+ORACLES["cdc_changelog_apply"] = """
+WITH snap AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 3
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 2
+)
+SELECT o_orderstatus, count(*) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE)
+         AS total_price
+FROM snap GROUP BY o_orderstatus"""
