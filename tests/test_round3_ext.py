@@ -719,3 +719,38 @@ def test_changelog_apply_latest_seq_wins_and_deletes(spark):
         for r in changelog_apply(base, log, ["k"]).collect()
     }
     assert got == {"a": 20.0, "d": 4.0}
+
+
+def test_ktruss_triangle_survives_pendants_drop(spark):
+    from vector_graph_native_database__spark.operators.analytics import (
+        ktruss_peel,
+    )
+
+    # one triangle (a,b,c) plus a pendant path c-d-e
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    edges = _edges(spark, pairs)
+    got = {
+        (r["a"], r["b"]): r["support"]
+        for r in ktruss_peel(edges, k=3, rounds=2).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 1}
+    # k=4 demands every edge sit in ≥2 triangles of the truss: a
+    # single triangle cannot satisfy it — peel cascades to empty
+    assert ktruss_peel(edges, k=4, rounds=2).count() == 0
+
+
+def test_zipf_fit_exact_on_synthetic_power_law(spark):
+    from vector_graph_native_database__spark.operators.text_analysis import (
+        zipf_fit,
+    )
+
+    # freq(rank) = 64 / rank  → ln y = ln 64 − 1·ln x exactly
+    docs = []
+    words = ["w%d" % i for i in range(1, 9)]
+    text = " ".join(
+        " ".join([w] * (64 // r)) for r, w in enumerate(words, start=1)
+    )
+    df = spark.createDataFrame([("d1", text)], "id string, text string")
+    row = zipf_fit(df, topn=8).collect()[0]
+    assert row["n_terms"] == 8
+    assert abs(row["slope"] + 1.0) < 0.05  # 64//r truncation wiggle

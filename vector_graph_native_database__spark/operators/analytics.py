@@ -992,3 +992,56 @@ def betweenness_sampled(
             / F.lit(1e6)
         ).alias("betweenness"),
     )
+
+
+def ktruss_peel(
+    edges: DataFrame, k: int = 3, rounds: int = 2
+) -> DataFrame:
+    """k-truss peeling, ``rounds`` synchronous rounds →
+    (a, b, support): edges of the undirected graph (canonical a<b,
+    multi-edges and direction collapsed) whose triangle support
+    survives ``rounds`` passes of "drop every edge in fewer than
+    k−2 triangles", with the support recomputed on the final graph.
+    The cohesion filter one notch above k-core: a k-truss edge sits
+    in at least k−2 triangles of the truss itself (Cohen 2008).
+
+    Scale shape: triangles enumerate once per round via the ordered
+    a<b<c double equi-join (each triangle counted exactly once, cost
+    bounded by Σ deg² like triangle counting — never all-pairs);
+    support is an explode-to-3-edge-slots map-side-combinable count;
+    the peel is one broadcast-eligible semi-join. The frame only
+    shrinks; rounds checkpoint so lineage stays linear (same policy
+    as kcore_peel above).
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def support(u: DataFrame) -> DataFrame:
+        e1 = u.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = u.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        e3 = u.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = e1.join(e2, "y").join(e3, ["x", "z"])
+        slots = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+        )
+        return slots.groupBy("a", "b").agg(F.count("*").alias("support"))
+
+    cur = und
+    for _ in range(rounds):
+        sup = support(cur)
+        keep = sup.filter(F.col("support") >= k - 2).select("a", "b")
+        cur = cur.join(keep, ["a", "b"], "left_semi").localCheckpoint(
+            eager=True
+        )
+    return cur.join(support(cur), ["a", "b"], "inner").select(
+        "a", "b", "support"
+    )

@@ -711,3 +711,57 @@ def winnowing_pairs(
             ).alias("overlap"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    topn: int = 200,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary → one row
+    (n_terms, slope, intercept): OLS of ln(count) on ln(rank) for
+    the top ``topn`` tokens. Natural-language corpora fit slope ≈ −1;
+    a flat slope flags synthetic/templated text and a cliff flags
+    boilerplate domination — the corpus-level screening statistic
+    next to the per-doc quality scores.
+
+    Scale shape: the vocabulary aggregate is the same map-side-
+    combinable groupBy as vocab_topk; ranking happens on the topn
+    survivors (TakeOrderedAndProject), and the regression is a 1-row
+    closed-form aggregate — Σx, Σy, Σxy, Σx² over ≤topn rows. No
+    driver-side math; logs stay JVM-side.
+    """
+    from .bm25 import posting_frame
+
+    posting = posting_frame(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    ).filter(F.col("tok").isNotNull())
+    vocab = posting.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    top = vocab.orderBy(F.desc("cnt"), F.asc("tok")).limit(topn)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    xy = top.withColumn("rnk", F.row_number().over(w)).select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    n = F.count("*").cast("double")
+    agg = xy.agg(
+        F.count("*").alias("n_terms"),
+        (
+            (F.count("*") * F.sum(F.col("x") * F.col("y"))
+             - F.sum("x") * F.sum("y"))
+            / (F.count("*") * F.sum(F.col("x") * F.col("x"))
+               - F.sum("x") * F.sum("x"))
+        ).alias("__slope"),
+        F.sum("x").alias("__sx"),
+        F.sum("y").alias("__sy"),
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return agg.select(
+        "n_terms",
+        r6(F.col("__slope")).alias("slope"),
+        r6(
+            (F.col("__sy") - F.col("__slope") * F.col("__sx"))
+            / F.col("n_terms")
+        ).alias("intercept"),
+    )

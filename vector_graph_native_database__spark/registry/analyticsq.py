@@ -641,3 +641,68 @@ FROM verts v LEFT JOIN acc ON acc.node = v.id"""
 
 QUERIES["graph_betweenness_sampled"] = q_graph_betweenness_sampled
 ORACLES["graph_betweenness_sampled"] = _betweenness_sql()
+
+
+KTRUSS_K = 3
+KTRUSS_ROUNDS = 2
+
+
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import ktruss_peel
+
+    _, _, edges = model(spark, sf_dir)
+    return ktruss_peel(edges, k=KTRUSS_K, rounds=KTRUSS_ROUNDS)
+
+
+def _ktruss_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS) -> str:
+    """Unrolled fixed-round twin of ktruss_peel: per round, a
+    triangle CTE (ordered a<b<c double join), a 3-slot support
+    aggregate, and a semi-join filter keeping support ≥ k−2;
+    MATERIALIZED everywhere a CTE is referenced more than once."""
+    ctes = [
+        """,
+u0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst)"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f""",
+t{r} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM u{r} e1
+  JOIN u{r} e2 ON e2.a = e1.b
+  JOIN u{r} e3 ON e3.a = e1.a AND e3.b = e2.b),
+s{r} AS MATERIALIZED (
+  SELECT a, b, count(*) AS sup FROM (
+    SELECT x AS a, y AS b FROM t{r}
+    UNION ALL SELECT y, z FROM t{r}
+    UNION ALL SELECT x, z FROM t{r})
+  GROUP BY a, b),
+u{r + 1} AS MATERIALIZED (
+  SELECT u.a, u.b FROM u{r} u
+  JOIN s{r} s ON s.a = u.a AND s.b = u.b AND s.sup >= {k - 2})"""
+        )
+    rr = rounds
+    return (
+        ORACLE_PRELUDE
+        + "".join(ctes)
+        + f""",
+tf AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM u{rr} e1
+  JOIN u{rr} e2 ON e2.a = e1.b
+  JOIN u{rr} e3 ON e3.a = e1.a AND e3.b = e2.b),
+sf AS (
+  SELECT a, b, count(*) AS support FROM (
+    SELECT x AS a, y AS b FROM tf
+    UNION ALL SELECT y, z FROM tf
+    UNION ALL SELECT x, z FROM tf)
+  GROUP BY a, b)
+SELECT u.a, u.b, sf.support
+FROM u{rr} u JOIN sf ON sf.a = u.a AND sf.b = u.b"""
+    )
+
+
+QUERIES["graph_ktruss"] = q_graph_ktruss
+ORACLES["graph_ktruss"] = _ktruss_sql()

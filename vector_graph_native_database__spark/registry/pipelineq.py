@@ -1197,3 +1197,37 @@ def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ann_ivfpq_residual_topk"] = q_ann_ivfpq_residual_topk
 ORACLES["ann_ivfpq_residual_topk"] = _ivfpq_residual_sql()
+
+
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return text_analysis.zipf_fit(nodes, topn=200)
+
+
+QUERIES["text_zipf_fit"] = q_text_zipf_fit
+ORACLES["text_zipf_fit"] = ORACLE_PRELUDE + _TOKS + """,
+vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT id, unnest(t) AS tok FROM toks)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS DOUBLE))
+           AS x,
+         ln(CAST(cnt AS DOUBLE)) AS y
+  FROM vocab
+  ORDER BY cnt DESC, tok ASC
+  LIMIT 200
+),
+fit AS (
+  SELECT count(*) AS n_terms,
+         (count(*) * sum(x * y) - sum(x) * sum(y))
+           / (count(*) * sum(x * x) - sum(x) * sum(x)) AS slope,
+         sum(x) AS sx, sum(y) AS sy
+  FROM ranked
+)
+SELECT n_terms,
+       floor(slope * 1000000.0 + 0.5) / 1000000.0 AS slope,
+       floor((sy - slope * sx) / n_terms * 1000000.0 + 0.5) / 1000000.0
+         AS intercept
+FROM fit"""

@@ -216,3 +216,71 @@ ORACLES = {
     "dq_constraint_check": _constraint_oracle(),
     "ann_recall_eval": _recall_oracle(),
 }
+
+
+def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality harness for the MinHash-LSH dedup path →
+    one row: (n_exact, n_candidates, n_hits, recall, precision).
+    Ground truth = the exact n-gram Jaccard≥0.8 pair set; candidates
+    = the banded-LSH pair set — the dedup twin of ann_recall_eval,
+    closing the evaluation loop on the second approximate family.
+
+    Scale shape: both sides are the audited postings/banding
+    equi-join plans; the comparison is a full-outer pair-key join
+    over two near-dup-sized frames (≪ corpus), then 1-row counts."""
+    from .pipelineq import q_dedup_minhash_lsh, q_dedup_ngram_jaccard
+
+    exact = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("__ex")
+    )
+    cand = q_dedup_minhash_lsh(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("__ca")
+    )
+    j = exact.join(cand, ["id_a", "id_b"], "full_outer")
+    agg = j.agg(
+        F.sum(F.coalesce("__ex", F.lit(0))).alias("n_exact"),
+        F.sum(F.coalesce("__ca", F.lit(0))).alias("n_candidates"),
+        F.sum(
+            F.when(
+                F.col("__ex").isNotNull() & F.col("__ca").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_hits"),
+    )
+    return agg.select(
+        "n_exact",
+        "n_candidates",
+        "n_hits",
+        stable_round6(F.col("n_hits") / F.col("n_exact")).alias("recall"),
+        stable_round6(F.col("n_hits") / F.col("n_candidates")).alias(
+            "precision"
+        ),
+    )
+
+
+def _dedup_eval_oracle() -> str:
+    from .pipelineq import ORACLES as PIPE_ORACLES
+
+    exact = PIPE_ORACLES["dedup_ngram_jaccard"]
+    cand = PIPE_ORACLES["dedup_minhash_lsh"]
+    return f"""
+WITH ex AS (SELECT id_a, id_b FROM ({exact})),
+ca AS (SELECT id_a, id_b FROM ({cand})),
+j AS (
+  SELECT COALESCE(ex.id_a, ca.id_a) AS id_a,
+         CASE WHEN ex.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_ex,
+         CASE WHEN ca.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_ca
+  FROM ex FULL OUTER JOIN ca
+    ON ex.id_a = ca.id_a AND ex.id_b = ca.id_b
+)
+SELECT CAST(sum(is_ex) AS BIGINT) AS n_exact,
+       CAST(sum(is_ca) AS BIGINT) AS n_candidates,
+       CAST(sum(is_ex * is_ca) AS BIGINT) AS n_hits,
+       floor(sum(is_ex * is_ca) * 1.0 / sum(is_ex)
+             * 1000000.0 + 0.5) / 1000000.0 AS recall,
+       floor(sum(is_ex * is_ca) * 1.0 / sum(is_ca)
+             * 1000000.0 + 0.5) / 1000000.0 AS precision
+FROM j"""
+
+
+QUERIES["dedup_minhash_eval"] = q_dedup_minhash_eval
+ORACLES["dedup_minhash_eval"] = _dedup_eval_oracle()
