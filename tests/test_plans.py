@@ -453,3 +453,21 @@ def test_changelog_apply_single_window_shuffle_no_joins(spark):
     )
     assert s["sort_merge_joins"] == 0 and s["broadcast_hash_joins"] == 0
     assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
+
+
+def test_balanced_sample_broadcasts_min_quota(spark):
+    p = plan_of(spark, "sample_balanced")
+    # the data-derived cap is a 1-row broadcast, never a driver collect
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    s = plan_summary(registry.all_queries()["sample_balanced"](spark, SF))
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
+
+
+def test_monthend_balance_no_cartesian_no_python(spark):
+    s = plan_summary(
+        registry.all_queries()["olap_monthend_balance"](spark, SF)
+    )
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
+    p = plan_of(spark, "olap_monthend_balance")
+    assert "CartesianProduct" not in p

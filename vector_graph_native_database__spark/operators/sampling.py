@@ -232,3 +232,35 @@ def pack_greedy(
         )
         .select("id", "weight", "shard", "start_offset", "bin_id")
     )
+
+
+def balanced_downsample(
+    df: DataFrame,
+    class_col: str,
+    id_col: str = "id",
+    salt: str = "bal",
+) -> DataFrame:
+    """Class-balanced downsample → original columns + rk: every class
+    capped at the size of the SMALLEST class, members chosen by the
+    deterministic (md5-bucket, id) order — the majority-class
+    rebalancer a training mix runs before loss weighting is even
+    considered (contrast stratified_sample's fixed quota: here the
+    quota is data-derived).
+
+    Scale shape: class sizes are a class-cardinality aggregate whose
+    1-row minimum broadcasts back (never a driver collect); the cap
+    itself is the same single-shuffle per-class row_number window as
+    stratified_sample. Skewed majority classes are exactly the case
+    AQE's skew-split handles on the window exchange.
+    """
+    sizes = df.groupBy(class_col).agg(F.count("*").alias("__n"))
+    min_n = sizes.agg(F.min("__n").alias("__min_n"))
+    w = Window.partitionBy(class_col).orderBy(
+        stable_bucket(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(min_n))
+        .filter(F.col("rk") <= F.col("__min_n"))
+        .drop("__min_n")
+    )

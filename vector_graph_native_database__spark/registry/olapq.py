@@ -1528,3 +1528,106 @@ SELECT o_orderstatus, count(*) AS n_rows,
        CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE)
          AS total_price
 FROM snap GROUP BY o_orderstatus"""
+
+
+def q_olap_monthend_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-additive measure rollup → (month, n_customers,
+    total_balance): each customer's running order total (cumulative
+    o_totalprice in (o_orderdate, o_orderkey) order) is sampled at
+    each month end, carried forward through inactive months on a
+    per-customer month spine, then summed ACROSS customers per month
+    — sum-over-customers of last-in-month, the defining semi-additive
+    aggregation (balances add across accounts, never across time).
+
+    Scale shape: composition of already-audited shapes — one
+    window cumsum on the customer partitioning, the span-bounded
+    month spine + last(ignorenulls) fill from events_gapfill, and a
+    month-cardinality final aggregate. Cross-customer sums run in
+    DECIMAL over the 6dp-rounded balances so summation order cannot
+    shift the cents."""
+    from pyspark.sql.window import Window
+
+    from .common import stable_round6
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    wc = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    bal = orders.select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        "o_orderdate",
+        "o_orderkey",
+        F.sum("o_totalprice").over(wc).alias("bal"),
+    )
+    wm = Window.partitionBy("o_custkey", "month").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    month_end = (
+        bal.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "month", stable_round6(F.col("bal")).alias("bal"))
+    )
+    spans = month_end.groupBy("o_custkey").agg(
+        F.min("month").alias("m0"), F.max("month").alias("m1")
+    )
+    spine = spans.select(
+        "o_custkey",
+        F.explode(
+            F.sequence("m0", "m1", F.expr("interval 1 month"))
+        ).alias("month"),
+    )
+    wf = (
+        Window.partitionBy("o_custkey")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = spine.join(month_end, ["o_custkey", "month"], "left_outer").select(
+        "o_custkey",
+        F.date_format("month", "yyyy-MM").alias("month"),
+        F.last("bal", ignorenulls=True).over(wf).alias("bal"),
+    )
+    return filled.groupBy("month").agg(
+        F.count("*").alias("n_customers"),
+        _dec_sum(F.col("bal"), "total_balance"),
+    )
+
+
+QUERIES["olap_monthend_balance"] = q_olap_monthend_balance
+ORACLES["olap_monthend_balance"] = """
+WITH bal AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+         o_orderdate, o_orderkey,
+         sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+  FROM orders
+), month_end AS (
+  SELECT o_custkey, month,
+         floor(bal * 1000000.0 + 0.5) / 1000000.0 AS bal
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY o_custkey, month
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM bal)
+  WHERE rn = 1
+), spans AS (
+  SELECT o_custkey, min(month) AS m0, max(month) AS m1
+  FROM month_end GROUP BY o_custkey
+), spine AS (
+  SELECT o_custkey,
+         unnest(generate_series(m0, m1, INTERVAL 1 MONTH)) AS month
+  FROM spans
+), filled AS (
+  SELECT sp.o_custkey, strftime(sp.month, '%Y-%m') AS month,
+         last_value(me.bal IGNORE NULLS) OVER (
+           PARTITION BY sp.o_custkey ORDER BY sp.month
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+  FROM spine sp
+  LEFT JOIN month_end me
+    ON me.o_custkey = sp.o_custkey AND me.month = sp.month
+)
+SELECT month, count(*) AS n_customers,
+       CAST(round(sum(CAST(bal AS DECIMAL(30,10))), 2) AS DOUBLE)
+         AS total_balance
+FROM filled GROUP BY month"""

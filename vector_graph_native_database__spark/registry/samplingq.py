@@ -231,3 +231,25 @@ SELECT s.split,
 FROM chunks c JOIN split s ON s.id = c.id
 GROUP BY s.split""",
 }
+
+
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return sampling.balanced_downsample(
+        nodes.select("id", "lang"), class_col="lang"
+    )
+
+
+QUERIES["sample_balanced"] = q_sample_balanced
+ORACLES["sample_balanced"] = ORACLE_PRELUDE + f""",
+ranked AS (
+  SELECT id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_BUCKET.format(salt='bal')}, id) AS rk
+  FROM nodes
+),
+mn AS (SELECT min(n) AS min_n FROM
+       (SELECT count(*) AS n FROM nodes GROUP BY lang))
+SELECT id, lang, CAST(rk AS INT) AS rk
+FROM ranked, mn WHERE rk <= min_n"""
