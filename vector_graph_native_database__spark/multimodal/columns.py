@@ -180,3 +180,69 @@ def resize_plan(
         ).alias("out_h"),
         F.round(scale, 6).alias("scale"),
     )
+
+
+AUDIO_RMS_SCHEMA = "id string, n_frames long, mean_rms double, max_rms double"
+
+
+def audio_window_rms(
+    binary_df: DataFrame, frame: int = 256, hop: int = 128
+) -> DataFrame:
+    """Audio-shaped windowed feature extraction →
+    (id, n_frames, mean_rms, max_rms): the payload bytes are treated
+    as 8-bit PCM samples (centered at 128), sliced into overlapping
+    frames of ``frame`` samples at ``hop`` stride, per-frame RMS
+    energy computed, then summarized per clip — the exact windowing /
+    batch shape an MFCC or speech-embedding stage uses, with the
+    codec swapped for arithmetic so the whole Arrow path stays
+    oracle-checkable (a real pipeline decodes with libav where the
+    byte view is produced).
+
+    Scale shape: Arrow-batched ``mapInPandas``, one pass per
+    partition, no shuffle at all — output is one summary row per
+    clip; frames never materialize as DataFrame rows. Payloads
+    shorter than one frame are a single truncated frame; empty
+    payloads yield (0, 0.0, 0.0).
+    """
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "n_frames": [], "mean_rms": [], "max_rms": []}
+            for id_, buf in zip(pdf["id"], pdf["payload"]):
+                b = np.frombuffer(bytes(buf), dtype=np.uint8).astype(
+                    np.float64
+                ) - 128.0
+                n = len(b)
+                if n == 0:
+                    rms = np.zeros(0)
+                elif n < frame:
+                    rms = np.array([np.sqrt(np.mean(b * b))])
+                else:
+                    starts = range(0, n - frame + 1, hop)
+                    rms = np.array(
+                        [
+                            np.sqrt(np.mean(b[s : s + frame] ** 2))
+                            for s in starts
+                        ]
+                    )
+                out["id"].append(id_)
+                out["n_frames"].append(len(rms))
+                out["mean_rms"].append(
+                    float(rms.mean()) if len(rms) else 0.0
+                )
+                out["max_rms"].append(
+                    float(rms.max()) if len(rms) else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    raw = binary_df.select("id", "payload").mapInPandas(
+        extract, schema=AUDIO_RMS_SCHEMA
+    )
+    # round JVM-side (HALF_UP parity with the oracle, like the
+    # histogram extractor above)
+    r6 = lambda c: F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return raw.select(
+        "id", "n_frames", r6("mean_rms").alias("mean_rms"),
+        r6("max_rms").alias("max_rms"),
+    )

@@ -143,3 +143,38 @@ FROM edges e
 WHERE EXISTS (SELECT 1 FROM bfsr r WHERE r.id = e.src)
   AND EXISTS (SELECT 1 FROM bfsr r WHERE r.id = e.dst)""",
 }
+
+
+def q_graph_bipartite_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the author_of edges → weighted
+    co-attribution graph (id_a, id_b, w): items sharing an author
+    become an edge weighted by how many authors they share — how
+    co-citation / co-occurrence / co-purchase graphs are built from
+    any bipartite relation at corpus scale.
+
+    Scale shape: one self-equi-join on the hub key (src) bounded by
+    Σ deg_author² — never all-pairs across items; the a<b canonical
+    filter halves the join output and the weight aggregate is
+    map-side-combinable. A pathological super-hub (author with 10⁶
+    items) is exactly the salting/AQE-skew case documented in
+    operators/skew.py; degree-capping hubs before projecting is the
+    standard corpus-scale mitigation."""
+    _, _, edges = model(spark, sf_dir)
+    e = edges.filter(F.col("type") == "author_of").select("src", "dst")
+    a = e.select("src", F.col("dst").alias("id_a"))
+    b = e.select("src", F.col("dst").alias("id_b"))
+    return (
+        a.join(b, "src")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+QUERIES["graph_bipartite_project"] = q_graph_bipartite_project
+ORACLES["graph_bipartite_project"] = ORACLE_PRELUDE + """
+SELECT a.dst AS id_a, b.dst AS id_b, count(*) AS w
+FROM (SELECT src, dst FROM edges WHERE type = 'author_of') a
+JOIN (SELECT src, dst FROM edges WHERE type = 'author_of') b
+  ON b.src = a.src AND a.dst < b.dst
+GROUP BY a.dst, b.dst"""

@@ -145,3 +145,42 @@ FROM (
         FROM (SELECT id, octet_length(encode(text)) AS n FROM nodes))
 )""",
 }
+
+
+def q_mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.columns import audio_window_rms
+
+    nodes, _, _ = model(spark, sf_dir)
+    return audio_window_rms(attach_binary(nodes))
+
+
+QUERIES["mm_audio_rms"] = q_mm_audio_rms
+# text is ASCII in the harness (verified above), so ascii(substr) == byte
+ORACLES["mm_audio_rms"] = ORACLE_PRELUDE + """,
+b AS (SELECT id, text, octet_length(encode(text)) AS n FROM nodes),
+frames AS (
+  SELECT id, text, n,
+         unnest(generate_series(
+           0, CASE WHEN n < 256 THEN 0 ELSE (n - 256) // 128 END)) AS fi
+  FROM b WHERE n > 0
+),
+vals AS (
+  SELECT f.id, f.fi,
+         ascii(substr(f.text, f.fi * 128 + i.i, 1)) - 128.0 AS v
+  FROM frames f CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(
+      1, CASE WHEN f.n < 256 THEN f.n ELSE 256 END)) AS i) i
+),
+rms AS (
+  SELECT id, fi, sqrt(avg(v * v)) AS r FROM vals GROUP BY id, fi
+),
+summary AS (
+  SELECT id, count(*) AS n_frames,
+         floor(avg(r) * 1000000.0 + 0.5) / 1000000.0 AS mean_rms,
+         floor(max(r) * 1000000.0 + 0.5) / 1000000.0 AS max_rms
+  FROM rms GROUP BY id
+)
+SELECT b.id, COALESCE(s.n_frames, 0) AS n_frames,
+       COALESCE(s.mean_rms, 0.0) AS mean_rms,
+       COALESCE(s.max_rms, 0.0) AS max_rms
+FROM b LEFT JOIN summary s ON s.id = b.id"""
