@@ -482,3 +482,31 @@ def test_tws_plan_builds_without_protobuf(spark):
     assert df.schema.simpleString().startswith(
         "struct<user_id:bigint,n_events:bigint"
     )
+
+
+def test_time_travel_versions_and_orphan_rejection(spark, tmp_path):
+    import os
+
+    from vector_graph_native_database__spark.streaming.ingest import (
+        commit_state,
+        list_state_versions,
+        read_state_version,
+    )
+
+    state = str(tmp_path / "state")
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    df2 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    v1 = commit_state(df1, state)
+    v2 = commit_state(df2, state)
+    assert list_state_versions(state) == [v1, v2]
+    assert read_state_version(spark, state, v1).count() == 1
+    assert read_state_version(spark, state, v2).count() == 2
+    # an uncommitted orphan newer than _CURRENT must not be readable
+    orphan = os.path.join(state, "v999999")
+    os.makedirs(orphan)
+    assert "v999999" not in list_state_versions(state)
+    try:
+        read_state_version(spark, state, "v999999")
+        assert False, "orphan read should raise"
+    except ValueError:
+        pass

@@ -821,3 +821,161 @@ SELECT user_id, day,
        count(*) AS n_events,
        floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS sum_value
 FROM r GROUP BY user_id, day"""
+
+
+def q_state_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel over the transactional state store → per status:
+    (o_orderstatus, n_v1, n_v2): version 1 is the raw orders
+    snapshot, version 2 the snapshot after the I/U/D changelog of
+    cdc_changelog_apply; the entry reads BOTH committed versions back
+    (the store retains n−1 beside the live n — the same contract as
+    Delta VERSION AS OF over the retention window) and compares
+    their per-status counts. A broken pointer flip, a GC that eats
+    the previous version, or a commit that mutates v1 in place all
+    change the n_v1 column and fail the value gate."""
+    import os as _os
+
+    from ..operators.cdc import changelog_apply
+    from ..streaming.ingest import (
+        commit_state,
+        list_state_versions,
+        read_state_version,
+    )
+    from .common import scratch_dir
+
+    state = _os.path.join(scratch_dir("state_time_travel"), "state")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    commit_state(orders, state)
+    k = F.col("o_orderkey")
+    log = (
+        orders.filter(k % 10 == 0)
+        .select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            F.lit(1).cast("long").alias("seq"), F.lit("D").alias("op"),
+        )
+        .unionByName(
+            orders.filter(k % 10 == 2).select(
+                (k + 10_000_000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+                F.lit(1).cast("long").alias("seq"),
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    commit_state(changelog_apply(orders, log, ["o_orderkey"]), state)
+    v1, v2 = list_state_versions(state)[-2:]
+    a = (
+        read_state_version(spark, state, v1)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_v1"))
+    )
+    b = (
+        read_state_version(spark, state, v2)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_v2"))
+    )
+    return (
+        a.join(b, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            F.coalesce("n_v1", F.lit(0)).alias("n_v1"),
+            F.coalesce("n_v2", F.lit(0)).alias("n_v2"),
+        )
+    )
+
+
+QUERIES["state_time_travel"] = q_state_time_travel
+ORACLES["state_time_travel"] = """
+WITH v1 AS (
+  SELECT o_orderstatus, count(*) AS n_v1 FROM orders GROUP BY 1
+), snap AS (
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N' FROM orders WHERE o_orderkey % 10 = 2
+), v2 AS (
+  SELECT o_orderstatus, count(*) AS n_v2 FROM snap GROUP BY 1
+)
+SELECT COALESCE(v1.o_orderstatus, v2.o_orderstatus) AS o_orderstatus,
+       COALESCE(n_v1, 0) AS n_v1, COALESCE(n_v2, 0) AS n_v2
+FROM v1 FULL OUTER JOIN v2 ON v1.o_orderstatus = v2.o_orderstatus"""
+
+
+def q_events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SESSION-window aggregation through the real
+    streaming engine in append mode: gap-based sessions
+    (``session_window``, 30-min gap) finalize only when the event-
+    time watermark (1 h) passes the session end (= last event +
+    gap); the closing availableNow micro-batch emits exactly those.
+    The cutoff is a pure function of the data, so the DuckDB twin
+    reproduces the emitted set exactly — the gate value-checks
+    Spark's stateful session MERGING + late-data finalization, the
+    semantics `events_session` (batch) cannot exercise."""
+    import os
+
+    from ..streaming.ingest import EVENTS_SCHEMA
+
+    base = scratch_dir("events_stream_session")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
+QUERIES["events_stream_session"] = q_events_stream_session
+ORACLES["events_stream_session"] = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS sid
+  FROM o
+), agg AS (
+  SELECT user_id, sid,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n_events,
+         round(sum(value), 6) AS sum_value
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, session_start, n_events, sum_value
+FROM agg, (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+WHERE session_end <= wm"""

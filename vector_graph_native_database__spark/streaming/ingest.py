@@ -451,3 +451,36 @@ def incremental_kmv_maintenance(
     )
     q.awaitTermination()
     return q
+
+
+def list_state_versions(state_dir: str) -> list[str]:
+    """Version dirs present on disk, oldest first. The commit
+    protocol retains the previous version alongside the live one, so
+    the last two entries are (n−1, n) — the time-travel window this
+    store guarantees. Orphan dirs newer than _CURRENT (from a crashed
+    commit) are excluded: only versions at or before the live pointer
+    are readable history."""
+    cur = _current_version(state_dir)
+    if cur is None:
+        return []
+    return [
+        d
+        for d in sorted(os.listdir(state_dir))
+        if d.startswith("v") and d <= cur
+        and os.path.isdir(os.path.join(state_dir, d))
+    ]
+
+
+def read_state_version(
+    spark: SparkSession, state_dir: str, version: str
+) -> DataFrame:
+    """Time-travel read of a specific committed snapshot (same
+    contract as a Delta VERSION AS OF over the retained window).
+    Raises if the version is not on disk or is an uncommitted
+    orphan (newer than _CURRENT)."""
+    if version not in list_state_versions(state_dir):
+        raise ValueError(
+            f"version {version!r} not readable in {state_dir} "
+            f"(have {list_state_versions(state_dir)})"
+        )
+    return spark.read.parquet(os.path.join(state_dir, version))
