@@ -178,3 +178,107 @@ FROM (SELECT src, dst FROM edges WHERE type = 'author_of') a
 JOIN (SELECT src, dst FROM edges WHERE type = 'author_of') b
   ON b.src = a.src AND a.dst < b.dst
 GROUP BY a.dst, b.dst"""
+
+
+WALK_STEPS = 3
+
+
+def q_graph_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-guided random-walk corpus → one row per
+    start vertex: (start, walk, walk_len): node2vec/DeepWalk-style
+    sequence generation with the RNG replaced by md5 ordering — at
+    each step the walker at ``cur`` moves to the out-neighbor with
+    the smallest md5(start‖step‖dst) (ties by dst), or stays put at
+    a dead end. Deterministic ⇒ the whole corpus is value-checkable;
+    a production embedding pipeline swaps the hash for a seeded RNG
+    and keeps the identical plan shape.
+
+    Scale shape: ``steps`` rounds of frontier ⨝ adjacency on the
+    current-node key, the argmin as a per-start row_number over the
+    joined candidates (bounded by out-degree, AQE-skew-splittable on
+    hubs) — the exact plan family of BFS/PageRank rounds; walks are
+    strings, never arrays, so the output stays scalar-typed."""
+    _, _, edges = model(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    adj = edges.select("src", "dst").distinct()
+    cur = (
+        adj.select("src")
+        .union(edges.select("dst"))
+        .distinct()
+        .select(
+            F.col("src").alias("start"),
+            F.col("src").alias("node"),
+            F.col("src").alias("walk"),
+        )
+    )
+    for i in range(WALK_STEPS):
+        cand = cur.join(adj, cur["node"] == adj["src"], "left_outer")
+        h = F.md5(
+            F.concat(
+                F.col("start"), F.lit(f"#{i}#"), F.coalesce("dst", F.lit(""))
+            )
+        )
+        w = Window.partitionBy("start").orderBy(
+            F.when(F.col("dst").isNull(), F.lit(1)).otherwise(F.lit(0)),
+            h,
+            "dst",
+        )
+        cur = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "start",
+                F.coalesce("dst", "node").alias("node"),
+                F.when(
+                    F.col("dst").isNull(), F.col("walk")
+                ).otherwise(
+                    F.concat(F.col("walk"), F.lit(">"), F.col("dst"))
+                ).alias("walk"),
+            )
+        )
+    return cur.select(
+        "start",
+        "walk",
+        (F.size(F.split("walk", ">")) - 1).alias("walk_len"),
+    )
+
+
+def _walk_sql(steps: int = WALK_STEPS) -> str:
+    ctes = [
+        """,
+adj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+w0 AS MATERIALIZED (
+  SELECT v AS start, v AS node, v AS walk FROM (
+    SELECT DISTINCT src AS v FROM edges
+    UNION SELECT DISTINCT dst FROM edges))"""
+    ]
+    for i in range(steps):
+        ctes.append(
+            f""",
+c{i} AS MATERIALIZED (
+  SELECT w.start, w.node, w.walk, a.dst,
+         row_number() OVER (
+           PARTITION BY w.start
+           ORDER BY CASE WHEN a.dst IS NULL THEN 1 ELSE 0 END,
+                    md5(w.start || '#{i}#' || COALESCE(a.dst, '')),
+                    a.dst) AS rn
+  FROM w{i} w LEFT JOIN adj a ON a.src = w.node),
+w{i + 1} AS MATERIALIZED (
+  SELECT start, COALESCE(dst, node) AS node,
+         CASE WHEN dst IS NULL THEN walk
+              ELSE walk || '>' || dst END AS walk
+  FROM c{i} WHERE rn = 1)"""
+        )
+    return (
+        ORACLE_PRELUDE
+        + "".join(ctes)
+        + f"""
+SELECT start, walk,
+       CAST(len(string_split(walk, '>')) - 1 AS INT) AS walk_len
+FROM w{steps}"""
+    )
+
+
+QUERIES["graph_walk_corpus"] = q_graph_walk_corpus
+ORACLES["graph_walk_corpus"] = _walk_sql()

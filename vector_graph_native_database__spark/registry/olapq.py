@@ -1631,3 +1631,74 @@ SELECT month, count(*) AS n_customers,
        CAST(round(sum(CAST(bal AS DECIMAL(30,10))), 2) AS DOUBLE)
          AS total_balance
 FROM filled GROUP BY month"""
+
+
+def q_olap_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation → (n_name, o_year,
+    revenue, yoy_pct): the standard BI comparison — revenue at the
+    (nation, year) grain, each row joined to its prior year via a
+    lag window, growth as a percentage (NULL for a nation's first
+    year).
+
+    Scale shape: the grain aggregate does all the data reduction
+    (nation×year rows) before any window runs; the lag partitions by
+    nation over a few rows each — the window cost is the aggregate's
+    output, never the fact table. Revenue sums in DECIMAL; the
+    growth ratio divides the two exact decimals before rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    grain = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                cust.select("c_custkey", "c_nationkey").join(
+                    F.broadcast(nation.select("n_nationkey", "n_name")),
+                    F.col("c_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(rev.cast(_DEC)).alias("rev"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("n_name").orderBy("o_year")
+    prev = F.lag("rev").over(w)
+    return grain.select(
+        "n_name",
+        "o_year",
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        F.round(
+            ((F.col("rev") - prev) * F.lit(100).cast(_DEC) / prev).cast(
+                "double"
+            ),
+            6,
+        ).alias("yoy_pct"),
+    )
+
+
+QUERIES["olap_yoy_growth"] = q_olap_yoy_growth
+ORACLES["olap_yoy_growth"] = """
+WITH grain AS (
+  SELECT n_name, year(o_orderdate) AS o_year,
+         sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(30,10))) AS rev
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name, year(o_orderdate)
+)
+SELECT n_name, o_year,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       round(CAST((rev - lag(rev) OVER w) * CAST(100 AS DECIMAL(30,10))
+                  / lag(rev) OVER w AS DOUBLE), 6) AS yoy_pct
+FROM grain
+WINDOW w AS (PARTITION BY n_name ORDER BY o_year)"""
