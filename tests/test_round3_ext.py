@@ -754,3 +754,28 @@ def test_zipf_fit_exact_on_synthetic_power_law(spark):
     row = zipf_fit(df, topn=8).collect()[0]
     assert row["n_terms"] == 8
     assert abs(row["slope"] + 1.0) < 0.05  # 64//r truncation wiggle
+
+
+def test_walk_corpus_deterministic_and_deadend_stays(spark):
+    import hashlib
+
+    from vector_graph_native_database__spark.registry import graphq
+
+    # a -> {b, c}; b,c are dead ends. The step-0 choice from a must be
+    # the md5-argmin of ('a#0#b','a#0#c'); dead ends stay put for the
+    # remaining steps, so every walk has length <= 1.
+    ev = _edges(spark, [("a", "b"), ("a", "c")])
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        graphq, "model", side_effect=lambda s, d: (None, None, ev)
+    ):
+        rows = {
+            r["start"]: (r["walk"], r["walk_len"])
+            for r in graphq.q_graph_walk_corpus(spark, "unused").collect()
+        }
+    pick = min(
+        ["b", "c"], key=lambda d: hashlib.md5(f"a#0#{d}".encode()).hexdigest()
+    )
+    assert rows["a"] == (f"a>{pick}", 1)
+    assert rows["b"] == ("b", 0) and rows["c"] == ("c", 0)
