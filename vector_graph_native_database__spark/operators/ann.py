@@ -1300,3 +1300,65 @@ def binary_rerank_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "id", "cos", "rnk")
     )
+
+
+def matryoshka_rerank_topk(
+    emb: DataFrame,
+    query_ids: list[str],
+    k: int = 5,
+    prefix_dim: int = 16,
+    candidates: int = 20,
+) -> DataFrame:
+    """Matryoshka (MRL) two-stage retrieval → (qid, id, cos, rnk):
+    stage 1 scores cosine over only the FIRST ``prefix_dim``
+    components (the nested sub-embedding an MRL-trained encoder
+    makes meaningful) to pick ``candidates`` per query; stage 2
+    re-ranks those with the full-dimension exact cosine and keeps
+    top ``k``. The dimension-tiered cousin of the binary-Hamming
+    rerank: stage 1 reads prefix_dim/dim of the vector bytes — with
+    a column layout storing the prefix separately, the candidate
+    scan touches a fraction of the embedding storage at 100 TB.
+
+    Scale shape: both stages are the audited broadcast-query shape;
+    stage 2's input is |queries|·candidates rows, never the corpus.
+    Ties break by id ASC at both stages (engine-parity rule).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.vectorfn import cosine
+
+    q = emb.filter(F.col("node_id").isin(query_ids)).select(
+        F.col("node_id").alias("qid"), F.col("vector").alias("qvec"), "dim"
+    )
+    pre = (
+        emb.join(F.broadcast(q), "dim")
+        .filter(F.col("node_id") != F.col("qid"))
+        .withColumn(
+            "pcos",
+            cosine(
+                F.slice("vector", 1, prefix_dim),
+                F.slice("qvec", 1, prefix_dim),
+            ),
+        )
+    )
+    w1 = Window.partitionBy("qid").orderBy(
+        F.desc(
+            F.floor(F.col("pcos") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ),
+        F.asc("node_id"),
+    )
+    cand = pre.withColumn("prnk", F.row_number().over(w1)).filter(
+        F.col("prnk") <= candidates
+    )
+    cos6 = F.floor(
+        cosine("vector", "qvec") * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    w2 = Window.partitionBy("qid").orderBy(
+        F.desc("cos"), F.asc("node_id")
+    )
+    return (
+        cand.withColumn("cos", cos6)
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("qid", F.col("node_id").alias("id"), "cos", "rnk")
+    )

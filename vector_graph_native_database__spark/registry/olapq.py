@@ -1702,3 +1702,59 @@ SELECT n_name, o_year,
                   / lag(rev) OVER w AS DOUBLE), 6) AS yoy_pct
 FROM grain
 WINDOW w AS (PARTITION BY n_name ORDER BY o_year)"""
+
+
+def q_olap_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day order revenue → (day, revenue, rolling_7d):
+    daily DECIMAL revenue plus a RANGE-framed window sum over the
+    trailing week — the time-RANGE frame (vs the ROWS frames used
+    elsewhere): days missing from the data contribute nothing and
+    the frame is defined by VALUE distance, so gaps are handled
+    without a spine.
+
+    Scale shape: the daily aggregate reduces the fact table to
+    |days| rows before the window; the RANGE frame runs over that
+    tiny frame on epoch-day ordering. Output sums are 2dp decimals
+    (the 6dp-vs-ULP note at the top of this module)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.date_trunc("day", "o_orderdate").alias("day")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev"))
+        .select(
+            "day",
+            (F.unix_timestamp("day") / F.lit(86400)).cast("long").alias(
+                "epoch_day"
+            ),
+            "rev",
+        )
+    )
+    w = (
+        Window.orderBy("epoch_day")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(F.sum("rev").over(w), 2).cast("double").alias("rolling_7d"),
+    )
+
+
+QUERIES["olap_rolling_revenue"] = q_olap_rolling_revenue
+ORACLES["olap_rolling_revenue"] = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(epoch(date_trunc('day', o_orderdate)) // 86400 AS BIGINT)
+           AS epoch_day,
+         sum(CAST(o_totalprice AS DECIMAL(30,10))) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       CAST(round(sum(rev) OVER (
+         ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 2) AS DOUBLE) AS rolling_7d
+FROM daily"""

@@ -1231,3 +1231,58 @@ SELECT n_terms,
        floor((sy - slope * sx) / n_terms * 1000000.0 + 0.5) / 1000000.0
          AS intercept
 FROM fit"""
+
+
+def q_ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, emb, _ = model(spark, sf_dir)
+    return ann.matryoshka_rerank_topk(
+        emb, ANN_QUERY_IDS, k=5, prefix_dim=16, candidates=20
+    )
+
+
+QUERIES["ann_matryoshka_topk"] = q_ann_matryoshka_topk
+ORACLES["ann_matryoshka_topk"] = ORACLE_PRELUDE + f""",
+q AS (SELECT node_id AS qid, vector AS qvec, dim FROM emb
+      WHERE node_id IN {_IDS_IN}),
+pre AS (
+  SELECT q.qid, e.node_id AS id, e.vector, q.qvec,
+         floor(CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb)
+                    ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS pcos
+  FROM emb e JOIN q ON e.dim = q.dim AND e.node_id <> q.qid
+  CROSS JOIN LATERAL (
+    SELECT list_dot_product(CAST(e.vector[1:16] AS DOUBLE[]),
+                            CAST(q.qvec[1:16] AS DOUBLE[])) AS d,
+           sqrt(list_dot_product(CAST(e.vector[1:16] AS DOUBLE[]),
+                                 CAST(e.vector[1:16] AS DOUBLE[]))) AS na,
+           sqrt(list_dot_product(CAST(q.qvec[1:16] AS DOUBLE[]),
+                                 CAST(q.qvec[1:16] AS DOUBLE[]))) AS nb
+  ) t
+),
+cand AS (
+  SELECT qid, id, vector, qvec FROM (
+    SELECT qid, id, vector, qvec,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY pcos DESC, id ASC) AS prnk
+    FROM pre
+  ) WHERE prnk <= 20
+),
+rer AS (
+  SELECT c.qid, c.id,
+         floor(CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb)
+                    ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM cand c
+  CROSS JOIN LATERAL (
+    SELECT list_dot_product(CAST(c.vector AS DOUBLE[]),
+                            CAST(c.qvec AS DOUBLE[])) AS d,
+           sqrt(list_dot_product(CAST(c.vector AS DOUBLE[]),
+                                 CAST(c.vector AS DOUBLE[]))) AS na,
+           sqrt(list_dot_product(CAST(c.qvec AS DOUBLE[]),
+                                 CAST(c.qvec AS DOUBLE[]))) AS nb
+  ) t
+)
+SELECT qid, id, cos, rnk FROM (
+  SELECT qid, id, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, id ASC) AS rnk
+  FROM rer
+) WHERE rnk <= 5"""
