@@ -83,6 +83,10 @@ HEADLINE = [
     "events_ewma",
     "dq_constraint_check",
     "profile_table_stats",
+    # closing wave: MRL tiered retrieval, walk corpus, CDC compaction
+    "ann_matryoshka_topk",
+    "graph_walk_corpus",
+    "cdc_changelog_apply",
 ]
 
 
