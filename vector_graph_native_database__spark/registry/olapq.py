@@ -1758,3 +1758,127 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
          ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
        ), 2) AS DOUBLE) AS rolling_7d
 FROM daily"""
+
+
+HLL_TILE_SEC = 6 * 3600  # 6-hour tiles; sliding window = 2 tiles
+
+
+def q_hll_window_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tile windowing → (win, est_distinct, exact_distinct):
+    per-6-hour HLL register tiles over user_id, max-merged into every
+    12-hour sliding window (stride 6 h) WITHOUT rescanning events —
+    the 'OLAP cube of sketches' pattern that makes distinct-count
+    dashboards tractable at 100 TB: tiles are computed once at ingest
+    grain and ANY window is a register merge. The 'ALL' row merges
+    every tile (whole-stream distinct from the same state). Exact
+    distinct counts ride along to expose the realized error, and the
+    register merge itself is what the value gate checks — a tile
+    boundary bug or a double merge shifts registers and fails.
+
+    Scale shape: one scan builds the tile registers (map-side max
+    per (tile, reg)); windowing explodes REGISTERS (≤ m rows/tile),
+    never events."""
+    from ..operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    tile = (
+        F.floor(
+            F.unix_micros("ts") / F.lit(1_000_000) / F.lit(HLL_TILE_SEC)
+        )
+    ).cast("long")
+    evt = ev.select(tile.alias("tile"), "user_id")
+    regs = hll_registers(evt, "tile", "user_id", m=64, salt="hllw")
+    win_regs = (
+        regs.select(
+            F.explode(
+                F.array(
+                    F.col("grp").cast("long"),
+                    F.col("grp").cast("long") - 1,
+                )
+            ).alias("win"),
+            "reg",
+            "mrho",
+        )
+        .groupBy("win", "reg")
+        .agg(F.max("mrho").alias("mrho"))
+        .select(F.col("win").cast("string").alias("grp"), "reg", "mrho")
+    )
+    ev_windows = evt.select(
+        F.explode(
+            F.array(F.col("tile"), F.col("tile") - 1)
+        ).alias("win"),
+        "user_id",
+    ).select(F.col("win").cast("string").alias("win"), "user_id")
+    return hll_estimate_from_registers(
+        win_regs, ev_windows, "win", "user_id", m=64
+    )
+
+
+QUERIES["hll_window_tiles"] = q_hll_window_tiles
+ORACLES["hll_window_tiles"] = f"""
+WITH evt AS (
+  SELECT CAST(floor(epoch(ts) / {HLL_TILE_SEC}) AS BIGINT) AS tile,
+         user_id AS v
+  FROM events WHERE user_id IS NOT NULL
+),
+hashed AS (
+  SELECT tile,
+         ('0x' || substr(md5('hllw' || CAST(v AS VARCHAR)), 1, 15))::BIGINT
+           AS h
+  FROM evt
+),
+rho AS (
+  SELECT tile, h % 64 AS reg,
+         CASE WHEN (h // 64) % 1125899906842624 = 0 THEN 51
+              ELSE 51 - length(ltrim(bin((h // 64) % 1125899906842624),
+                                     '0')) END AS rho
+  FROM hashed
+),
+tregs AS (SELECT tile, reg, max(rho) AS mrho FROM rho GROUP BY tile, reg),
+wregs AS (
+  SELECT w.win, reg, max(mrho) AS mrho
+  FROM tregs t CROSS JOIN LATERAL (
+    SELECT unnest([t.tile, t.tile - 1]) AS win) w
+  GROUP BY w.win, reg
+),
+merged AS (SELECT reg, max(mrho) AS mrho FROM wregs GROUP BY reg),
+evw AS (
+  SELECT w.win, e.v FROM evt e CROSS JOIN LATERAL (
+    SELECT unnest([e.tile, e.tile - 1]) AS win) w
+),
+estg AS (
+  SELECT win, sum(power(2.0, -mrho)) + (64 - count(*)) AS s,
+         64 - count(*) AS zeros
+  FROM wregs GROUP BY win
+),
+estu AS (
+  SELECT sum(power(2.0, -mrho)) + (64 - count(*)) AS s,
+         64 - count(*) AS zeros
+  FROM merged
+),
+exactg AS (SELECT win, count(DISTINCT v) AS exact_distinct
+           FROM evw GROUP BY win),
+exactu AS (SELECT count(DISTINCT v) AS exact_distinct FROM evw),
+fin AS (
+  SELECT CAST(g.win AS VARCHAR) AS win, g.zeros,
+         (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 / g.s AS raw,
+         e.exact_distinct
+  FROM estg g JOIN exactg e ON e.win = g.win
+  UNION ALL
+  SELECT 'ALL', u.zeros,
+         (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 / u.s,
+         x.exact_distinct
+  FROM estu u CROSS JOIN exactu x
+)
+SELECT win,
+       floor((CASE WHEN raw <= 160.0 AND zeros > 0
+                   THEN 64.0 * ln(64.0 / zeros)
+                   ELSE raw END) * 1000000.0 + 0.5) / 1000000.0
+         AS est_distinct,
+       exact_distinct
+FROM fin"""

@@ -284,3 +284,43 @@ FROM j"""
 
 QUERIES["dedup_minhash_eval"] = q_dedup_minhash_eval
 ORACLES["dedup_minhash_eval"] = _dedup_eval_oracle()
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword lang-ID heuristic against the
+    labeled lang column → (true_lang, pred_lang, n): the
+    classifier-evaluation twin of ann_recall_eval/dedup_minhash_eval
+    — every heuristic the curation pipeline gates on needs its error
+    matrix measured on labeled data before it filters a corpus.
+
+    Scale shape: prediction is the existing per-doc projection; the
+    matrix is one groupBy on two low-cardinality keys (map-side
+    combinable, |langs|² output rows)."""
+    from ..operators.text_analysis import lang_id
+    from ..sources import nodes_df
+
+    nodes = nodes_df(spark, sf_dir)
+    pred = lang_id(nodes)
+    truth = nodes.select("id", F.col("lang").alias("true_lang"))
+    return (
+        truth.join(pred, "id")
+        .groupBy("true_lang", F.col("guessed_lang").alias("pred_lang"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    from .pipelineq import ORACLES as PIPE_ORACLES
+
+    pred = PIPE_ORACLES["text_lang_id"]
+    return f"""
+SELECT n.lang AS true_lang, p.guessed_lang AS pred_lang,
+       count(*) AS n
+FROM ({pred}) p
+JOIN (SELECT CAST(doc_id AS VARCHAR) AS id, lang FROM documents) n
+  ON n.id = p.id
+GROUP BY 1, 2"""
+
+
+QUERIES["lang_id_confusion"] = q_lang_id_confusion
+ORACLES["lang_id_confusion"] = _lang_confusion_oracle()
