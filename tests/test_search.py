@@ -237,3 +237,25 @@ def test_bm25_matches_independent_formula(spark):
     want = _bm25_reference(corpus, "quick fox")
     for i in corpus:
         assert got[i] == pytest.approx(want.get(i, 0.0), abs=1e-9), i
+
+
+def test_phrase_search_order_sensitive_and_counts(spark):
+    from vector_graph_native_database__spark.operators.bm25 import (
+        phrase_search,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "hash table hash table scan"),
+            ("d2", "table hash"),
+            ("d3", "table scan hash"),
+        ],
+        "id string, text string",
+    )
+    got = {
+        r["id"]: (r["n_occurrences"], r["rnk"])
+        for r in phrase_search(df, ["hash", "table"]).collect()
+    }
+    # d1 has the phrase twice; d2 has only the REVERSED phrase; d3 has
+    # both tokens non-adjacent — order and adjacency must both matter
+    assert got == {"d1": (2, 1)}

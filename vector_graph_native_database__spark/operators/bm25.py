@@ -235,3 +235,49 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(top_k)
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Exact phrase search via positional postings →
+    (id, n_occurrences, rnk): documents containing the tokens of
+    ``phrase`` at consecutive positions, ranked by occurrence count
+    (ties by id ASC) — the positional-index feature BM25 bag-of-words
+    scoring cannot express ("table hash" ≠ "hash table").
+
+    Scale shape: the positional posting (id, tok, pos) is the same
+    explode as the BM25 postings with ``posexplode`` carrying the
+    offset; each phrase token FILTERS the posting before any join, so
+    the n−1 position equi-joins run over per-token posting slices
+    (term-frequency-sized, broadcast-eligible for rare terms — the
+    selective-term-first join order a query planner picks from df
+    stats). Top-k compiles to TakeOrderedAndProject.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.textfn import tokenize
+
+    posting = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokenize(text_col)).alias("pos", "tok"),
+    )
+    cur = posting.filter(F.col("tok") == phrase[0]).select(
+        "id", F.col("pos").alias("p0")
+    )
+    for i, tok in enumerate(phrase[1:], start=1):
+        nxt = posting.filter(F.col("tok") == tok).select(
+            "id", (F.col("pos") - i).alias("p0")
+        )
+        cur = cur.join(nxt, ["id", "p0"])
+    counts = cur.groupBy("id").agg(F.count("*").alias("n_occurrences"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("id"))
+    return (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("id"))
+        .limit(k)
+        .withColumn("rnk", F.row_number().over(w))
+    )

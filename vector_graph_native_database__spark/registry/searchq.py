@@ -273,3 +273,43 @@ fused AS (
 SELECT * FROM fused WHERE rrf_score > 0
 ORDER BY rrf_score DESC, id ASC LIMIT 15""",
 }
+
+
+PHRASE = ["table", "hash"]
+
+
+def q_bm25_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bm25 import phrase_search
+
+    nodes, _, _ = model(spark, sf_dir)
+    return phrase_search(nodes, PHRASE, k=20)
+
+
+QUERIES["bm25_phrase_search"] = q_bm25_phrase_search
+_TOKS = r""",
+toks AS (
+  SELECT id, list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+  FROM nodes
+)"""
+
+ORACLES["bm25_phrase_search"] = ORACLE_PRELUDE + _TOKS + f""",
+posting AS (
+  SELECT id, t[i.i] AS tok, i.i - 1 AS pos
+  FROM toks CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(t))) AS i) i
+),
+m AS (
+  SELECT a.id, count(*) AS n_occurrences
+  FROM (SELECT id, pos FROM posting WHERE tok = '{PHRASE[0]}') a
+  JOIN (SELECT id, pos - 1 AS pos FROM posting
+        WHERE tok = '{PHRASE[1]}') b
+    ON b.id = a.id AND b.pos = a.pos
+  GROUP BY a.id
+)
+SELECT id, n_occurrences,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, id ASC) AS INT)
+         AS rnk
+FROM m
+ORDER BY n_occurrences DESC, id ASC
+LIMIT 20"""
