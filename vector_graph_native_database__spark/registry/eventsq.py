@@ -979,3 +979,92 @@ WITH o AS (
 SELECT user_id, session_start, n_events, sum_value
 FROM agg, (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
 WHERE session_end <= wm"""
+
+
+def q_events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bitmap audience retention → per consecutive active-day
+    pair: (day, next_day, n_active_bits, n_retained_bits): each day's
+    active users hash into a 4096-bit bitmap stored as 64 bigint
+    words (word = h/63 mod 64, bit = h mod 63 — 63 bits/word so the
+    sign bit never shifts, which DuckDB rejects — OR-aggregated);
+    day-over-day retained audience = Σ popcount(w_today & w_next) —
+    the roaring-bitmap/audience-intersection pattern that answers
+    'how many of yesterday's users returned' from ~0.5 KB per day
+    instead of a user-level self-join (collisions overcount slightly;
+    the bitmap is a sketch, deterministic here via the shared md5
+    family so the gate value-checks every word).
+
+    Scale shape: one scan → (day, word) bit_or aggregate (map-side
+    combinable, 64 rows/day); the retention join runs over day×word
+    frames — audiences of any size intersect in 64-row-pair
+    popcounts. At 100 TB this is THE pattern for audience overlap
+    dashboards."""
+    from ..operators.dedup import stable_hash60
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    h = stable_hash60(
+        F.concat(F.lit("bm"), F.col("user_id").cast("string"))
+    )
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    hashed = ev.select(day.alias("day"), h.alias("h"))
+    words = (
+        hashed.select(
+            "day",
+            F.pmod(F.expr("h div 63"), F.lit(64)).alias("word"),
+            F.expr("shiftleft(1L, cast(h % 63 as int))").alias("m"),
+        )
+        .groupBy("day", "word")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+    a = words.select("day", "word", F.col("mask").alias("m_a"))
+    b = words.select(
+        F.col("day").alias("next_day"), "word", F.col("mask").alias("m_b")
+    )
+    days = words.select("day").distinct()
+    from pyspark.sql.window import Window
+
+    nxt = days.withColumn(
+        "next_day", F.lead("day").over(Window.orderBy("day"))
+    ).filter(F.col("next_day").isNotNull())
+    j = (
+        nxt.join(a, "day")
+        .join(b, ["next_day", "word"], "left_outer")
+    )
+    return j.groupBy("day", "next_day").agg(
+        F.sum(F.bit_count("m_a")).alias("n_active_bits"),
+        F.sum(
+            F.bit_count(
+                F.col("m_a").bitwiseAND(
+                    F.coalesce("m_b", F.lit(0).cast("long"))
+                )
+            )
+        ).alias("n_retained_bits"),
+    )
+
+
+QUERIES["events_bitmap_retention"] = q_events_bitmap_retention
+ORACLES["events_bitmap_retention"] = """
+WITH h AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         ('0x' || substr(md5('bm' || CAST(user_id AS VARCHAR)), 1, 15))
+           ::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+words AS (
+  SELECT day, (h // 63) % 64 AS word,
+         bit_or(1::BIGINT << CAST(h % 63 AS INT)) AS mask
+  FROM h GROUP BY day, word
+),
+days AS (
+  SELECT day, lead(day) OVER (ORDER BY day) AS next_day
+  FROM (SELECT DISTINCT day FROM words)
+)
+SELECT d.day, d.next_day,
+       CAST(sum(bit_count(a.mask)) AS BIGINT) AS n_active_bits,
+       CAST(sum(bit_count(a.mask & COALESCE(b.mask, 0))) AS BIGINT)
+         AS n_retained_bits
+FROM days d
+JOIN words a ON a.day = d.day
+LEFT JOIN words b ON b.day = d.next_day AND b.word = a.word
+WHERE d.next_day IS NOT NULL
+GROUP BY d.day, d.next_day"""
