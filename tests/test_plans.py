@@ -471,3 +471,41 @@ def test_monthend_balance_no_cartesian_no_python(spark):
     assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
     p = plan_of(spark, "olap_monthend_balance")
     assert "CartesianProduct" not in p
+
+
+def test_phrase_search_filters_postings_before_join(spark):
+    p = plan_of(spark, "bm25_phrase_search")
+    assert "TakeOrderedAndProject" in p  # top-k never a global sort
+    assert "CartesianProduct" not in p
+    # the token filters must reach the posting build, not run post-join
+    s = plan_summary(registry.all_queries()["bm25_phrase_search"](spark, SF))
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
+
+
+def test_bitmap_retention_word_frames_only(spark):
+    s = plan_summary(
+        registry.all_queries()["events_bitmap_retention"](spark, SF)
+    )
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
+    p = plan_of(spark, "events_bitmap_retention")
+    assert "CartesianProduct" not in p
+
+
+def test_hll_window_tiles_explodes_registers_not_events(spark):
+    # the window explode must sit ABOVE the per-tile register
+    # aggregate: one scan of events, and the explode's input is the
+    # register frame (<= 64 rows per tile)
+    from vector_graph_native_database__spark.plans import plan_string
+
+    df = registry.all_queries()["hll_window_tiles"](spark, SF)
+    p = plan_string(df)
+    assert p.count("Generate explode") >= 1
+    s = plan_summary(df)
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
+
+
+def test_walk_corpus_no_cartesian_per_round(spark):
+    p = plan_of(spark, "graph_walk_corpus")
+    assert "CartesianProduct" not in p
+    s = plan_summary(registry.all_queries()["graph_walk_corpus"](spark, SF))
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
