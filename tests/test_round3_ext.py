@@ -779,3 +779,29 @@ def test_walk_corpus_deterministic_and_deadend_stays(spark):
     )
     assert rows["a"] == (f"a>{pick}", 1)
     assert rows["b"] == ("b", 0) and rows["c"] == ("c", 0)
+
+
+def test_ivm_delta_drops_emptied_groups_and_adds_new(spark):
+    from vector_graph_native_database__spark.operators.cdc import (
+        ivm_aggregate_delta,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)],
+        "k long, g string, v double",
+    )
+    # delete BOTH 'a' rows (group empties out) and insert a new group
+    log = spark.createDataFrame(
+        [
+            (1, "a", 10.0, "D"),
+            (2, "a", 20.0, "D"),
+            (9, "c", 7.0, "I"),
+            (3, "b", 8.0, "U"),
+        ],
+        "k long, g string, v double, op string",
+    )
+    got = {
+        r["g"]: (r["n"], float(r["tv"]))
+        for r in ivm_aggregate_delta(base, log, ["k"], "g", "v").collect()
+    }
+    assert got == {"b": (1, 8.0), "c": (1, 7.0)}  # 'a' gone, 'c' new

@@ -102,3 +102,65 @@ def changelog_apply(
         .filter((F.col("__rn") == 1) & (F.col(op_col) != "D"))
         .drop("__rn", seq_col, op_col)
     )
+
+
+def ivm_aggregate_delta(
+    base: DataFrame,
+    compacted_log: DataFrame,
+    key_cols: Sequence[str],
+    group_col: str,
+    value_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental view maintenance of the aggregate view
+    ``group → (n_rows, total)`` under an I/U/D changelog →
+    the maintained view, WITHOUT re-aggregating the base table's
+    unaffected rows: the delta frame is −(old contribution of
+    affected keys) ∪ +(new contribution of surviving log rows),
+    group-summed and added onto the stored view; groups whose count
+    reaches zero drop out (exactly what a recompute would produce —
+    the classic count+sum self-maintainable view).
+
+    ``compacted_log`` carries one winner row per key (run
+    ``changelog_apply``-style compaction first if the raw log has
+    seq chains); 'D' rows mark deletes. At 100 TB this is the whole
+    point of IVM: the delta side is changelog-sized, the view side
+    is group-cardinality-sized, and the base table is touched ONLY
+    for the affected keys (a key-list semi-join that prunes on the
+    join key) — never rescanned. Sums run in DECIMAL so increments
+    commute exactly.
+    """
+    keys = list(key_cols)
+    dec = "decimal(30,10)"
+    v = F.col(value_col).cast(dec)
+    affected = compacted_log.select(*keys).distinct()
+    old_neg = (
+        base.join(affected, keys, "left_semi")
+        .groupBy(group_col)
+        .agg(
+            (-F.count("*")).alias("dn"),
+            (-F.sum(v)).alias("dv"),
+        )
+    )
+    new_pos = (
+        compacted_log.filter(F.col(op_col) != "D")
+        .groupBy(group_col)
+        .agg(F.count("*").alias("dn"), F.sum(v).alias("dv"))
+    )
+    delta = (
+        old_neg.unionByName(new_pos)
+        .groupBy(group_col)
+        .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
+    )
+    view = base.groupBy(group_col).agg(
+        F.count("*").alias("n"), F.sum(v).alias("tv")
+    )
+    merged = view.join(delta, group_col, "full_outer").select(
+        group_col,
+        (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+        (
+            F.coalesce(F.col("tv"), F.lit(0).cast(dec))
+            + F.coalesce(F.col("dv"), F.lit(0).cast(dec))
+        ).alias("tv"),
+    )
+    return merged.filter(F.col("n") > 0)

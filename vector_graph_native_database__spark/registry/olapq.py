@@ -1882,3 +1882,59 @@ SELECT win,
          AS est_distinct,
        exact_distinct
 FROM fin"""
+
+
+def q_ivm_aggregate_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance proven against recompute → per
+    status: (o_orderstatus, n_rows, total_price): the per-status
+    count+revenue view is DELTA-maintained under the compacted I/U/D
+    changelog (same rules as cdc_changelog_apply with the update
+    chain pre-compacted to its winner: ≡0 mod 10 deleted, ≡1 price
+    ×3, ≡2 inserted as 'N') — and the oracle RECOMPUTES the view on
+    the applied snapshot, so the gate proves delta-maintenance ≡
+    recompute, the IVM correctness contract. The base table is
+    touched only via an affected-key semi-join; the delta frame is
+    changelog-sized (operators/cdc.ivm_aggregate_delta)."""
+    from ..operators.cdc import ivm_aggregate_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    log = (
+        orders.filter(k % 10 == 0)
+        .select(
+            "o_orderkey", "o_orderstatus", "o_totalprice",
+            F.lit("D").alias("op"),
+        )
+        .unionByName(
+            orders.filter(k % 10 == 1).select(
+                "o_orderkey",
+                "o_orderstatus",
+                (F.col("o_totalprice") * 3).alias("o_totalprice"),
+                F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            orders.filter(k % 10 == 2).select(
+                (k + 10_000_000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    view = ivm_aggregate_delta(
+        orders, log, ["o_orderkey"], "o_orderstatus", "o_totalprice"
+    )
+    return view.select(
+        "o_orderstatus",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(F.col("tv"), 2).cast("double").alias("total_price"),
+    )
+
+
+QUERIES["ivm_aggregate_maintenance"] = q_ivm_aggregate_maintenance
+# the recompute-on-applied-snapshot oracle — identical to the
+# changelog_apply one by design: that equality IS the IVM contract
+ORACLES["ivm_aggregate_maintenance"] = ORACLES["cdc_changelog_apply"]
