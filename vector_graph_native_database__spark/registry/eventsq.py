@@ -1068,3 +1068,73 @@ JOIN words a ON a.day = d.day
 LEFT JOIN words b ON b.day = d.next_day AND b.word = a.word
 WHERE d.next_day IS NOT NULL
 GROUP BY d.day, d.next_day"""
+
+
+def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation → (r, f, m, n_users): per user,
+    recency (days since last event, vs the stream's max ts),
+    frequency (event count) and monetary (summed value) are each
+    scored into quintiles with ``ntile(5)`` (recency ordered so
+    MOST recent = score 5), then users are counted per (r, f, m)
+    cell — the marketing-standard segmentation grid.
+
+    Scale shape: one per-user aggregate does all data reduction;
+    the three ntile windows run over the user-cardinality frame.
+    ntile is deterministic here because every ORDER BY ends with
+    user_id; the remainder-to-leading-buckets rule is identical in
+    Spark and DuckDB, which the value gate proves. The global max-ts
+    anchor is a 1-row broadcast."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    anchor = ev.agg(F.max("ts").alias("max_ts"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("freq"),
+            F.sum("value").alias("money"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("max_ts", "last_ts").alias("rec_days"),
+            "freq",
+            F.floor(F.col("money") * F.lit(1e6) + F.lit(0.5)).alias(
+                "money6"
+            ),
+        )
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.desc("rec_days"), F.asc("user_id"))
+    )
+    f = F.ntile(5).over(Window.orderBy(F.asc("freq"), F.asc("user_id")))
+    m = F.ntile(5).over(
+        Window.orderBy(F.asc("money6"), F.asc("user_id"))
+    )
+    return (
+        per_user.select(r.alias("r"), f.alias("f"), m.alias("m"))
+        .groupBy("r", "f", "m")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+QUERIES["events_rfm_segments"] = q_events_rfm_segments
+ORACLES["events_rfm_segments"] = """
+WITH anchor AS (SELECT max(ts) AS max_ts FROM events
+                WHERE user_id IS NOT NULL),
+per_user AS (
+  SELECT user_id,
+         date_diff('day', CAST(max(ts) AS DATE),
+                   CAST((SELECT max_ts FROM anchor) AS DATE)) AS rec_days,
+         count(*) AS freq,
+         floor(sum(value) * 1000000.0 + 0.5) AS money6
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+scored AS (
+  SELECT ntile(5) OVER (ORDER BY rec_days DESC, user_id ASC) AS r,
+         ntile(5) OVER (ORDER BY freq ASC, user_id ASC) AS f,
+         ntile(5) OVER (ORDER BY money6 ASC, user_id ASC) AS m
+  FROM per_user
+)
+SELECT r, f, m, count(*) AS n_users FROM scored GROUP BY r, f, m"""

@@ -184,3 +184,57 @@ SELECT b.id, COALESCE(s.n_frames, 0) AS n_frames,
        COALESCE(s.mean_rms, 0.0) AS mean_rms,
        COALESCE(s.max_rms, 0.0) AS max_rms
 FROM b LEFT JOIN summary s ON s.id = b.id"""
+
+
+def q_mm_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.columns import video_shot_boundaries
+
+    nodes, _, _ = model(spark, sf_dir)
+    return video_shot_boundaries(attach_binary(nodes))
+
+
+QUERIES["mm_video_shots"] = q_mm_video_shots
+# L1 distances are sums of k/64 terms (exact powers of two), so the
+# threshold compare is float-exact in both engines
+ORACLES["mm_video_shots"] = ORACLE_PRELUDE + """,
+b AS (SELECT id, text, octet_length(encode(text)) // 64 AS n FROM nodes),
+frames AS (
+  SELECT id, text, n, unnest(generate_series(0, n - 1)) AS fi
+  FROM b WHERE n > 0
+),
+pos AS (
+  SELECT f.id, f.fi,
+         ascii(substr(f.text, f.fi * 64 + i.i, 1)) // 16 AS bin
+  FROM frames f CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, 64)) AS i) i
+),
+hist AS (
+  SELECT id, fi, bin, count(*) / 64.0 AS h FROM pos GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT DISTINCT f.id, f.fi, g.bin
+  FROM frames f CROSS JOIN (
+    SELECT unnest(generate_series(0, 15)) AS bin) g
+),
+hfull AS (
+  SELECT g.id, g.fi, g.bin, COALESCE(h.h, 0.0) AS h
+  FROM grid g LEFT JOIN hist h
+    ON h.id = g.id AND h.fi = g.fi AND h.bin = g.bin
+),
+dists AS (
+  SELECT a.id, a.fi + 1 AS boundary, sum(abs(a.h - nx.h)) AS d
+  FROM hfull a JOIN hfull nx
+    ON nx.id = a.id AND nx.fi = a.fi + 1 AND nx.bin = a.bin
+  GROUP BY a.id, a.fi
+),
+cuts AS (SELECT id, boundary FROM dists WHERE d > 0.5),
+summary AS (
+  SELECT b.id, b.n AS n_frames,
+         CASE WHEN b.n = 0 THEN 0
+              ELSE COALESCE(c.nc, 0) + 1 END AS n_shots,
+         COALESCE(c.fb, -1) AS first_boundary
+  FROM b LEFT JOIN (
+    SELECT id, count(*) AS nc, min(boundary) AS fb FROM cuts GROUP BY id
+  ) c ON c.id = b.id
+)
+SELECT id, n_frames, n_shots, first_boundary FROM summary"""
