@@ -282,3 +282,46 @@ FROM w{steps}"""
 
 QUERIES["graph_walk_corpus"] = q_graph_walk_corpus
 ORACLES["graph_walk_corpus"] = _walk_sql()
+
+
+def q_graph_reciprocal_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-edge detection → (a, b, w_ab, w_ba): canonical
+    pairs where BOTH directions exist — the mutual-follow/2-cycle
+    primitive of social-graph analytics (and the degenerate-SCC case
+    a full Tarjan decomposition is not needed for; the general SCC
+    recursion is deliberately out of scope — documented, not faked).
+
+    Scale shape: one self-equi-join of the deduped edge list on the
+    reversed key, a<b filter keeps each mutual pair once; weights
+    aggregate max per direction before the join so multi-edges
+    never multiply the join."""
+    _, _, edges = model(spark, sf_dir)
+    e = (
+        edges.groupBy("src", "dst")
+        .agg(F.max("weight").alias("w"))
+    )
+    fwd = e.select("src", "dst", F.col("w").alias("w_ab"))
+    rev = e.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("w").alias("w_ba"),
+    )
+    return (
+        fwd.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.round("w_ab", 6).alias("w_ab"),
+            F.round("w_ba", 6).alias("w_ba"),
+        )
+    )
+
+
+QUERIES["graph_reciprocal_edges"] = q_graph_reciprocal_edges
+ORACLES["graph_reciprocal_edges"] = ORACLE_PRELUDE + """,
+e AS (SELECT src, dst, max(weight) AS w FROM edges GROUP BY src, dst)
+SELECT a.src AS a, a.dst AS b,
+       round(a.w, 6) AS w_ab, round(b.w, 6) AS w_ba
+FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src
+WHERE a.src < a.dst"""
