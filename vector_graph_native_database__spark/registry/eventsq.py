@@ -1138,3 +1138,54 @@ scored AS (
   FROM per_user
 )
 SELECT r, f, m, count(*) AS n_users FROM scored GROUP BY r, f, m"""
+
+
+def q_events_error_rate_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-rate SLI → (window_start, n_total, n_errors,
+    error_pct, breach): the on-call dashboard query — error share per
+    epoch-aligned tumbling hour with a breach flag at the 25% SLO.
+
+    Scale shape: one map-side-combinable conditional aggregate per
+    (hour) key; the SAME expression runs under Structured Streaming
+    with a watermark (the tumbling machinery of streaming/windows.py)
+    — this batch twin is what backfills the SLI history. The percent
+    divides exact longs before rounding, so parity is trivial."""
+    ev = _events(spark, sf_dir)
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00")
+    from .common import stable_round6
+
+    return (
+        ev.groupBy(hour.alias("window_start"))
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(
+                (F.col("event_type") == "error").cast("long")
+            ).alias("n_errors"),
+        )
+        .select(
+            "window_start",
+            "n_total",
+            "n_errors",
+            stable_round6(
+                F.col("n_errors") * F.lit(100.0) / F.col("n_total")
+            ).alias("error_pct"),
+            (F.col("n_errors") * 4 > F.col("n_total")).cast("int").alias(
+                "breach"
+            ),
+        )
+    )
+
+
+QUERIES["events_error_rate_sli"] = q_events_error_rate_sli
+ORACLES["events_error_rate_sli"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00')
+         AS window_start,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors,
+       floor(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             * 100.0 / count(*) * 1000000.0 + 0.5) / 1000000.0
+         AS error_pct,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 4
+            > count(*) AS INT) AS breach
+FROM events GROUP BY 1"""

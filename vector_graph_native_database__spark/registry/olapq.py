@@ -1938,3 +1938,67 @@ QUERIES["ivm_aggregate_maintenance"] = q_ivm_aggregate_maintenance
 # the recompute-on-applied-snapshot oracle — identical to the
 # changelog_apply one by design: that equality IS the IVM contract
 ORACLES["ivm_aggregate_maintenance"] = ORACLES["cdc_changelog_apply"]
+
+
+def q_olap_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report → (n_name, revenue, pct_of_total): each
+    nation's share of total revenue via a PARTITION-LESS window sum
+    over the grain aggregate — the report-percent window feature
+    (vs market_share's two-level conditional aggregate).
+
+    Scale shape: the nation grain does all the reduction; the
+    unpartitioned window runs over |nations| rows — a single-task
+    window is only safe BECAUSE the frame is dimension-sized, which
+    is the documented contract for ratio-to-report at any scale
+    (never run an unpartitioned window over a fact table)."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    grain = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                cust.select("c_custkey", "c_nationkey").join(
+                    F.broadcast(nation.select("n_nationkey", "n_name")),
+                    F.col("c_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev.cast(_DEC)).alias("rev"))
+    )
+    total = F.sum("rev").over(Window.partitionBy())
+    return grain.select(
+        "n_name",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(
+            (F.col("rev") * F.lit(100).cast(_DEC) / total).cast("double"),
+            6,
+        ).alias("pct_of_total"),
+    )
+
+
+QUERIES["olap_ratio_to_report"] = q_olap_ratio_to_report
+ORACLES["olap_ratio_to_report"] = """
+WITH grain AS (
+  SELECT n_name,
+         sum(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(30,10))) AS rev
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       round(CAST(rev * CAST(100 AS DECIMAL(30,10))
+                  / sum(rev) OVER () AS DOUBLE), 6) AS pct_of_total
+FROM grain"""
