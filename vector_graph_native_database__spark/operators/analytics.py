@@ -1001,7 +1001,10 @@ def ktruss_peel(
     (a, b, support): edges of the undirected graph (canonical a<b,
     multi-edges and direction collapsed) whose triangle support
     survives ``rounds`` passes of "drop every edge in fewer than
-    k−2 triangles", with the support recomputed on the final graph.
+    k−2 triangles", with the support recomputed on the final graph
+    (left join: an edge that survived every peel round but sits in
+    zero triangles of the final graph is kept with support 0 — in
+    particular k<=2 keeps all edges, matching the 2-truss identity).
     The cohesion filter one notch above k-core: a k-truss edge sits
     in at least k−2 triangles of the truss itself (Cohen 2008).
 
@@ -1038,10 +1041,17 @@ def ktruss_peel(
     cur = und
     for _ in range(rounds):
         sup = support(cur)
-        keep = sup.filter(F.col("support") >= k - 2).select("a", "b")
-        cur = cur.join(keep, ["a", "b"], "left_semi").localCheckpoint(
-            eager=True
+        # left join + coalesce: an edge in zero triangles has support
+        # 0, which still satisfies k <= 2 (a semi-join against the
+        # triangle-derived support frame would silently drop it).
+        cur = (
+            cur.join(sup, ["a", "b"], "left_outer")
+            .filter(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
         )
-    return cur.join(support(cur), ["a", "b"], "inner").select(
-        "a", "b", "support"
+    return cur.join(support(cur), ["a", "b"], "left_outer").select(
+        "a",
+        "b",
+        F.coalesce("support", F.lit(0)).cast("long").alias("support"),
     )

@@ -77,8 +77,14 @@ def changelog_apply(
 
     ``changelog`` rows carry the full payload plus ``op`` ∈
     {'I','U','D'} and a monotonically increasing ``seq``; the base
-    snapshot acts as seq 0. Per key, the highest-seq row wins; a
-    winning 'D' removes the key. One union + ONE per-key window
+    snapshot acts as seq 0. Per key, the highest-seq row wins, with
+    changelog rows beating the synthetic base row on an equal seq
+    (so a log entry carrying seq 0 still deterministically overrides
+    the snapshot); a winning 'D' removes the key. Duplicate seqs
+    WITHIN the changelog for one key are a producer contract
+    violation (Debezium/Kafka offsets are unique per key) — the
+    source tiebreak makes base-vs-log ties deterministic but
+    log-vs-log ties are undefined. One union + ONE per-key window
     shuffle — never a join per operation type, never a driver loop
     over the log. At 100 TB the changelog is the small delta and the
     per-key window is the same single-shuffle shape as scd2_merge;
@@ -93,14 +99,19 @@ def changelog_apply(
         *keys, *payload,
         F.lit(0).cast("long").alias(seq_col),
         F.lit("I").alias(op_col),
+        F.lit(0).alias("__src"),
     )
-    log_v = changelog.select(*keys, *payload, seq_col, op_col)
-    w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
+    log_v = changelog.select(
+        *keys, *payload, seq_col, op_col, F.lit(1).alias("__src")
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(seq_col), F.desc("__src")
+    )
     return (
         base_v.unionByName(log_v)
         .withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") == 1) & (F.col(op_col) != "D"))
-        .drop("__rn", seq_col, op_col)
+        .drop("__rn", "__src", seq_col, op_col)
     )
 
 

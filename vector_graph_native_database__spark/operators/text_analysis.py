@@ -744,7 +744,6 @@ def zipf_fit(
         F.log(F.col("rnk").cast("double")).alias("x"),
         F.log(F.col("cnt").cast("double")).alias("y"),
     )
-    n = F.count("*").cast("double")
     agg = xy.agg(
         F.count("*").alias("n_terms"),
         (

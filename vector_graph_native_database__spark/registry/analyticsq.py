@@ -657,7 +657,9 @@ def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ktruss_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS) -> str:
     """Unrolled fixed-round twin of ktruss_peel: per round, a
     triangle CTE (ordered a<b<c double join), a 3-slot support
-    aggregate, and a semi-join filter keeping support ≥ k−2;
+    aggregate, and a semi-join filter keeping support ≥ k−2; the
+    final support is a LEFT join with coalesce 0 so zero-triangle
+    survivors are kept (mirrors ktruss_peel);
     MATERIALIZED everywhere a CTE is referenced more than once."""
     ctes = [
         """,
@@ -681,7 +683,8 @@ s{r} AS MATERIALIZED (
   GROUP BY a, b),
 u{r + 1} AS MATERIALIZED (
   SELECT u.a, u.b FROM u{r} u
-  JOIN s{r} s ON s.a = u.a AND s.b = u.b AND s.sup >= {k - 2})"""
+  LEFT JOIN s{r} s ON s.a = u.a AND s.b = u.b
+  WHERE coalesce(s.sup, 0) >= {k - 2})"""
         )
     rr = rounds
     return (
@@ -699,8 +702,8 @@ sf AS (
     UNION ALL SELECT y, z FROM tf
     UNION ALL SELECT x, z FROM tf)
   GROUP BY a, b)
-SELECT u.a, u.b, sf.support
-FROM u{rr} u JOIN sf ON sf.a = u.a AND sf.b = u.b"""
+SELECT u.a, u.b, CAST(coalesce(sf.support, 0) AS BIGINT) AS support
+FROM u{rr} u LEFT JOIN sf ON sf.a = u.a AND sf.b = u.b"""
     )
 
 

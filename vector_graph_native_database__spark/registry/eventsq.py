@@ -955,7 +955,7 @@ def q_events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["events_stream_session"] = q_events_stream_session
 ORACLES["events_stream_session"] = """
 WITH o AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
                    > 30 * 60 * 1000000
@@ -964,7 +964,7 @@ WITH o AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts, value,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, ts
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING
                           AND CURRENT ROW) AS sid
   FROM o
