@@ -1,15 +1,28 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Runs each headline query end-to-end (noop sink — full materialization
-of every output column, no driver collect overhead) and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+Two phases, one JSON line:
+
+1. CANARY — the fixed 19-query set shared with the round-1 measured
+   baseline (BASELINE.md round-1 table, 50.7s total) runs FIRST, in
+   its own fresh JVM (a subprocess), 3 repetitions, per-query median.
+   This is the round-over-round comparable number: same queries, same
+   isolation, every round. Reported as "canary" / "canary_total" /
+   "canary_baseline_ratio".
+2. WIDE — the full headline set (every operator family) runs once in
+   this process's own session (noop sink — full materialization of
+   every output column, no driver collect overhead). Reported as
+   "queries" / "value" (the driver's historical fields).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {name: sec}, "canary": {name: sec}, ...}.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
@@ -17,9 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Representative of every operator family; the full registry is the
-# correctness surface, this is the performance surface.
-HEADLINE = [
+# The 19 queries shared with the round-1 measured baseline
+# (BASELINE.md "Measured baseline (round 1)" table). FIXED — never
+# add to or reorder this list; it is the cross-round canary.
+CANARY = [
     "scan_nodes",
     "vector_topk",
     "vector_topk_filtered",
@@ -31,7 +45,6 @@ HEADLINE = [
     "minmax_normalize",
     "node_upsert",
     "node_delete_cascade",
-    # extension families: analytics / dedup / ANN / text / windows
     "graph_pagerank",
     "graph_connected_components",
     "dedup_minhash_lsh",
@@ -40,6 +53,36 @@ HEADLINE = [
     "text_quality_score",
     "doc_fingerprint",
     "events_session",
+]
+
+# Round-1 per-query baseline seconds (BASELINE.md round-1 table).
+CANARY_BASELINE = {
+    "scan_nodes": 2.9,
+    "vector_topk": 2.0,
+    "vector_topk_filtered": 1.4,
+    "bm25_topk": 6.7,
+    "graph_bfs": 3.4,
+    "graph_search": 2.5,
+    "hybrid_search": 2.8,
+    "embed_hash": 1.8,
+    "minmax_normalize": 1.1,
+    "node_upsert": 1.4,
+    "node_delete_cascade": 2.1,
+    "graph_pagerank": 4.4,
+    "graph_connected_components": 2.1,
+    "dedup_minhash_lsh": 4.5,
+    "dedup_embedding_cosine": 5.4,
+    "ann_brute_topk": 1.8,
+    "text_quality_score": 1.1,
+    "doc_fingerprint": 2.1,
+    "events_session": 1.1,
+}
+
+CANARY_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+# Representative of every operator family; the full registry is the
+# correctness surface, this is the performance surface.
+HEADLINE = CANARY + [
     # corpus preparation: chunking + composed clean pipeline
     "doc_chunk",
     "corpus_clean",
@@ -87,10 +130,17 @@ HEADLINE = [
     "ann_matryoshka_topk",
     "graph_walk_corpus",
     "cdc_changelog_apply",
+    # round-4: BM25 deployment shape — corpus stats staged once, the
+    # per-query scoring join benched without the stat recompute
+    "bm25_topk_indexed",
 ]
 
 
-def main() -> None:
+def _run_set(
+    names: list[str], reps: int
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Time each query end-to-end (noop sink) ``reps`` times in one
+    session; return per-query median seconds + errors."""
     from vector_graph_native_database__spark import registry
     from vector_graph_native_database__spark.session import get_spark
 
@@ -101,20 +151,67 @@ def main() -> None:
     # Warm the JVM/executor pool so query 1 doesn't pay startup.
     spark.range(1000).count()
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    times: dict[str, float] = {}
-    extra = [k for k in qs if k in set(os.environ.get(
-        "SPARK_GRAFT_BENCH_EXTRA", "").split(",")) and k not in HEADLINE]
+    samples: dict[str, list[float]] = {n: [] for n in names}
     errors: dict[str, str] = {}
-    for name in HEADLINE + extra:
-        fn = qs[name]
-        t0 = time.time()
-        try:
-            df = fn(spark, SF_DIR)
-            df.write.mode("overwrite").format("noop").save()
-            times[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # one bad query must not kill the bench
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+    for _ in range(reps):
+        for name in names:
+            if name in errors or name not in qs:
+                if name not in qs:
+                    errors[name] = "not in registry"
+                continue
+            t0 = time.time()
+            try:
+                df = qs[name](spark, SF_DIR)
+                df.write.mode("overwrite").format("noop").save()
+                samples[name].append(time.time() - t0)
+            except Exception as exc:  # one bad query must not kill it
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+    times = {
+        n: round(statistics.median(v), 3)
+        for n, v in samples.items()
+        if v
+    }
+    return times, errors
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    if "--canary" in sys.argv:
+        # Child mode: the canary set alone, in this fresh JVM.
+        times, errors = _run_set(CANARY, CANARY_REPS)
+        print(json.dumps({"canary": times, "errors": errors}))
+        return
+
+    # Phase 1: canary in its OWN fresh JVM, before anything else
+    # touches Spark in this process.
+    canary: dict[str, float] = {}
+    canary_err: dict[str, str] = {}
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--canary"],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            env=os.environ.copy(),
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                parsed = json.loads(line)
+                canary = parsed.get("canary", {})
+                canary_err = parsed.get("errors", {})
+                break
+    except Exception as exc:  # canary failure must not kill the bench
+        canary_err["__subprocess__"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # Phase 2: the wide headline set, once, in this process's session.
+    extra = [
+        k
+        for k in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",")
+        if k and k not in HEADLINE
+    ]
+    times, errors = _run_set(HEADLINE + extra, 1)
 
     out = {
         "metric": "headline query wall-clock, noop sink",
@@ -122,9 +219,24 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "canary": canary,
+        "canary_total": round(sum(canary.values()), 3),
+        "canary_reps": CANARY_REPS,
+        "canary_note": (
+            "fixed shared-19 set vs BASELINE.md round-1 table; own "
+            "fresh JVM, median of reps"
+        ),
     }
-    if errors:
-        out["errors"] = errors
+    if canary and all(n in canary for n in CANARY):
+        base_total = sum(CANARY_BASELINE.values())
+        out["canary_baseline_ratio"] = round(
+            out["canary_total"] / base_total, 3
+        )
+        out["canary_worst_query_ratio"] = round(
+            max(canary[n] / CANARY_BASELINE[n] for n in CANARY), 3
+        )
+    if errors or canary_err:
+        out["errors"] = {**canary_err, **errors}
     print(json.dumps(out))
 
 

@@ -39,6 +39,15 @@ def test_ktruss_k2_keeps_triangle_free_edges_support0(spark):
     }
 
 
+def test_bm25_topk_indexed_equals_cold(spark, sf_dir):
+    from vector_graph_native_database__spark.registry import searchq
+
+    cold = searchq.q_bm25_topk(spark, sf_dir).collect()
+    staged = searchq.q_bm25_topk_indexed(spark, sf_dir).collect()
+    assert [tuple(r) for r in cold] == [tuple(r) for r in staged]
+    assert len(cold) > 0
+
+
 def test_changelog_apply_seq_tie_log_beats_base(spark):
     from vector_graph_native_database__spark.operators.cdc import (
         changelog_apply,

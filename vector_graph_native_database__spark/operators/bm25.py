@@ -101,6 +101,26 @@ def build_index(nodes: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     return corpus_stats(nodes, persist=True)
 
 
+def staged_index(nodes: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Stats over an eagerly STAGED posting frame — the deployment
+    shape where the posting list already exists as a table and a
+    query pays only the scoring joins.
+
+    ``localCheckpoint(eager=True)`` materializes the scan → explode →
+    groupBy posting build exactly once and truncates lineage, so the
+    3-4 downstream consumers (tf, doclen, df_, global idf average)
+    read the staged partitions instead of re-deriving them from the
+    parquet scan (the cold path's dominant cost). Same staging idiom
+    as dedup_cluster_from_pairs. A 100 TB deployment swaps the
+    checkpoint for a persisted posting table partitioned by tok,
+    incrementally maintained (streaming/ingest.py proves the
+    maintained stats equal the recompute); scoring semantics are
+    byte-identical either way.
+    """
+    posting = posting_frame(nodes).localCheckpoint(eager=True)
+    return stats_from_posting(posting)
+
+
 def _globals_df(doclen: DataFrame, df_: DataFrame) -> DataFrame:
     """One-row frame (__n_docs, __avgdl, __avg_idf) — broadcast scalar.
 

@@ -53,6 +53,19 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25.bm25_topk(nodes, BM25_QUERY, top_k=15, round_scores=6)
 
 
+def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment shape of bm25_topk: the posting frame is staged
+    (eager localCheckpoint — the in-plan analog of a persisted,
+    incrementally-maintained posting table) and the query pays only
+    the scoring joins on top of it. Results are byte-identical to
+    the cold entry; the oracle is the same SQL."""
+    nodes, _, _ = model(spark, sf_dir)
+    stats = bm25.staged_index(nodes)
+    return bm25.bm25_topk(
+        nodes, BM25_QUERY, top_k=15, round_scores=6, stats=stats
+    )
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, emb, edges = model(spark, sf_dir)
     return hybrid.hybrid_search(
@@ -188,6 +201,7 @@ QUERIES = {
     "vector_topk_filtered": q_vector_topk_filtered,
     "bm25_score": q_bm25_score,
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_indexed": q_bm25_topk_indexed,
     "hybrid_search": q_hybrid_search,
     "hybrid_vector_only": q_hybrid_vector_only,
     "hybrid_graph_only": q_hybrid_graph_only,
@@ -214,6 +228,14 @@ ORDER BY round(s.score, 6) DESC, s.id ASC LIMIT 10""",
 SELECT n.id, round(coalesce(c.score, 0.0), 6) AS score
 FROM nodes n LEFT JOIN contrib c ON c.id = n.id ORDER BY n.id""",
     "bm25_topk": ORACLE_PRELUDE
+    + _BM25_CTES
+    + """
+SELECT n.id, n.text, round(c.score, 6) AS score
+FROM contrib c JOIN nodes n ON n.id = c.id
+WHERE round(c.score, 6) > 0
+ORDER BY round(c.score, 6) DESC, n.id ASC LIMIT 15""",
+    # Staging changes the physical plan only — same result contract.
+    "bm25_topk_indexed": ORACLE_PRELUDE
     + _BM25_CTES
     + """
 SELECT n.id, n.text, round(c.score, 6) AS score
