@@ -67,3 +67,170 @@ def test_changelog_apply_seq_tie_log_beats_base(spark):
         for r in changelog_apply(base, log, ["k"]).collect()
     }
     assert got == {"a": 10.0}
+
+
+def _png_bytes(w, h, color_type=2):
+    """Minimal valid PNG via stdlib zlib/struct (no PIL needed)."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x7f" * (w * channels) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gif_bytes(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 20
+
+
+def _bmp_bytes(w, h, bits=24):
+    import struct
+
+    dib = struct.pack("<IiiHH", 40, w, h, 1, bits) + b"\x00" * 20
+    return b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + dib
+
+
+def _jpeg_bytes(w, h, channels=3):
+    import struct
+
+    sof0 = struct.pack(">BBHHB", 8, 0, 0, 0, 0)  # placeholder
+    sof0 = struct.pack(">BHHB", 8, h, w, channels) + b"\x01\x11\x00" * channels
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    return (
+        b"\xff\xd8"
+        + app0
+        + b"\xff\xc0"
+        + struct.pack(">H", 2 + len(sof0))
+        + sof0
+        + b"\xff\xd9"
+    )
+
+
+def _wav_bytes(n_channels=2, rate=44100, n_frames=1000):
+    import io
+    import wave
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * n_channels * n_frames)
+    return bio.getvalue()
+
+
+def test_sniff_image_meta_real_formats():
+    from vector_graph_native_database__spark.multimodal import (
+        sniff_image_meta,
+    )
+
+    assert sniff_image_meta(_png_bytes(320, 200)) == (320, 200, 3)
+    assert sniff_image_meta(_png_bytes(7, 9, color_type=6)) == (7, 9, 4)
+    assert sniff_image_meta(_gif_bytes(100, 50)) == (100, 50, 3)
+    assert sniff_image_meta(_bmp_bytes(640, 480)) == (640, 480, 3)
+    assert sniff_image_meta(_jpeg_bytes(1920, 1080)) == (1920, 1080, 3)
+    assert sniff_image_meta(b"not an image at all") is None
+
+
+def test_decode_image_meta_real_and_auto_backends(spark):
+    from vector_graph_native_database__spark.multimodal import (
+        decode_image_meta,
+    )
+
+    rows = [
+        ("png", bytearray(_png_bytes(33, 44))),
+        ("gif", bytearray(_gif_bytes(12, 34))),
+        ("txt", bytearray(b"plain text payload")),
+    ]
+    df = spark.createDataFrame(rows, "id string, payload binary")
+
+    got = {
+        r["id"]: (r["width"], r["height"], r["channels"])
+        for r in decode_image_meta(df, backend="auto").collect()
+    }
+    assert got["png"] == (33, 44, 3)
+    assert got["gif"] == (12, 34, 3)
+    n = len(b"plain text payload")
+    assert got["txt"] == (64 + n % 577, 64 + (n * 31) % 449, 3)
+
+    # real backend: recognized formats decode; unrecognized raises
+    real = spark.createDataFrame(rows[:2], "id string, payload binary")
+    got_real = {
+        r["id"]: (r["width"], r["height"])
+        for r in decode_image_meta(real, backend="real").collect()
+    }
+    assert got_real == {"png": (33, 44), "gif": (12, 34)}
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(rows[2:], "id string, payload binary")
+    with _pytest.raises(Exception, match="unrecognized image format"):
+        decode_image_meta(bad, backend="real").collect()
+
+
+def test_decode_audio_meta_real_wav(spark):
+    from vector_graph_native_database__spark.multimodal import (
+        decode_audio_meta,
+    )
+
+    rows = [
+        ("wav", bytearray(_wav_bytes(2, 44100, 1234))),
+        ("txt", bytearray(b"plain text payload!!")),
+    ]
+    df = spark.createDataFrame(rows, "id string, payload binary")
+    got = {
+        r["id"]: (r["n_channels"], r["sample_rate"], r["n_samples"])
+        for r in decode_audio_meta(df, backend="auto").collect()
+    }
+    assert got["wav"] == (2, 44100, 1234)
+    n = 20
+    assert got["txt"] == (1 + n % 2, 16000, n // 2)
+
+
+def test_decode_image_meta_pil_backend():
+    """Real-codec path through PIL itself — skips where PIL is absent
+    so the first user with Pillow installed isn't the first test."""
+    import pytest as _pytest
+
+    pil = _pytest.importorskip("PIL.Image")
+    import io
+
+    from vector_graph_native_database__spark.multimodal.columns import (
+        _decode_one,
+    )
+
+    buf = _png_bytes(21, 17)
+    with pil.open(io.BytesIO(buf)) as im:
+        assert (im.width, im.height) == (21, 17)
+    assert _decode_one(buf, "real", pil) == (21, 17, 3)
+
+
+def test_decode_audio_meta_soundfile_backend():
+    import pytest as _pytest
+
+    sf = _pytest.importorskip("soundfile")
+    from vector_graph_native_database__spark.multimodal.columns import (
+        _decode_audio_one,
+    )
+
+    assert _decode_audio_one(_wav_bytes(1, 8000, 64), "real", sf) == (
+        1,
+        8000,
+        64,
+    )

@@ -48,37 +48,136 @@ def attach_binary(
     )
 
 
-def fake_decode_image_meta(
-    binary_df: DataFrame, real_decode: bool = False
+def _pil_module():
+    """Capability probe: PIL.Image if importable, else None."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except Exception:
+        return None
+
+
+_PNG_COLORTYPE_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def sniff_image_meta(buf: bytes) -> tuple[int, int, int] | None:
+    """Pure-stdlib header decode → (width, height, channels) for
+    PNG / GIF / BMP / JPEG payloads, None if the format is not
+    recognized. This is a REAL parser of the real container formats
+    (IHDR chunk, logical screen descriptor, DIB header, SOF scan) —
+    no codec library needed for metadata — used as the fallback when
+    PIL is absent."""
+    import struct  # noqa: PLC0415
+
+    if buf[:8] == b"\x89PNG\r\n\x1a\n" and len(buf) >= 26:
+        w, h = struct.unpack(">II", buf[16:24])
+        return w, h, _PNG_COLORTYPE_CHANNELS.get(buf[25], 3)
+    if buf[:6] in (b"GIF87a", b"GIF89a") and len(buf) >= 10:
+        w, h = struct.unpack("<HH", buf[6:10])
+        return w, h, 3
+    if buf[:2] == b"BM" and len(buf) >= 30:
+        w, h = struct.unpack("<ii", buf[18:26])
+        bits = struct.unpack("<H", buf[28:30])[0]
+        return w, abs(h), max(1, bits // 8)
+    if buf[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
+        i = 2
+        while i + 9 < len(buf):
+            if buf[i] != 0xFF:
+                return None
+            marker = buf[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", buf[i + 5 : i + 9])
+                return w, h, buf[i + 9]
+            i += 2 + struct.unpack(">H", buf[i + 2 : i + 4])[0]
+    return None
+
+
+def _decode_one(buf: bytes, backend: str, pil) -> tuple[int, int, int]:
+    """One payload → (width, height, channels) under the backend
+    contract; raises on 'real' + unrecognized format."""
+    if backend != "fake":
+        if pil is not None:
+            import io  # noqa: PLC0415
+
+            try:
+                with pil.open(io.BytesIO(buf)) as im:
+                    return im.width, im.height, len(im.getbands())
+            except Exception:
+                pass  # fall through to the stdlib sniffer
+        meta = sniff_image_meta(buf)
+        if meta is not None:
+            return meta
+        if backend == "real":
+            raise NotImplementedError(
+                "unrecognized image format and no codec library "
+                "available (PIL probe failed; stdlib sniffer knows "
+                "PNG/GIF/BMP/JPEG)"
+            )
+    n = len(buf)
+    return 64 + n % 577, 64 + (n * 31) % 449, 3
+
+
+def decode_image_meta(
+    binary_df: DataFrame, backend: str = "fake"
 ) -> DataFrame:
     """mapInPandas decode stage → (id, n_bytes, width, height, channels).
 
-    DETERMINISTIC FAKE decode: width/height derived arithmetically
-    from the payload size so results are reproducible and
-    oracle-checkable. With ``real_decode=True`` this is where
-    ``PIL.Image.open(io.BytesIO(buf))`` would run — not available in
-    this container, so it raises.
+    ``backend``:
+
+    - ``"fake"`` (default, the oracle-gated path): DETERMINISTIC FAKE —
+      width/height derived arithmetically from the payload size so
+      results are reproducible and value-checkable by the DuckDB
+      oracle regardless of installed codecs.
+    - ``"real"``: capability-probed real decode — ``PIL.Image`` when
+      importable, else a pure-stdlib header parser for PNG/GIF/BMP/
+      JPEG (:func:`sniff_image_meta`); unrecognized payloads raise
+      ``NotImplementedError`` instead of silently faking.
+    - ``"auto"``: real where the payload is a recognized image,
+      deterministic fake otherwise — the migration setting for mixed
+      corpora.
+
+    The Spark shape is identical for all three: one Arrow-batched
+    ``mapInPandas`` pass, schema and partitioning unchanged.
     """
+    if backend not in ("fake", "real", "auto"):
+        raise ValueError(f"unknown backend {backend!r}")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil = _pil_module() if backend != "fake" else None
         for pdf in batches:
-            if real_decode:
-                raise NotImplementedError(
-                    "real image decode requires PIL; not in this container"
-                )
-            n = pdf["payload"].map(len).astype("int64")
+            dims = [
+                _decode_one(bytes(buf), backend, pil)
+                for buf in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
-                    "n_bytes": n,
-                    "width": (64 + (n % 577)).astype("int32"),
-                    "height": (64 + ((n * 31) % 449)).astype("int32"),
-                    "channels": pd.Series([3] * len(pdf), dtype="int32"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "width": pd.Series(
+                        [d[0] for d in dims], dtype="int32"
+                    ),
+                    "height": pd.Series(
+                        [d[1] for d in dims], dtype="int32"
+                    ),
+                    "channels": pd.Series(
+                        [d[2] for d in dims], dtype="int32"
+                    ),
                 }
             )
 
     return binary_df.select("id", "payload").mapInPandas(
         decode, schema=IMAGE_META_SCHEMA
+    )
+
+
+def fake_decode_image_meta(
+    binary_df: DataFrame, real_decode: bool = False
+) -> DataFrame:
+    """Back-compat wrapper: the registry's oracle-gated fake path
+    (``real_decode=True`` → the capability-probed real backend)."""
+    return decode_image_meta(
+        binary_df, backend="real" if real_decode else "fake"
     )
 
 
@@ -179,6 +278,105 @@ def resize_plan(
             F.lit(1), F.floor(F.col("height") * scale).cast("int")
         ).alias("out_h"),
         F.round(scale, 6).alias("scale"),
+    )
+
+
+AUDIO_META_SCHEMA = (
+    "id string, n_bytes long, n_channels int, sample_rate int, "
+    "n_samples long"
+)
+
+
+def sniff_wav_meta(buf: bytes) -> tuple[int, int, int] | None:
+    """Stdlib WAV decode → (n_channels, sample_rate, n_samples), None
+    if the payload is not a RIFF/WAVE container. Uses the standard
+    library ``wave`` module — a REAL decoder, present in every
+    CPython — as the fallback when soundfile is absent."""
+    import io  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    try:
+        with wave.open(io.BytesIO(buf)) as w:
+            return w.getnchannels(), w.getframerate(), w.getnframes()
+    except Exception:
+        return None
+
+
+def _soundfile_module():
+    """Capability probe: soundfile if importable, else None."""
+    try:
+        import soundfile  # noqa: PLC0415
+
+        return soundfile
+    except Exception:
+        return None
+
+
+def _decode_audio_one(buf: bytes, backend: str, sf) -> tuple[int, int, int]:
+    if backend != "fake":
+        if sf is not None:
+            import io  # noqa: PLC0415
+
+            try:
+                info = sf.info(io.BytesIO(buf))
+                return info.channels, info.samplerate, info.frames
+            except Exception:
+                pass  # fall through to the stdlib wave decoder
+        meta = sniff_wav_meta(buf)
+        if meta is not None:
+            return meta
+        if backend == "real":
+            raise NotImplementedError(
+                "unrecognized audio format and no codec library "
+                "available (soundfile probe failed; stdlib wave "
+                "knows RIFF/WAVE)"
+            )
+    n = len(buf)
+    return 1 + n % 2, 16000, n // 2
+
+
+def decode_audio_meta(
+    binary_df: DataFrame, backend: str = "fake"
+) -> DataFrame:
+    """mapInPandas audio-decode stage →
+    (id, n_bytes, n_channels, sample_rate, n_samples).
+
+    Same tri-backend contract as :func:`decode_image_meta`:
+    ``"fake"`` (default, oracle-gated) derives the fields
+    deterministically from the byte length; ``"real"`` probes
+    soundfile then falls back to the stdlib ``wave`` decoder (real
+    WAV parsing, available in every container) and raises on
+    unrecognized formats; ``"auto"`` decodes real WAVs and fakes the
+    rest. One Arrow-batched pass, no shuffle.
+    """
+    if backend not in ("fake", "real", "auto"):
+        raise ValueError(f"unknown backend {backend!r}")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sf = _soundfile_module() if backend != "fake" else None
+        for pdf in batches:
+            metas = [
+                _decode_audio_one(bytes(buf), backend, sf)
+                for buf in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "n_channels": pd.Series(
+                        [m[0] for m in metas], dtype="int32"
+                    ),
+                    "sample_rate": pd.Series(
+                        [m[1] for m in metas], dtype="int32"
+                    ),
+                    "n_samples": pd.Series(
+                        [m[2] for m in metas], dtype="int64"
+                    ),
+                }
+            )
+
+    return binary_df.select("id", "payload").mapInPandas(
+        decode, schema=AUDIO_META_SCHEMA
     )
 
 

@@ -238,3 +238,21 @@ summary AS (
   ) c ON c.id = b.id
 )
 SELECT id, n_frames, n_shots, first_boundary FROM summary"""
+
+
+def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode-stage plumbing on the fake backend (the real
+    backend — soundfile probe → stdlib wave — is pinned by pytest on
+    generated WAVs; the gate runs the deterministic fake so results
+    value-check without codec libraries)."""
+    from ..multimodal.columns import decode_audio_meta
+
+    nodes, _, _ = model(spark, sf_dir)
+    return decode_audio_meta(attach_binary(nodes))
+
+
+QUERIES["mm_audio_meta"] = q_mm_audio_meta
+ORACLES["mm_audio_meta"] = ORACLE_PRELUDE + """
+SELECT id, n AS n_bytes, CAST(1 + (n % 2) AS INT) AS n_channels,
+       16000 AS sample_rate, n // 2 AS n_samples
+FROM (SELECT id, octet_length(encode(text)) AS n FROM nodes)"""
