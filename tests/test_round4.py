@@ -234,3 +234,50 @@ def test_decode_audio_meta_soundfile_backend():
         8000,
         64,
     )
+
+
+def test_chunk_dup_stats_cross_and_within_doc(spark):
+    from vector_graph_native_database__spark.operators.text_analysis import (
+        chunk_dup_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "a b c a b c"),          # two identical chunks
+            ("d2", "a b c x y z"),          # one cross-doc dup, one unique
+            ("d3", "q"),                    # single unique chunk
+            ("d4", ""),                     # empty doc -> zeros
+        ],
+        "id string, text string",
+    )
+    got = {
+        r["id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_chunk_frac"])
+        for r in chunk_dup_stats(df, chunk_tokens=3).collect()
+    }
+    assert got["d1"] == (2, 2, 1.0)
+    assert got["d2"] == (2, 1, 0.5)
+    assert got["d3"] == (1, 0, 0.0)
+    assert got["d4"] == (0, 0, 0.0)
+
+
+def test_bm25_topk_multi_matches_single_query(spark, sf_dir):
+    from vector_graph_native_database__spark.registry.common import model
+    from vector_graph_native_database__spark.operators import bm25
+
+    nodes, _, _ = model(spark, sf_dir)
+    single = [
+        (r["id"], r["score"])
+        for r in bm25.bm25_topk(
+            nodes, "dup key fast", top_k=10, round_scores=6
+        ).collect()
+    ]
+    multi = [
+        (r["id"], r["score"])
+        for r in bm25.bm25_topk_multi(
+            nodes, {"qa": "dup key fast"}, top_k=10, round_scores=6
+        )
+        .orderBy("qid")
+        .collect()
+    ]
+    assert single == multi
+    assert len(single) > 0

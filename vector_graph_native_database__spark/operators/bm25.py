@@ -301,3 +301,91 @@ def phrase_search(
         .limit(k)
         .withColumn("rnk", F.row_number().over(w))
     )
+
+
+def multi_query_terms_df(
+    nodes: DataFrame, queries: dict[str, str]
+) -> DataFrame:
+    """Tokenized query batch with multiplicity → (qid, tok, qcnt).
+
+    Counted driver-side (each query is a handful of tokens; the
+    batch is user-request-sized, not data-sized) so the plan gets
+    one small local relation for the whole batch.
+    """
+    from collections import Counter
+
+    rows = []
+    for qid, text in queries.items():
+        for tok, cnt in Counter(text.lower().split()).items():
+            rows.append((qid, tok, cnt))
+    return nodes.sparkSession.createDataFrame(
+        rows, "qid string, tok string, qcnt long"
+    )
+
+
+def bm25_topk_multi(
+    nodes: DataFrame,
+    queries: dict[str, str],
+    top_k: int = 10,
+    round_scores: int | None = None,
+    stats: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Top-k BM25 for a BATCH of queries in ONE corpus pass →
+    (qid, id, score): the deployment shape for query logs / eval
+    sets, where scoring Q queries must not cost Q corpus scans.
+
+    The per-query idf frame generalizes to (qid, tok, qcnt, idf) —
+    still |Σq| rows, broadcast — so every query's scoring rides the
+    SAME tf join; per-query top-k is a row_number window that Spark
+    bounds map-side (WindowGroupLimit). Corpus stats are computed
+    once for the whole batch (pass ``stats`` from
+    :func:`staged_index` to amortize across batches). Zero/negative
+    scores dropped per query, ties break on id ASC — same contract
+    as :func:`bm25_topk`.
+    """
+    from pyspark.sql.window import Window
+
+    tf, doclen, df_ = stats if stats is not None else corpus_stats(nodes)
+    q = multi_query_terms_df(nodes, queries)
+    qidf = (
+        df_.join(F.broadcast(q), "tok")
+        .crossJoin(F.broadcast(_globals_df(doclen, df_)))
+        .withColumn(
+            "raw_idf",
+            F.log(F.col("__n_docs") - F.col("df") + 0.5)
+            - F.log(F.col("df") + 0.5),
+        )
+        .withColumn(
+            "idf",
+            F.when(
+                F.col("raw_idf") < 0, F.lit(EPSILON) * F.col("__avg_idf")
+            ).otherwise(F.col("raw_idf")),
+        )
+        .select("qid", "tok", "qcnt", "idf", "__avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(qidf), "tok")
+        .join(doclen, "id")
+        .withColumn(
+            "contrib",
+            F.col("qcnt")
+            * F.col("idf")
+            * (F.col("tf") * (K1 + 1))
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (1 - B + F.lit(B) * F.col("dl") / F.col("__avgdl"))
+            ),
+        )
+        .groupBy("qid", "id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    if round_scores is not None:
+        scored = scored.withColumn("score", F.round("score", round_scores))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.filter(F.col("score") > 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_k)
+        .drop("__rn")
+    )

@@ -764,3 +764,71 @@ def zipf_fit(
             / F.col("n_terms")
         ).alias("intercept"),
     )
+
+
+CHUNK_DUP_TOKENS = 32
+
+
+def chunk_dup_stats(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_DUP_TOKENS,
+) -> DataFrame:
+    """Inter-document duplicate-span signal at chunk granularity →
+    (id, n_chunks, n_dup_chunks, dup_chunk_frac): each doc is cut
+    into fixed ``chunk_tokens``-token chunks, each chunk md5-hashed,
+    and a chunk counts as duplicated when the SAME chunk content
+    appears anywhere else in the corpus (other docs or elsewhere in
+    this one). The RefinedWeb/CCNet span-dedup *measurement* — the
+    per-doc statistic a pipeline thresholds on before paying for
+    span removal.
+
+    Scale shape: chunk hashes are built JVM-side (transform over a
+    sequence — no UDF, no per-token explode), exploded to one row
+    per chunk, counted with ONE groupBy on the content hash (map-
+    side combinable; the hash frame is corpus-chunks-sized but the
+    aggregate output is distinct-chunks-sized), then joined back.
+    Never an all-pairs comparison; identical shape at 100 TB with
+    the hash count persisted as a maintained table.
+    """
+    toks = tokenize(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunk_hashes = F.when(F.size(toks) == 0, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda j: F.md5(
+                F.concat_ws(
+                    " ", F.slice(toks, j * chunk_tokens + 1, chunk_tokens)
+                )
+            ),
+        )
+    )
+    chunks = df.select(
+        F.col(id_col).alias("id"), F.explode(chunk_hashes).alias("h")
+    )
+    freq = chunks.groupBy("h").agg(F.count("*").alias("cnt"))
+    per = (
+        chunks.join(freq, "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("cnt") > 1).cast("long")).alias("n_dup_chunks"),
+        )
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return df.select(F.col(id_col).alias("id")).join(
+        per, "id", "left_outer"
+    ).select(
+        "id",
+        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce("n_dup_chunks", F.lit(0))
+        .cast("long")
+        .alias("n_dup_chunks"),
+        r6(
+            F.coalesce(
+                F.col("n_dup_chunks").cast("double") / F.col("n_chunks"),
+                F.lit(0.0),
+            )
+        ).alias("dup_chunk_frac"),
+    )

@@ -2002,3 +2002,291 @@ SELECT n_name, CAST(round(rev, 2) AS DOUBLE) AS revenue,
        round(CAST(rev * CAST(100 AS DECIMAL(30,10))
                   / sum(rev) OVER () AS DOUBLE), 6) AS pct_of_total
 FROM grain"""
+
+
+TRADE_NATION_A = "NATION_1"
+TRADE_NATION_B = "NATION_2"
+TRADE_FROM = "1996-01-01 00:00:00"
+TRADE_TO = "1997-12-31 00:00:00"
+
+
+def q_olap_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two trading nations →
+    (supp_nation, cust_nation, l_year, revenue) for both directions
+    of the A↔B pair over a two-year ship window.
+
+    Scale shape: both nation-pair filters reduce supplier/customer to
+    2/25ths BEFORE the facts join, and ship-window predicates push to
+    the lineitem scan; the dims are broadcast (≤ nation cardinality),
+    so the only shuffle is lineitem⨝orders on the order key — AQE
+    picks broadcast when orders' filtered side fits. The final
+    aggregate is 2 nations × 2 years of rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    two = nation.filter(
+        F.col("n_name").isin(TRADE_NATION_A, TRADE_NATION_B)
+    ).select("n_nationkey", "n_name")
+    sn = supp.join(
+        F.broadcast(two), supp["s_nationkey"] == two["n_nationkey"]
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cn = cust.join(
+        F.broadcast(two), cust["c_nationkey"] == two["n_nationkey"]
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(TRADE_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") <= F.lit(TRADE_TO).cast("timestamp"))
+        )
+        .join(F.broadcast(sn), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(_dec_sum(rev, "revenue"))
+    )
+
+
+QUERIES["olap_nation_trade_volume"] = q_olap_nation_trade_volume
+ORACLES["olap_nation_trade_volume"] = f"""
+WITH sn AS (
+  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('{TRADE_NATION_A}', '{TRADE_NATION_B}')
+), cn AS (
+  SELECT c_custkey, n_name AS cust_nation FROM customer
+  JOIN nation ON n_nationkey = c_nationkey
+  WHERE n_name IN ('{TRADE_NATION_A}', '{TRADE_NATION_B}')
+)
+SELECT supp_nation, cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN sn ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN cn ON c_custkey = o_custkey
+WHERE l_shipdate BETWEEN TIMESTAMP '{TRADE_FROM}'
+                     AND TIMESTAMP '{TRADE_TO}'
+  AND supp_nation <> cust_nation
+GROUP BY 1, 2, 3"""
+
+
+def q_olap_customer_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count →
+    (c_count, custdist): LEFT join so zero-order customers land in
+    the c_count=0 bucket (the whole point of Q13 — an inner join
+    silently hides them), excluding low-priority orders from the
+    count (stand-in for Q13's comment NOT LIKE filter).
+
+    Scale shape: one outer join customer⨝orders (both shuffle on the
+    customer key at scale), one per-customer count, then a count-of-
+    counts over ≤ max-orders-per-customer distinct values — the
+    second aggregate is tiny. No window, no driver loop."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.select("c_custkey")
+        .join(
+            orders.filter(F.col("o_orderpriority") != "5-LOW").select(
+                "o_custkey", "o_orderkey"
+            ),
+            cust["c_custkey"] == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+QUERIES["olap_customer_order_dist"] = q_olap_customer_order_dist
+ORACLES["olap_customer_order_dist"] = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON o_custkey = c_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count"""
+
+
+TOPSUPP_FROM = "1997-01-01 00:00:00"
+TOPSUPP_TO = "1997-04-01 00:00:00"
+
+
+def q_olap_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue in a
+    quarter → (s_suppkey, s_name, total_revenue). The classic
+    "view + scalar max" query: revenue per supplier, keep the rows
+    equal to the global max (ties kept, exactly like Q15).
+
+    Scale shape: the quarter filter pushes to the lineitem scan; one
+    groupBy(suppkey) aggregate; the global max is a 1-row broadcast
+    joined back (never a driver collect); the supplier dim join is
+    broadcast. Equality on a decimal-exact sum — no float tie
+    ambiguity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(TOPSUPP_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(TOPSUPP_TO).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev.cast(_DEC)).alias("rev"))
+    )
+    mx = per_supp.agg(F.max("rev").alias("mx"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev") == F.col("mx"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("rev", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+QUERIES["olap_top_supplier"] = q_olap_top_supplier
+ORACLES["olap_top_supplier"] = f"""
+WITH per_supp AS (
+  SELECT l_suppkey, sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(30,10))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TOPSUPP_FROM}'
+    AND l_shipdate <  TIMESTAMP '{TOPSUPP_TO}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(round(rev, 2) AS DOUBLE) AS total_revenue
+FROM per_supp JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev = (SELECT max(rev) FROM per_supp)"""
+
+
+SMALLQTY_BRAND = "Brand#12"
+
+
+def q_olap_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly-averaged revenue lost to small orders
+    → one row (avg_yearly): for one brand, sum the extended price of
+    lineitems whose quantity is below 20% of that part's average
+    quantity, divided by 7 (Q17's "what if we stopped taking tiny
+    orders" metric; p_size stands in for Q17's container filter).
+
+    Scale shape: the brand filter broadcasts a small part-key set;
+    the per-part average is a groupBy over ONLY the brand's
+    lineitems (semi-joined first — never the whole fact), joined
+    back broadcast. Two passes over a brand-sized slice, one final
+    1-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pk = part.filter(
+        (F.col("p_brand") == SMALLQTY_BRAND) & (F.col("p_size") <= 25)
+    ).select("p_partkey")
+    brand_li = li.join(
+        F.broadcast(pk), li["l_partkey"] == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    avg_q = brand_li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qlim")
+    )
+    small = brand_li.join(
+        F.broadcast(avg_q), F.col("l_partkey") == F.col("ap")
+    ).filter(F.col("l_quantity") < F.col("qlim"))
+    return small.agg(
+        F.round(
+            (F.sum(F.col("l_extendedprice").cast(_DEC)) / 7).cast(_DEC), 2
+        )
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+QUERIES["olap_small_qty_revenue"] = q_olap_small_qty_revenue
+ORACLES["olap_small_qty_revenue"] = f"""
+WITH pk AS (
+  SELECT p_partkey FROM part
+  WHERE p_brand = '{SMALLQTY_BRAND}' AND p_size <= 25
+), brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN pk ON p_partkey = l_partkey
+), avg_q AS (
+  SELECT l_partkey AS ap, avg(l_quantity) * 0.2 AS qlim
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) / 7
+                       AS DECIMAL(30,10)), 2) AS DOUBLE) AS avg_yearly
+FROM brand_li JOIN avg_q ON ap = l_partkey
+WHERE l_quantity < qlim"""
+
+
+def q_olap_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd brand/size/quantity
+    brackets → one row (revenue). The disjunctive-predicate join:
+    each bracket pairs a brand with a size band and a quantity band,
+    OR'd together (p_size stands in for Q19's container lists).
+
+    Scale shape: the whole disjunction is a single join predicate —
+    Catalyst extracts the common l_partkey=p_partkey equi-condition
+    and pushes the brand/size disjunction to the (broadcast) part
+    scan, so this stays an equi-join + residual filter, NOT a
+    cartesian product; quantity bounds push to the lineitem scan as
+    `l_quantity <= max-bound` range prune."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    br = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(br).agg(_dec_sum(rev, "revenue"))
+
+
+QUERIES["olap_bracket_revenue"] = q_olap_bracket_revenue
+ORACLES["olap_bracket_revenue"] = """
+SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)"""

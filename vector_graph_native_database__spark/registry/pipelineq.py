@@ -1286,3 +1286,33 @@ SELECT qid, id, cos, rnk FROM (
                             ORDER BY cos DESC, id ASC) AS rnk
   FROM rer
 ) WHERE rnk <= 5"""
+
+
+def q_corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return text_analysis.chunk_dup_stats(nodes, chunk_tokens=32)
+
+
+QUERIES["corpus_chunk_dedup"] = q_corpus_chunk_dedup
+# DuckDB lists are 1-based end-inclusive: t[a:b] == Spark
+# slice(t, a, b-a+1); both truncate past the end.
+ORACLES["corpus_chunk_dedup"] = ORACLE_PRELUDE + _TOKS + """,
+chunks AS (
+  SELECT id, md5(array_to_string(t[(j.j * 32 + 1):(j.j * 32 + 32)], ' ')) AS h
+  FROM toks CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(
+      0, CAST(ceil(len(t) / 32.0) AS INT) - 1)) AS j) j
+  WHERE len(t) > 0
+),
+freq AS (SELECT h, count(*) AS cnt FROM chunks GROUP BY h),
+per AS (
+  SELECT id, count(*) AS n_chunks,
+         sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM chunks JOIN freq USING (h) GROUP BY id
+)
+SELECT n.id,
+       CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_chunks,
+       floor(coalesce(p.n_dup * 1.0 / p.n_chunks, 0.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS dup_chunk_frac
+FROM nodes n LEFT JOIN per p ON p.id = n.id"""

@@ -66,6 +66,55 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25: three queries scored in ONE corpus pass over a
+    staged posting frame (query-log / eval-set deployment shape —
+    Q queries must not cost Q corpus scans)."""
+    nodes, _, _ = model(spark, sf_dir)
+    return bm25.bm25_topk_multi(
+        nodes,
+        BM25_MULTI_QUERIES,
+        top_k=10,
+        round_scores=6,
+        stats=bm25.staged_index(nodes),
+    )
+
+
+def _bm25_multi_sql(queries: dict[str, str], k: int) -> str:
+    """Oracle twin: the shared stats CTEs, a VALUES-encoded query
+    batch (token multiplicity via GROUP BY), per-query window top-k."""
+    from collections import Counter
+
+    vals = ", ".join(
+        f"('{qid}', '{tok}', {cnt})"
+        for qid, text in sorted(queries.items())
+        for tok, cnt in sorted(Counter(text.lower().split()).items())
+    )
+    return (
+        ORACLE_PRELUDE
+        + _BM25_STATS_CTES
+        + f""",
+qt AS (SELECT * FROM (VALUES {vals}) v(qid, tok, qcnt)),
+contrib AS (
+  SELECT qt.qid, tf.id,
+         round(sum(qt.qcnt * idf.idf * (tf.tf * (1.5 + 1))
+             / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))), 6)
+           AS score
+  FROM tf
+  JOIN qt USING (tok)
+  JOIN idf USING (tok)
+  JOIN dl USING (id), avgdl
+  GROUP BY qt.qid, tf.id
+)
+SELECT qid, id, score FROM (
+  SELECT qid, id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, id ASC) AS rn
+  FROM contrib WHERE score > 0
+) WHERE rn <= {k}"""
+    )
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, emb, edges = model(spark, sf_dir)
     return hybrid.hybrid_search(
@@ -134,7 +183,20 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOK = SQL_TOKENS.format(col="text")
 _QTOK = SQL_TOKENS.format(col=f"'{BM25_QUERY}'")
 
-_BM25_CTES = f""",
+# The query batch for bm25_topk_multi: same stats CTEs, one shared
+# corpus pass, three queries scored together. Every query anchors on
+# 'dup' — the corpus's only rare term (df 5%); all other terms have
+# NEGATIVE floored idf in this tiny-vocabulary harness corpus, so a
+# query without a rare term scores ≤0 everywhere and returns empty
+# (faithful to the reference's positive-score drop). The differing
+# common-term companions give each query a distinct ranking.
+BM25_MULTI_QUERIES = {
+    "q1": BM25_QUERY,
+    "q2": "dup scan table value",
+    "q3": "dup the merge merge",
+}
+
+_BM25_STATS_CTES = f""",
 toks AS (SELECT id, unnest({_TOK}) AS tok FROM nodes),
 dl AS (SELECT id, len({_TOK}) AS dl FROM nodes),
 tf AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY id, tok),
@@ -144,7 +206,9 @@ rawidf AS (SELECT tok, ln(n - df + 0.5) - ln(df + 0.5) AS raw FROM dfreq, nn),
 avgidf AS (SELECT avg(raw) AS a FROM rawidf),
 idf AS (SELECT tok, CASE WHEN raw < 0 THEN 0.25 * a ELSE raw END AS idf
         FROM rawidf, avgidf),
-avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+avgdl AS (SELECT avg(dl) AS avgdl FROM dl)"""
+
+_BM25_CTES = _BM25_STATS_CTES + f""",
 qt AS (SELECT tok, count(*) AS qcnt
        FROM (SELECT unnest({_QTOK}) AS tok) GROUP BY tok),
 contrib AS (
@@ -202,6 +266,7 @@ QUERIES = {
     "bm25_score": q_bm25_score,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_indexed": q_bm25_topk_indexed,
+    "bm25_topk_multi": q_bm25_topk_multi,
     "hybrid_search": q_hybrid_search,
     "hybrid_vector_only": q_hybrid_vector_only,
     "hybrid_graph_only": q_hybrid_graph_only,
@@ -242,6 +307,7 @@ SELECT n.id, n.text, round(c.score, 6) AS score
 FROM contrib c JOIN nodes n ON n.id = c.id
 WHERE round(c.score, 6) > 0
 ORDER BY round(c.score, 6) DESC, n.id ASC LIMIT 15""",
+    "bm25_topk_multi": _bm25_multi_sql(BM25_MULTI_QUERIES, 10),
     "hybrid_search": _HYBRID_SQL_TMPL.format(
         bfs=sql_bfs_cte("0", 2), graph_scores=_G_SCORES_D2, vw=0.7, gw=0.3, k=15
     ),
