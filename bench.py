@@ -130,9 +130,15 @@ HEADLINE = CANARY + [
     "ann_matryoshka_topk",
     "graph_walk_corpus",
     "cdc_changelog_apply",
-    # round-4: BM25 deployment shape — corpus stats staged once, the
-    # per-query scoring join benched without the stat recompute
+    # round-4: BM25 deployment shapes (staged stats; batched queries),
+    # chunk-level corpus dedup, nation-pair trade OLAP, bounded SCC,
+    # bucketed co-located join
     "bm25_topk_indexed",
+    "bm25_topk_multi",
+    "corpus_chunk_dedup",
+    "olap_nation_trade_volume",
+    "graph_scc_bounded",
+    "io_bucketed_join",
 ]
 
 

@@ -509,3 +509,26 @@ def test_walk_corpus_no_cartesian_per_round(spark):
     assert "CartesianProduct" not in p
     s = plan_summary(registry.all_queries()["graph_walk_corpus"](spark, SF))
     assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
+
+
+def test_bucketed_join_is_shuffle_free_when_not_broadcastable(spark):
+    """With broadcast off (the fact⨝fact case), the bucketed tables
+    must join as a co-located SortMergeJoin: zero shuffle Exchanges
+    on the join inputs — the only Exchange in the plan belongs to the
+    downstream groupBy."""
+    import re
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    adaptive = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry.all_queries()["io_bucketed_join"](spark, SF)
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+    assert "SortMergeJoin" in p
+    assert p.count("Bucketed: true") == 2
+    # exactly one Exchange: the aggregate's, never the join inputs'
+    assert len(re.findall(r"\bExchange hashpartitioning", p)) == 1

@@ -1055,3 +1055,64 @@ def ktruss_peel(
         "b",
         F.coalesce("support", F.lit(0)).cast("long").alias("support"),
     )
+
+
+def scc_bounded(
+    vertices: DataFrame, edges: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Strongly connected components, bounded-witness contract →
+    (id, scc_id): two nodes share a label when they are connected by
+    a chain of MUTUAL-reachability witnesses of ≤ ``max_hops`` hops
+    each way. Always SOUND (a bounded mutual pair lies in one true
+    SCC, and components of such pairs never span two SCCs), and
+    COMPLETE for every SCC of directed diameter ≤ max_hops — in
+    practice also for simple cycles up to length 2·max_hops (any
+    split a+b of the cycle with a,b ≤ max_hops yields a witness
+    pair). Longer-witness SCCs stay (partially) split rather than
+    wrongly merged. This upgrades graph_reciprocal_edges (the 2-cycle
+    special case) to bounded cycles — and states the bound instead of
+    faking Tarjan.
+
+    Method: materialize the ≤max_hops forward closure (u ⇝ v) by
+    extending one hop per round (distinct + eager checkpoint so the
+    frame, not the lineage, grows); witness pairs are the closure
+    semi-joined with its own transpose; the label is the undirected
+    connected component of the witness graph (pairwise bounded
+    mutuality is NOT transitive, so a min-partner label would be
+    inconsistent — the CC pass restores a well-defined equivalence).
+
+    Scale shape: each extension is ONE equi-join of the closure with
+    the edge list — cost is the size of the k-bounded closure, the
+    honest price on a sparse graph; the CC pass is the existing
+    pointer-jumping components over the (small) witness-pair frame.
+    An unbounded 100 TB SCC runs the forward-backward coloring
+    algorithm instead; this operator is the bounded contract,
+    documented as such.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    reach = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    for _ in range(max_hops - 1):
+        ext = (
+            reach.join(e, reach["v"] == e["src"])
+            .select("u", F.col("dst").alias("v"))
+        )
+        reach = (
+            reach.unionByName(ext)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    transpose = reach.select(
+        F.col("v").alias("u"), F.col("u").alias("v")
+    )
+    mutual = reach.join(transpose, ["u", "v"], "left_semi")
+    comps = connected_components(
+        vertices,
+        mutual.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+    )
+    return comps.select("id", F.col("component").alias("scc_id"))

@@ -709,3 +709,41 @@ FROM u{rr} u LEFT JOIN sf ON sf.a = u.a AND sf.b = u.b"""
 
 QUERIES["graph_ktruss"] = q_graph_ktruss
 ORACLES["graph_ktruss"] = _ktruss_sql()
+
+
+SCC_HOPS = 3
+
+
+def q_graph_scc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.analytics import scc_bounded
+
+    nodes, _, edges = model(spark, sf_dir)
+    return scc_bounded(
+        nodes.select("id"), edges, max_hops=SCC_HOPS
+    )
+
+
+QUERIES["graph_scc_bounded"] = q_graph_scc_bounded
+# Recursive closure bounded by hop count; witness pairs = closure ∩
+# its transpose; label = undirected connected component of the
+# witness graph (same recursion shape as the components oracle).
+ORACLES["graph_scc_bounded"] = ORACLE_PRELUDE + f""",
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+closure AS (
+  SELECT src AS u, dst AS v, 1 AS d FROM e
+  UNION
+  SELECT c.u, e.dst, c.d + 1 FROM closure c
+  JOIN e ON e.src = c.v
+  WHERE c.d < {SCC_HOPS} AND c.u <> e.dst
+),
+pairs AS (SELECT DISTINCT u, v FROM closure),
+mutual AS (
+  SELECT p.u, p.v FROM pairs p
+  WHERE EXISTS (SELECT 1 FROM pairs q WHERE q.u = p.v AND q.v = p.u)
+),
+reach AS (
+  SELECT id AS root, id AS node FROM nodes
+  UNION
+  SELECT r.root, m.v FROM reach r JOIN mutual m ON m.u = r.node
+)
+SELECT root AS id, min(node) AS scc_id FROM reach GROUP BY root"""

@@ -425,3 +425,68 @@ SELECT id, n_chars,
             THEN floor((n_chars / 100.0) * 1000000.0 + 0.5) / 1000000.0
             ELSE NULL END AS quality
 FROM nodes"""
+
+
+def q_io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join → (c_mktsegment, n_orders,
+    total_price): orders and customer are written as BUCKETED tables
+    (8 buckets on the customer key, sorted within buckets), read
+    back, joined on the bucket key, and aggregated.
+
+    The point is the PLAN, pinned by tests/test_plans.py: both scans
+    report the bucket spec, and when neither side is broadcastable
+    (the 100 TB fact⨝fact case — the test pins it with broadcast
+    disabled) the join is a co-located SortMergeJoin with NO Exchange
+    on either input. At tiny sf AQE correctly prefers broadcasting
+    the small side instead — also shuffle-free. Pay the shuffle once
+    at write time, amortize it over every subsequent join on that
+    key (the batch analog of the streaming state store's
+    pre-partitioning). Values are bucketing-invariant, so the DuckDB
+    oracle is the plain join."""
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    # external tables under a fresh scratch path: the catalog entry is
+    # session-scoped but a managed-table LOCATION would outlive the
+    # session and collide on the next run
+    base = scratch_dir("bucketed_join")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .option("path", os.path.join(base, "orders"))
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        cust.select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite")
+        .option("path", os.path.join(base, "customer"))
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("b_customer")
+    )
+    bo = spark.table("b_orders")
+    bc = spark.table("b_customer")
+    return (
+        bo.join(bc, bo["o_custkey"] == bc["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+QUERIES["io_bucketed_join"] = q_io_bucketed_join
+ORACLES["io_bucketed_join"] = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE)
+         AS total_price
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment"""
