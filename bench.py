@@ -139,6 +139,7 @@ HEADLINE = CANARY + [
     "olap_nation_trade_volume",
     "graph_scc_bounded",
     "io_bucketed_join",
+    "ann_ivfpq_staged_topk",
 ]
 
 

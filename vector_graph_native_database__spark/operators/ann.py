@@ -524,6 +524,7 @@ def ivfpq_topk(
     m: int = 4,
     ksub: int = 16,
     dim: int = 64,
+    stage_index: bool = False,
 ) -> DataFrame:
     """IVF-PQ compressed-domain search → (qid, id, adist, rnk) — the
     composed tier a 100 TB vector store actually serves from.
@@ -546,7 +547,18 @@ def ivfpq_topk(
     ``pq_topk``; ranks are (6dp adist asc, id asc). Like any
     pruned-ANN path, a query whose probed cells hold <k candidates
     returns <k rows — recall is tuned with ``nprobe``.
+
+    ``stage_index=True`` eagerly materializes the four index frames
+    (coarse centroids, cell assignments, PQ codebooks, PQ codes) —
+    the in-plan analog of the persisted index a deployment serves
+    from, so the query pays only probe + ADC (same staging idiom as
+    bm25's staged_index). Results are byte-identical either way.
     """
+    stage = (
+        (lambda d: d.localCheckpoint(eager=True))
+        if stage_index
+        else (lambda d: d)
+    )
     # coarse: train, assign every vector to its cell, pick each
     # query's nprobe nearest cells
     e = (
@@ -554,10 +566,12 @@ def ivfpq_topk(
         .select(F.col("node_id").alias("id"), "vector")
         .withColumn("vv", dot("vector", "vector"))
     )
-    cf = ivf_centroids(emb, n_centroids, iters, dim).withColumn(
-        "cc", dot("cvec", "cvec")
+    cf = stage(
+        ivf_centroids(emb, n_centroids, iters, dim).withColumn(
+            "cc", dot("cvec", "cvec")
+        )
     )
-    af = (
+    af = stage(
         e.crossJoin(F.broadcast(cf))
         .withColumn(
             "dist", F.col("vv") + F.col("cc") - 2 * dot("vector", "cvec")
@@ -588,10 +602,12 @@ def ivfpq_topk(
 
     # fine: PQ codes + per-query ADC tables (pq_topk's frames)
     es = _subvectors(emb, m, dim)
-    cb = pq_train(emb, m, ksub, iters, dim).withColumn(
-        "cc", dot("cvec", "cvec")
+    cb = stage(
+        pq_train(emb, m, ksub, iters, dim).withColumn(
+            "cc", dot("cvec", "cvec")
+        )
     )
-    codes = (
+    codes = stage(
         es.join(F.broadcast(cb), "sm")
         .withColumn(
             "dist", F.col("vv") + F.col("cc") - 2 * dot("sv", "cvec")

@@ -202,6 +202,19 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_staged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment shape of ann_ivfpq_topk: the four index frames
+    (coarse centroids, cell assignments, PQ codebooks, PQ codes) are
+    eagerly staged — the in-plan analog of the persisted index a
+    vector store serves from — so the query pays only probe + ADC.
+    Byte-identical results; same oracle as the cold entry."""
+    _, emb, _ = model(spark, sf_dir)
+    return ann.ivfpq_topk(
+        emb, ANN_QUERY_IDS, k=5, n_centroids=8, iters=2, nprobe=2,
+        m=4, ksub=16, dim=64, stage_index=True,
+    )
+
+
 def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k over the int8-quantized embedding tier —
     proves the 4×-compressed store is searchable without
@@ -259,6 +272,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "ann_ivfpq_staged_topk": q_ann_ivfpq_staged_topk,
     "ann_mllib_lsh_topk": q_ann_mllib_lsh_topk,
     "ann_int8_topk": q_ann_int8_topk,
     "text_lang_id": q_text_lang_id,
@@ -848,6 +862,8 @@ SELECT qid, id, cos, rnk FROM (
     "ann_ivf_topk": _ivf_sql(),
     "ann_pq_topk": _pq_sql(),
     "ann_ivfpq_topk": _ivfpq_sql(),
+    # staging changes the physical plan only — same result contract
+    "ann_ivfpq_staged_topk": _ivfpq_sql(),
     # The exact-NN frame (qid, nn_id, nn_dist) is real data-dependent
     # SQL; the three invariant columns assert MLlib's behavior: true
     # NN contained at rank 1, exactly k rows back, zero distance
