@@ -319,3 +319,19 @@ def test_scc_bounded_cycles_within_and_beyond_bound(spark):
         for r in scc_bounded(verts, _edges(spark, pairs), max_hops=4).collect()
     }
     assert all(got4[f"w{i}"] == "w1" for i in range(1, 8))
+
+
+def test_bpe_first_merges_counts_adjacent_char_pairs(spark):
+    from vector_graph_native_database__spark.operators.text_analysis import (
+        bpe_first_merges,
+    )
+
+    # "abab" -> ab, ba, ab ; "ab" -> ab ; "x" -> none
+    df = spark.createDataFrame(
+        [("d1", "abab ab x")], "id string, text string"
+    )
+    got = [
+        (r["pair"], r["n_pairs"], r["rnk"])
+        for r in bpe_first_merges(df, topn=10).collect()
+    ]
+    assert got == [("ab", 3, 1), ("ba", 1, 2)]

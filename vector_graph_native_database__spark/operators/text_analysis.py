@@ -832,3 +832,48 @@ def chunk_dup_stats(
             )
         ).alias("dup_chunk_frac"),
     )
+
+
+def bpe_first_merges(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    topn: int = 20,
+) -> DataFrame:
+    """First BPE merge-candidate table → (pair, n_pairs, rnk): the
+    corpus-wide count of adjacent CHARACTER pairs within whitespace
+    tokens, ranked — exactly the statistic the first iteration of
+    byte-pair-encoding tokenizer training maximizes (Sennrich 2016).
+    A real trainer loops merge→recount; the expensive, data-sized
+    step is this count, so its distributed shape is what matters.
+
+    Scale shape: pairs are built JVM-side (transform over a length
+    sequence — no UDF), exploded once, counted with one map-side-
+    combinable groupBy(pair); the ranking is topn-sized
+    (TakeOrderedAndProject, never a global sort). At 100 TB the loop
+    re-runs this count on the merged symbol stream — same plan.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(text_col)).alias("tok"),
+    )
+    # dynamic start position → Column.substr(i, 2); the length==2
+    # filter drops the truncated tail pair of 1-char remainders
+    pair_rows = toks.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("tok") - 1, F.lit(0))),
+                    lambda i: F.col("tok").substr(i, F.lit(2)),
+                ),
+                lambda p: F.length(p) == 2,
+            )
+        ).alias("pair")
+    )
+    counted = pair_rows.groupBy("pair").agg(F.count("*").alias("n_pairs"))
+    w = Window.orderBy(F.desc("n_pairs"), F.asc("pair"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topn)
+        .select("pair", "n_pairs", "rnk")
+    )

@@ -1332,3 +1332,26 @@ SELECT n.id,
        floor(coalesce(p.n_dup * 1.0 / p.n_chunks, 0.0)
              * 1000000.0 + 0.5) / 1000000.0 AS dup_chunk_frac
 FROM nodes n LEFT JOIN per p ON p.id = n.id"""
+
+
+def q_text_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return text_analysis.bpe_first_merges(nodes, topn=20)
+
+
+QUERIES["text_bpe_first_merges"] = q_text_bpe_first_merges
+ORACLES["text_bpe_first_merges"] = ORACLE_PRELUDE + _TOKS + """,
+pairs AS (
+  SELECT substr(tk.tok, i.i, 2) AS pair
+  FROM (SELECT unnest(t) AS tok FROM toks) tk
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, length(tk.tok) - 1)) AS i) i
+  WHERE length(tk.tok) >= 2
+),
+counted AS (SELECT pair, count(*) AS n_pairs FROM pairs GROUP BY pair)
+SELECT pair, n_pairs, rnk FROM (
+  SELECT pair, n_pairs,
+         CAST(row_number() OVER (ORDER BY n_pairs DESC, pair ASC) AS INT)
+           AS rnk
+  FROM counted
+) WHERE rnk <= 20"""
