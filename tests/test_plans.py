@@ -532,3 +532,17 @@ def test_bucketed_join_is_shuffle_free_when_not_broadcastable(spark):
     assert p.count("Bucketed: true") == 2
     # exactly one Exchange: the aggregate's, never the join inputs'
     assert len(re.findall(r"\bExchange hashpartitioning", p)) == 1
+
+
+def test_bm25_multi_query_batch_stays_broadcast_side(spark):
+    """The batched scorer must ride ONE corpus pass: the (qid, tok)
+    idf frame joins broadcast (never a vocabulary sort-merge) and the
+    per-query top-k is a window, not Q separate plans."""
+    p = plan_of(spark, "bm25_topk_multi")
+    assert "SortMergeJoin" not in p
+    assert "RunningWindowFunction" in p or "Window" in p
+    s = plan_summary(registry.all_queries()["bm25_topk_multi"](spark, SF))
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
+    # one scan pass over documents feeds the posting frame; the id
+    # spine is not re-scanned per query
+    assert s["parquet_scans"] <= 2
