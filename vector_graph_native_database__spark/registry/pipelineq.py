@@ -207,7 +207,17 @@ def q_ann_ivfpq_staged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (coarse centroids, cell assignments, PQ codebooks, PQ codes) are
     eagerly staged — the in-plan analog of the persisted index a
     vector store serves from — so the query pays only probe + ADC.
-    Byte-identical results; same oracle as the cold entry."""
+    Byte-identical results; same oracle as the cold entry.
+
+    Honest cost note: run ONCE, staging is roughly cost-neutral
+    (bench: ~5.5s vs ~5.0s cold at sf0.1) — training dominates and
+    the eager checkpoints serialize stages the lazy plan overlaps
+    across 32 threads. The win is REUSE: a second query against the
+    staged frames skips both Lloyd trainings entirely, which the
+    single-entry bench cannot show but a query log immediately
+    does (same amortization argument as bm25_topk_indexed, where
+    even the single-shot entry wins 3× because the cold path
+    re-derives its posting frame per consumer)."""
     _, emb, _ = model(spark, sf_dir)
     return ann.ivfpq_topk(
         emb, ANN_QUERY_IDS, k=5, n_centroids=8, iters=2, nprobe=2,

@@ -253,3 +253,88 @@ mn AS (SELECT min(n) AS min_n FROM
        (SELECT count(*) AS n FROM nodes GROUP BY lang))
 SELECT id, lang, CAST(rk AS INT) AS rk
 FROM ranked, mn WHERE rk <= min_n"""
+
+
+def q_pack_efficiency_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for the greedy packer (the same pattern as
+    ann_recall_eval / dedup_minhash_eval: every heuristic ships with
+    a value-checked quality report) → one row:
+
+    - n_items, total_weight: corpus being packed
+    - n_bins: bins the greedy layout actually used
+    - lb_global: ceil(total/budget) — the fractional lower bound any
+      packer must respect
+    - lb_sharded: Σ_shard ceil(shard_total/budget) — the fair bound
+      given the deterministic 8-shard deal (the deal trades a few
+      bins for full shard parallelism; this quantifies the trade)
+    - fill_ratio: total_weight / (n_bins · budget), 6dp
+
+    A packing regression (e.g. someone breaks the start-offset fill
+    rule) now fails the VALUE gate, not just a unit test."""
+    from pyspark.sql import functions as F2
+
+    nodes, _, _ = model(spark, sf_dir)
+    toks = nodes.select("id", F.size(tokenize("text")).alias("n_tokens"))
+    packed = sampling.pack_greedy(toks, "n_tokens", budget=256, n_shards=8)
+    per_shard = packed.groupBy("shard").agg(
+        F2.sum("weight").alias("sw"),
+        (F2.max("bin_id") + 1).alias("shard_bins"),
+    )
+    return per_shard.agg(
+        F2.sum("sw").cast("long").alias("total_weight"),
+        F2.sum("shard_bins").cast("long").alias("n_bins"),
+        F2.sum(F2.ceil(F2.col("sw") / 256.0)).cast("long").alias(
+            "lb_sharded"
+        ),
+    ).select(
+        "total_weight",
+        "n_bins",
+        F2.ceil(F2.col("total_weight") / 256.0).cast("long").alias(
+            "lb_global"
+        ),
+        "lb_sharded",
+        (
+            F2.floor(
+                F2.col("total_weight")
+                / (F2.col("n_bins") * 256.0)
+                * F2.lit(1e6)
+                + F2.lit(0.5)
+            )
+            / F2.lit(1e6)
+        ).alias("fill_ratio"),
+    )
+
+
+QUERIES["pack_efficiency_eval"] = q_pack_efficiency_eval
+ORACLES["pack_efficiency_eval"] = ORACLE_PRELUDE + f""",
+tk AS (SELECT id, len({SQL_TOKENS.format(col='text')}) AS w FROM nodes),
+sh AS (
+  SELECT id, w, {_BUCKET.format(salt='pack')} AS bkt,
+         CAST({_BUCKET.format(salt='pack')} % 8 AS INT) AS shard
+  FROM tk
+),
+ofs AS (
+  SELECT id, w, shard,
+         CAST(coalesce(sum(w) OVER (
+           PARTITION BY shard ORDER BY bkt, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM sh
+),
+per_shard AS (
+  SELECT shard, sum(w) AS sw, max(start_offset // 256) + 1 AS shard_bins
+  FROM ofs GROUP BY shard
+),
+agg AS (
+  SELECT CAST(sum(sw) AS BIGINT) AS total_weight,
+         CAST(sum(shard_bins) AS BIGINT) AS n_bins,
+         CAST(sum(CAST(ceil(sw / 256.0) AS BIGINT)) AS BIGINT)
+           AS lb_sharded
+  FROM per_shard
+)
+SELECT total_weight, n_bins,
+       CAST(ceil(total_weight / 256.0) AS BIGINT) AS lb_global,
+       lb_sharded,
+       floor(total_weight / (n_bins * 256.0) * 1000000.0 + 0.5)
+         / 1000000.0 AS fill_ratio
+FROM agg"""
