@@ -1189,3 +1189,69 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00')
        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 4
             > count(*) AS INT) AS breach
 FROM events GROUP BY 1"""
+
+
+def q_events_stream_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–STATIC broadcast enrichment through the real streaming
+    engine — the remaining canonical streaming join next to the
+    stream–stream interval join above: the event stream joins a
+    static per-type dimension (each type's global mean value,
+    computed once batch-side), every event is flagged above/below its
+    type's mean, and the enriched stream aggregates per (type, flag).
+
+    Scale shape: the dim is type-cardinality rows → broadcast to
+    every micro-batch task, ZERO streaming shuffle for the join (the
+    canonical pattern for enriching a 100 TB/day stream with
+    reference data); only the final aggregate keeps watermarkless
+    complete-per-key state bounded by |types|×2. availableNow replay
+    makes the result a pure function of the data, so the DuckDB twin
+    is the exact batch join."""
+    import os
+
+    from ..streaming.ingest import EVENTS_SCHEMA
+
+    base = scratch_dir("events_stream_dim_join")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("type_mean"))
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    enriched = (
+        stream.join(F.broadcast(dim), "event_type")
+        .select(
+            "event_type",
+            (F.col("value") > F.col("type_mean")).alias("above_mean"),
+        )
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type", "above_mean")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+QUERIES["events_stream_dim_join"] = q_events_stream_dim_join
+ORACLES["events_stream_dim_join"] = """
+WITH dim AS (
+  SELECT event_type, avg(value) AS type_mean FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.value > d.type_mean AS above_mean,
+       count(*) AS n_events
+FROM events e JOIN dim d ON d.event_type = e.event_type
+GROUP BY 1, 2"""
