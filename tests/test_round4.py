@@ -335,3 +335,34 @@ def test_bpe_first_merges_counts_adjacent_char_pairs(spark):
         for r in bpe_first_merges(df, topn=10).collect()
     ]
     assert got == [("ab", 3, 1), ("ba", 1, 2)]
+
+
+def test_state_store_single_writer_lock(spark, tmp_path):
+    import os
+    import time
+
+    from vector_graph_native_database__spark.streaming.ingest import (
+        ConcurrentWriterError,
+        commit_state,
+        read_state,
+    )
+
+    sd = str(tmp_path / "state")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    assert commit_state(df, sd) == "v000001"
+
+    # a live lock (young mtime) blocks a second writer
+    lock = os.path.join(sd, "_COMMIT_LOCK")
+    with open(lock, "w") as f:
+        f.write("9999\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ConcurrentWriterError, match="single-writer"):
+        commit_state(df, sd)
+
+    # a STALE lock (crashed writer) is reclaimed and the commit runs
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    assert commit_state(df, sd) == "v000002"
+    assert not os.path.exists(lock)  # released after commit
+    assert read_state(spark, sd).count() == 1

@@ -49,6 +49,55 @@ from pyspark.sql.types import StructType
 # ---------------------------------------------------------------------------
 
 _CURRENT = "_CURRENT"
+_LOCK = "_COMMIT_LOCK"
+# A lock older than this is a crashed writer's leftover and is
+# reclaimed; a live commit (snapshot write + pointer flip) finishes
+# in seconds, so ten minutes is decisively past any live writer.
+_LOCK_STALE_SECS = 600.0
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer attempted to commit while a commit was live.
+
+    The store is SINGLE-WRITER BY CONTRACT (like a Delta/Iceberg
+    table with one streaming job as its owner); this error makes the
+    contract explicit instead of letting two writers silently race
+    the version counter and orphan each other's snapshots."""
+
+
+def _acquire_commit_lock(state_dir: str) -> str:
+    """O_EXCL lock file with pid — the single-writer assertion.
+
+    A leftover lock from a crashed writer (older than
+    ``_LOCK_STALE_SECS``) is reclaimed; a YOUNG lock means a live
+    concurrent writer and raises. The reclaim has a narrow
+    theoretical race (two writers both observing staleness), the
+    same window every lease-based lock has — an object-store
+    deployment replaces this file with a conditional put, which
+    closes it."""
+    import time
+
+    path = os.path.join(state_dir, _LOCK)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            age = time.time() - os.path.getmtime(path)
+        except OSError:  # released between probe and stat → retry
+            return _acquire_commit_lock(state_dir)
+        if age < _LOCK_STALE_SECS:
+            raise ConcurrentWriterError(
+                f"{state_dir} has a live commit in flight ({path} is "
+                f"{age:.0f}s old); this state store is single-writer "
+                "by contract"
+            ) from None
+        os.unlink(path)  # crashed writer's leftover
+        return _acquire_commit_lock(state_dir)
+    with os.fdopen(fd, "w") as f:
+        f.write(f"{os.getpid()}\n")
+        f.flush()
+        os.fsync(f.fileno())
+    return path
 
 
 def _current_version(state_dir: str) -> str | None:
@@ -133,24 +182,35 @@ def commit_state(df: DataFrame, state_dir: str) -> str:
 
     Returns the committed version name. See the protocol note above:
     killing the process at any step leaves the previously committed
-    snapshot served by ``read_state``.
+    snapshot served by ``read_state``. Single-writer by contract —
+    a concurrent commit raises :class:`ConcurrentWriterError` via
+    the O_EXCL lock file (crashed writers' stale locks reclaimed).
     """
     os.makedirs(state_dir, exist_ok=True)
-    cur = _current_version(state_dir)
-    cur_n = int(cur[1:]) if cur else 0
-    version = f"v{cur_n + 1:06d}"
-    df.write.mode("overwrite").parquet(os.path.join(state_dir, version))
-    tmp = os.path.join(state_dir, "._CURRENT.tmp")
-    with open(tmp, "w") as f:
-        f.write(version + "\n")
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(state_dir, _CURRENT))
-    keep = {version, cur}
-    for entry in os.listdir(state_dir):
-        if entry.startswith("v") and entry not in keep:
-            shutil.rmtree(os.path.join(state_dir, entry), ignore_errors=True)
-    return version
+    lock = _acquire_commit_lock(state_dir)
+    try:
+        cur = _current_version(state_dir)
+        cur_n = int(cur[1:]) if cur else 0
+        version = f"v{cur_n + 1:06d}"
+        df.write.mode("overwrite").parquet(os.path.join(state_dir, version))
+        tmp = os.path.join(state_dir, "._CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(version + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(state_dir, _CURRENT))
+        keep = {version, cur}
+        for entry in os.listdir(state_dir):
+            if entry.startswith("v") and entry not in keep:
+                shutil.rmtree(
+                    os.path.join(state_dir, entry), ignore_errors=True
+                )
+        return version
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 # events.parquet stores ts as timestamp[us] — Spark's native
 # microsecond timestamp, read directly. (Earlier testdata generations
