@@ -366,3 +366,25 @@ def test_state_store_single_writer_lock(spark, tmp_path):
     assert commit_state(df, sd) == "v000002"
     assert not os.path.exists(lock)  # released after commit
     assert read_state(spark, sd).count() == 1
+
+
+def test_exact_dedup_normalized_catches_case_and_whitespace(spark):
+    from vector_graph_native_database__spark.operators.dedup import (
+        exact_dedup_groups,
+        exact_dedup_groups_normalized,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "Hello  World"),
+            ("d2", "hello world"),      # same after normalization
+            ("d3", " HELLO\tWORLD "),   # same after normalization
+            ("d4", "something else"),
+        ],
+        "id string, text string",
+    )
+    # byte-identical hashing sees no duplicates at all
+    assert exact_dedup_groups(df).count() == 0
+    groups = exact_dedup_groups_normalized(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["cnt"] == 3 and groups[0]["keeper_id"] == "d1"

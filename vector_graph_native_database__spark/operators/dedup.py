@@ -516,3 +516,28 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def exact_dedup_groups_normalized(
+    df: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups under CONTENT NORMALIZATION →
+    (text_hash, cnt, keeper_id): lowercase, collapse whitespace runs,
+    trim, THEN hash — the practical exact-dedup every corpus pipeline
+    runs (CCNet et al.), catching re-encoded/re-wrapped copies that
+    byte-identical hashing misses. Same single map-side-combinable
+    groupBy shape as :func:`exact_dedup_groups`; the normalization is
+    three JVM string expressions fused into the scan projection.
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+    return (
+        df.select(
+            F.md5(norm).alias("text_hash"),
+            F.col(id_col).alias("id"),
+        )
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("cnt"), F.min("id").alias("keeper_id"))
+        .filter(F.col("cnt") > 1)
+    )

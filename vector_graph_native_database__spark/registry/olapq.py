@@ -2290,3 +2290,38 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
        AND l_quantity BETWEEN 10 AND 20)
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)"""
+
+
+def q_olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((priority), (year), ()) in ONE pass —
+    the third member of the rollup/cube/grouping-sets trio, via the
+    SQL frontend (the DataFrame API exposes only rollup/cube; the
+    arbitrary-sets form is SQL). Spark expands the sets JVM-side
+    exactly like cube — one shuffle, no self-union of three
+    aggregates. Money sums in exact decimal."""
+    o = load_table(spark, sf_dir, "orders")
+    o.withColumn(
+        "o_year", F.year("o_orderdate").cast("string")
+    ).createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               coalesce(o_year, 'ALL') AS o_year,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2)
+                    AS DOUBLE) AS total_price,
+               count(*) AS n_orders
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_year), ())
+        """
+    )
+
+
+QUERIES["olap_grouping_sets"] = q_olap_grouping_sets
+ORACLES["olap_grouping_sets"] = """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2)
+            AS DOUBLE) AS total_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (year(o_orderdate)), ())"""

@@ -1365,3 +1365,42 @@ SELECT pair, n_pairs, rnk FROM (
            AS rnk
   FROM counted
 ) WHERE rnk <= 20"""
+
+
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-exact-dedup SUMMARY → one row (n_docs,
+    n_distinct_raw, n_distinct_norm, n_dup_docs_norm): distinct
+    byte-identical hashes vs distinct NORMALIZED (lowercase,
+    whitespace-collapsed, trimmed) hashes, and how many docs a
+    normalized dedup would drop. The harness corpus has zero dups of
+    either kind, so the group-list output would gate vacuously; the
+    summary value-checks real numbers at every scale. The group
+    operator itself (exact_dedup_groups_normalized) is pinned by
+    pytest on crafted case/whitespace variants."""
+    from pyspark.sql import functions as F2
+
+    nodes, _, _ = model(spark, sf_dir)
+    norm = F2.trim(
+        F2.regexp_replace(F2.lower(F2.col("text")), r"\s+", " ")
+    )
+    return nodes.select(
+        F2.md5("text").alias("rh"), F2.md5(norm).alias("nh")
+    ).agg(
+        F2.count("*").alias("n_docs"),
+        F2.countDistinct("rh").alias("n_distinct_raw"),
+        F2.countDistinct("nh").alias("n_distinct_norm"),
+        (F2.count("*") - F2.countDistinct("nh")).alias("n_dup_docs_norm"),
+    )
+
+
+QUERIES["dedup_exact_normalized"] = q_dedup_exact_normalized
+# Java and RE2 agree on \s+; Spark regexp_replace is global by
+# default, DuckDB needs the 'g' flag.
+ORACLES["dedup_exact_normalized"] = ORACLE_PRELUDE + """
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct_raw,
+       count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                              'g')))) AS n_distinct_norm,
+       count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text),
+                        '\\s+', ' ', 'g')))) AS n_dup_docs_norm
+FROM nodes"""
