@@ -747,3 +747,64 @@ reach AS (
   SELECT r.root, m.v FROM reach r JOIN mutual m ON m.u = r.node
 )
 SELECT root AS id, min(node) AS scc_id FROM reach GROUP BY root"""
+
+
+def q_graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG over the bounded-witness SCC labels →
+    (src_scc, dst_scc, n_edges): collapse each SCC to one vertex and
+    keep the distinct cross-component edges with multiplicity — the
+    cycle-free dependency graph scheduling/lineage analyses need
+    (within the same bounded-witness contract as graph_scc_bounded:
+    labels are a refinement of true SCCs, so the condensation may
+    keep an edge a full Tarjan would collapse, never the reverse).
+
+    Scale shape: two broadcast-eligible label joins onto the edge
+    list + one map-side-combinable count; the SCC labels come from
+    the bounded operator above."""
+    from ..operators.analytics import scc_bounded
+
+    nodes, _, edges = model(spark, sf_dir)
+    labels = scc_bounded(nodes.select("id"), edges, max_hops=SCC_HOPS)
+    ls = labels.select(
+        F.col("id").alias("__s"), F.col("scc_id").alias("src_scc")
+    )
+    ld = labels.select(
+        F.col("id").alias("__d"), F.col("scc_id").alias("dst_scc")
+    )
+    return (
+        edges.select("src", "dst")
+        .join(ls, F.col("src") == F.col("__s"))
+        .join(ld, F.col("dst") == F.col("__d"))
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .groupBy("src_scc", "dst_scc")
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
+QUERIES["graph_scc_condensation"] = q_graph_scc_condensation
+ORACLES["graph_scc_condensation"] = ORACLE_PRELUDE + f""",
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+closure AS (
+  SELECT src AS u, dst AS v, 1 AS d FROM e
+  UNION
+  SELECT c.u, e.dst, c.d + 1 FROM closure c
+  JOIN e ON e.src = c.v
+  WHERE c.d < {SCC_HOPS} AND c.u <> e.dst
+),
+pairs AS (SELECT DISTINCT u, v FROM closure),
+mutual AS (
+  SELECT p.u, p.v FROM pairs p
+  WHERE EXISTS (SELECT 1 FROM pairs q WHERE q.u = p.v AND q.v = p.u)
+),
+reach AS (
+  SELECT id AS root, id AS node FROM nodes
+  UNION
+  SELECT r.root, m.v FROM reach r JOIN mutual m ON m.u = r.node
+),
+lab AS (SELECT root AS id, min(node) AS scc_id FROM reach GROUP BY root)
+SELECT ls.scc_id AS src_scc, ld.scc_id AS dst_scc, count(*) AS n_edges
+FROM edges ed
+JOIN lab ls ON ls.id = ed.src
+JOIN lab ld ON ld.id = ed.dst
+WHERE ls.scc_id <> ld.scc_id
+GROUP BY 1, 2"""
