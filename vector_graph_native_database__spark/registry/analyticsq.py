@@ -801,7 +801,11 @@ reach AS (
   UNION
   SELECT r.root, m.v FROM reach r JOIN mutual m ON m.u = r.node
 ),
-lab AS (SELECT root AS id, min(node) AS scc_id FROM reach GROUP BY root)
+-- lab is referenced twice (ls, ld); DuckDB re-inlines plain CTEs,
+-- which would re-run the whole recursion per reference (non-linear
+-- blowup at sf1) — MATERIALIZED is required here.
+lab AS MATERIALIZED (
+  SELECT root AS id, min(node) AS scc_id FROM reach GROUP BY root)
 SELECT ls.scc_id AS src_scc, ld.scc_id AS dst_scc, count(*) AS n_edges
 FROM edges ed
 JOIN lab ls ON ls.id = ed.src
