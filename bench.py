@@ -140,6 +140,12 @@ HEADLINE = CANARY + [
     "graph_scc_bounded",
     "io_bucketed_join",
     "ann_ivfpq_staged_topk",
+    # round-4 coda: tokenizer-training pair counts, grouping-sets
+    # trio completion, SCC condensation DAG, stream-static enrichment
+    "text_bpe_first_merges",
+    "olap_grouping_sets",
+    "graph_scc_condensation",
+    "events_stream_dim_join",
 ]
 
 
