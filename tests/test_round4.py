@@ -388,3 +388,25 @@ def test_exact_dedup_normalized_catches_case_and_whitespace(spark):
     groups = exact_dedup_groups_normalized(df).collect()
     assert len(groups) == 1
     assert groups[0]["cnt"] == 3 and groups[0]["keeper_id"] == "d1"
+
+
+def test_chunk_span_dedup_keeps_one_canonical_occurrence(spark):
+    from vector_graph_native_database__spark.operators.text_analysis import (
+        chunk_span_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "a b c x y z"),   # chunks: "a b c", "x y z"
+            ("d2", "a b c q r s"),   # "a b c" duplicates d1's
+            ("d3", "x y z"),         # duplicates d1's second chunk
+        ],
+        "id string, text string",
+    )
+    got = {
+        r["id"]: (r["n_chunks"], r["n_kept"])
+        for r in chunk_span_dedup(df, chunk_tokens=3).collect()
+    }
+    # canonical = lexicographically first (doc, position): d1 keeps
+    # both of its chunks; d2 loses "a b c", d3 loses everything
+    assert got == {"d1": (2, 2), "d2": (2, 1), "d3": (1, 0)}

@@ -877,3 +877,75 @@ def bpe_first_merges(
         .filter(F.col("rnk") <= topn)
         .select("pair", "n_pairs", "rnk")
     )
+
+
+def chunk_span_dedup(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_DUP_TOKENS,
+) -> DataFrame:
+    """Inter-document duplicate-span REMOVAL at chunk granularity →
+    (id, n_chunks, n_kept, kept_text_hash): the action on top of
+    :func:`chunk_dup_stats`'s measurement. Every duplicated chunk
+    content keeps exactly ONE canonical occurrence corpus-wide (the
+    lexicographically first (doc, position)); all other occurrences
+    are dropped, and each doc's surviving chunks are reassembled in
+    position order (hashed here so the gate compares a scalar — a
+    deployment emits the text). RefinedWeb-style exact-substring
+    dedup with deterministic keeper choice.
+
+    Scale shape: chunk strings are built JVM-side (transform +
+    slice), exploded once; the canonical occurrence is a row_number
+    window over the chunk-hash key (one shuffle, map-side bounded by
+    WindowGroupLimit-style pruning is not needed since every
+    occurrence must be ranked); reassembly is one groupBy(id) with an
+    order-pinned aggregate. Never all-pairs.
+    """
+    toks = tokenize(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunk_strs = F.when(F.size(toks) == 0, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda j: F.concat_ws(
+                " ", F.slice(toks, j * chunk_tokens + 1, chunk_tokens)
+            ),
+        )
+    )
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunk_strs).alias("cidx", "ctext"),
+    ).withColumn("h", F.md5("ctext"))
+    w = Window.partitionBy("h").orderBy("id", "cidx")
+    kept = chunks.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    per = (
+        chunks.groupBy("id")
+        .agg(F.count("*").alias("n_chunks"))
+        .join(
+            kept.groupBy("id").agg(
+                F.count("*").alias("n_kept"),
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.array_sort(
+                            F.collect_list(F.struct("cidx", "ctext"))
+                        ).getField("ctext"),
+                    )
+                ).alias("kept_text_hash"),
+            ),
+            "id",
+            "left_outer",
+        )
+    )
+    return df.select(F.col(id_col).alias("id")).join(
+        per, "id", "left_outer"
+    ).select(
+        "id",
+        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("kept_text_hash", F.md5(F.lit(""))).alias(
+            "kept_text_hash"
+        ),
+    )

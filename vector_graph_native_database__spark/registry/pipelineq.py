@@ -1404,3 +1404,41 @@ SELECT count(*) AS n_docs,
        count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text),
                         '\\s+', ' ', 'g')))) AS n_dup_docs_norm
 FROM nodes"""
+
+
+def q_corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, _, _ = model(spark, sf_dir)
+    return text_analysis.chunk_span_dedup(nodes, chunk_tokens=32)
+
+
+QUERIES["corpus_span_dedup"] = q_corpus_span_dedup
+# chunks is referenced twice → MATERIALIZED (DuckDB re-inlines plain
+# CTEs; the round-4 condensation oracle hit the same blowup at sf1).
+ORACLES["corpus_span_dedup"] = ORACLE_PRELUDE + _TOKS + """,
+chunks AS MATERIALIZED (
+  SELECT id, j.j AS cidx,
+         array_to_string(t[(j.j * 32 + 1):(j.j * 32 + 32)], ' ') AS ctext
+  FROM toks CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(
+      0, CAST(ceil(len(t) / 32.0) AS INT) - 1)) AS j) j
+  WHERE len(t) > 0
+),
+ranked AS (
+  SELECT id, cidx, ctext,
+         row_number() OVER (PARTITION BY md5(ctext)
+                            ORDER BY id, cidx) AS rn
+  FROM chunks
+),
+perk AS (
+  SELECT id, count(*) AS n_kept,
+         md5(string_agg(ctext, ' ' ORDER BY cidx)) AS kept_text_hash
+  FROM ranked WHERE rn = 1 GROUP BY id
+),
+pern AS (SELECT id, count(*) AS n_chunks FROM chunks GROUP BY id)
+SELECT n.id,
+       CAST(coalesce(pn.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(pk.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(pk.kept_text_hash, md5('')) AS kept_text_hash
+FROM nodes n
+LEFT JOIN pern pn ON pn.id = n.id
+LEFT JOIN perk pk ON pk.id = n.id"""
