@@ -179,6 +179,11 @@ def _run_set(
                 samples[name].append(time.time() - t0)
             except Exception as exc:  # one bad query must not kill it
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                # A query that succeeded in an earlier rep but failed
+                # now must NOT contribute a short-sample "median" (and
+                # silently satisfy the canary-completeness guard while
+                # also erroring) — drop its partial samples entirely.
+                samples.pop(name, None)
     times = {
         n: round(statistics.median(v), 3)
         for n, v in samples.items()

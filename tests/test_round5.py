@@ -1,0 +1,193 @@
+"""Round-5 additions: commit-lock lease hardening, JPEG sniff
+fill/RSTn markers, bench partial-rep sample handling, and the new
+registry entries (ann_tier_report, ann_ivfpq_multi, exact SCC,
+TPC-H Q12/Q21, streaming->BM25 loop)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# Commit-lock lease (ADVICE r4: mtime heartbeat, owner token,
+# tombstone-arbitrated stale reclaim)
+# ---------------------------------------------------------------------------
+
+
+def test_lock_heartbeat_keeps_long_commit_live(tmp_path, monkeypatch):
+    """A held lease refreshes the lock mtime, so a commit that outlives
+    the stale TTL still presents as LIVE to a second writer (the r4
+    fail-open: long snapshot write -> lock looks stale -> reclaimed
+    mid-commit)."""
+    from vector_graph_native_database__spark.streaming import ingest
+
+    monkeypatch.setattr(ingest, "_LOCK_STALE_SECS", 1.0)  # beat every 0.1s
+    sd = str(tmp_path / "state")
+    os.makedirs(sd)
+    lease = ingest._acquire_commit_lock(sd)
+    try:
+        time.sleep(1.5)  # well past the (patched) stale TTL
+        age = time.time() - os.path.getmtime(lease.path)
+        assert age < 1.0, "heartbeat did not refresh the lock mtime"
+        # a second writer must still see a LIVE lock and refuse
+        with pytest.raises(ingest.ConcurrentWriterError, match="live commit"):
+            ingest._acquire_commit_lock(sd)
+    finally:
+        lease.release()
+    assert not os.path.exists(lease.path)
+
+
+def test_lock_lease_verify_detects_reclaim_and_release_is_safe(tmp_path):
+    """verify() is False once the lock carries a different owner token,
+    and release() never unlinks a lock another writer now owns."""
+    from vector_graph_native_database__spark.streaming import ingest
+
+    sd = str(tmp_path / "state")
+    os.makedirs(sd)
+    lease = ingest._acquire_commit_lock(sd)
+    assert lease.verify()
+    with open(lease.path, "w") as f:  # simulate a reclaimer taking over
+        f.write("other-writer:deadbeef\n")
+    assert not lease.verify()
+    lease.release()
+    assert os.path.exists(lease.path), "release() unlinked a foreign lock"
+    os.unlink(lease.path)
+
+
+def test_stale_reclaim_single_winner_via_tombstone(tmp_path):
+    """Reclaim renames the stale lock to a tombstone first: a loser
+    whose os.replace hits FileNotFoundError loops instead of crashing,
+    and never unlinks the winner's fresh lock."""
+    from vector_graph_native_database__spark.streaming import ingest
+
+    sd = str(tmp_path / "state")
+    os.makedirs(sd)
+    path = os.path.join(sd, ingest._LOCK)
+    with open(path, "w") as f:
+        f.write("crashed-writer\n")
+    old = time.time() - 2 * ingest._LOCK_STALE_SECS
+    os.utime(path, (old, old))
+    lease = ingest._acquire_commit_lock(sd)  # reclaims via tombstone
+    try:
+        assert lease.verify()
+        assert not any(
+            e.startswith(ingest._LOCK + ".reclaimed")
+            for e in os.listdir(sd)
+        ), "tombstone not cleaned up"
+        # a racing reclaimer now sees a YOUNG lock -> refuses (does not
+        # unlink the winner's lock)
+        with pytest.raises(ingest.ConcurrentWriterError):
+            ingest._acquire_commit_lock(sd)
+        assert lease.verify()
+    finally:
+        lease.release()
+
+
+def test_commit_aborts_without_flip_when_lease_lost(tmp_path, spark):
+    """If the lease is lost before the pointer flip, commit_state
+    raises and the previously committed snapshot stays live."""
+    from vector_graph_native_database__spark.streaming import ingest
+
+    sd = str(tmp_path / "state")
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    assert ingest.commit_state(df1, sd) == "v000001"
+
+    real_verify = ingest._CommitLease.verify
+
+    def stolen(self):  # lease looks lost at the point of no return
+        return False
+
+    ingest._CommitLease.verify = stolen
+    try:
+        df2 = spark.createDataFrame([(2, "b")], "k long, v string")
+        with pytest.raises(ingest.ConcurrentWriterError, match="lease"):
+            ingest.commit_state(df2, sd)
+    finally:
+        ingest._CommitLease.verify = real_verify
+    # with verify() forced False, release() correctly refused to unlink
+    # a lock it could not prove it owned — clear it as the "usurper"
+    lock = os.path.join(sd, ingest._LOCK)
+    if os.path.exists(lock):
+        os.unlink(lock)
+    assert ingest._current_version(sd) == "v000001"
+    assert [r["k"] for r in ingest.read_state(spark, sd).collect()] == [1]
+    # the orphaned v000002 dir is invisible and the next commit reuses it
+    assert ingest.commit_state(df2, sd) == "v000002"
+    assert sorted(
+        r["k"] for r in ingest.read_state(spark, sd).collect()
+    ) == [2]
+
+
+# ---------------------------------------------------------------------------
+# JPEG sniffer: fill bytes + standalone markers (ADVICE r4)
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_bytes(segments: list[bytes]) -> bytes:
+    return b"\xff\xd8" + b"".join(segments)
+
+
+def test_jpeg_sniff_skips_fill_bytes_and_standalone_markers():
+    from vector_graph_native_database__spark.multimodal.columns import (
+        sniff_image_meta,
+    )
+    import struct
+
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(
+        ">HH", 480, 640
+    ) + b"\x03" + b"\x00" * 9
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+
+    # plain walk still works
+    assert sniff_image_meta(_jpeg_bytes([app0, sof0])) == (640, 480, 3)
+    # 0xFF fill padding before a marker must be skipped, not misread
+    assert sniff_image_meta(
+        _jpeg_bytes([app0, b"\xff\xff\xff", sof0])
+    ) == (640, 480, 3)
+    # TEM (0x01) and RSTn (0xD0-0xD7) are length-less: advance 2 bytes
+    assert sniff_image_meta(
+        _jpeg_bytes([b"\xff\x01", b"\xff\xd3", app0, sof0])
+    ) == (640, 480, 3)
+    # corrupt (non-FF where a marker must start) still returns None
+    assert sniff_image_meta(_jpeg_bytes([b"\x00\x00" * 8])) is None
+
+
+# ---------------------------------------------------------------------------
+# bench._run_set: a query failing in a later rep must not leave a
+# short-sample median that satisfies the canary guard (ADVICE r4)
+# ---------------------------------------------------------------------------
+
+
+def test_bench_run_set_drops_partial_samples(monkeypatch, spark):
+    import bench
+    from vector_graph_native_database__spark import registry
+
+    calls = {"n": 0}
+
+    def flaky(s, sf):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("boom on rep 2")
+        return s.range(3)
+
+    def steady(s, sf):
+        return s.range(5)
+
+    monkeypatch.setattr(
+        registry, "all_queries", lambda: {"flaky": flaky, "steady": steady}
+    )
+    monkeypatch.setattr(
+        bench, "get_spark", lambda *a, **k: spark, raising=False
+    )
+    # _run_set imports get_spark inside the function body
+    import vector_graph_native_database__spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+
+    times, errors = bench._run_set(["flaky", "steady"], reps=3)
+    assert "flaky" not in times, "partial samples must be dropped"
+    assert "flaky" in errors
+    assert "steady" in times

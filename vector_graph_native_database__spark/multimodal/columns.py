@@ -82,10 +82,22 @@ def sniff_image_meta(buf: bytes) -> tuple[int, int, int] | None:
         return w, abs(h), max(1, bits // 8)
     if buf[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
         i = 2
-        while i + 9 < len(buf):
+        while i + 1 < len(buf):
             if buf[i] != 0xFF:
                 return None
+            # The spec allows any number of 0xFF FILL bytes before a
+            # marker byte — skip them, or a padded-but-valid JPEG
+            # misreads a bogus segment length and fails to sniff.
+            while i + 1 < len(buf) and buf[i + 1] == 0xFF:
+                i += 1
+            if i + 9 >= len(buf):
+                break
             marker = buf[i + 1]
+            # TEM (0x01) and RST0-7 (0xD0-0xD7) are STANDALONE
+            # length-less markers: advance past the 2 marker bytes only.
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", buf[i + 5 : i + 9])
                 return w, h, buf[i + 9]

@@ -50,9 +50,12 @@ from pyspark.sql.types import StructType
 
 _CURRENT = "_CURRENT"
 _LOCK = "_COMMIT_LOCK"
-# A lock older than this is a crashed writer's leftover and is
-# reclaimed; a live commit (snapshot write + pointer flip) finishes
-# in seconds, so ten minutes is decisively past any live writer.
+# A lock whose mtime is older than this is a crashed writer's
+# leftover and is reclaimed. A LIVE writer — however long its
+# snapshot write takes (700s+ parquet writes observed on contended
+# boxes) — never looks stale, because the held lease refreshes the
+# lock's mtime every _LOCK_STALE_SECS/10 seconds from a heartbeat
+# thread; only a writer that actually died stops heartbeating.
 _LOCK_STALE_SECS = 600.0
 
 
@@ -65,39 +68,113 @@ class ConcurrentWriterError(RuntimeError):
     the version counter and orphan each other's snapshots."""
 
 
-def _acquire_commit_lock(state_dir: str) -> str:
-    """O_EXCL lock file with pid — the single-writer assertion.
+class _CommitLease:
+    """Held commit lock: owner token + mtime heartbeat + ownership check.
 
-    A leftover lock from a crashed writer (older than
-    ``_LOCK_STALE_SECS``) is reclaimed; a YOUNG lock means a live
-    concurrent writer and raises. The reclaim has a narrow
-    theoretical race (two writers both observing staleness), the
-    same window every lease-based lock has — an object-store
-    deployment replaces this file with a conditional put, which
-    closes it."""
-    import time
+    Three hardenings over a bare O_EXCL pid file:
+
+    - the lock body is a unique OWNER TOKEN (pid + random nonce), so a
+      holder can distinguish "still mine" from "reclaimed by someone
+      else" — a pid alone cannot (pids recycle).
+    - a daemon thread refreshes the lock's mtime every
+      ``_LOCK_STALE_SECS / 10`` seconds, so a commit whose snapshot
+      write outlives the stale TTL (observed: 700s+ parquet writes on
+      contended boxes) still presents as LIVE to other writers instead
+      of silently failing open to reclaim.
+    - :meth:`verify` re-reads the lock and compares the token; the
+      committer calls it immediately before the pointer flip and
+      aborts (no flip) if the lease was lost, so even a mistaken
+      reclaim yields one flipped pointer, never two. The verify→flip
+      window is the irreducible lease race every mtime-based lock has;
+      an object-store deployment closes it with a conditional put.
+    """
+
+    def __init__(self, path: str, token: str) -> None:
+        import threading  # noqa: PLC0415
+
+        self.path = path
+        self.token = token
+        self._stop = threading.Event()
+        self._beat = threading.Thread(
+            target=self._heartbeat, name="commit-lock-heartbeat", daemon=True
+        )
+        self._beat.start()
+
+    def _heartbeat(self) -> None:
+        while not self._stop.wait(_LOCK_STALE_SECS / 10):
+            try:
+                os.utime(self.path)
+            except OSError:
+                pass  # lock gone (reclaimed) — verify() will catch it
+
+    def verify(self) -> bool:
+        """True iff the on-disk lock still carries OUR token."""
+        try:
+            with open(self.path) as f:
+                return f.read().strip() == self.token
+        except OSError:
+            return False
+
+    def release(self) -> None:
+        self._stop.set()
+        self._beat.join(timeout=2.0)
+        if self.verify():  # never unlink a lock another writer now owns
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
+
+
+def _acquire_commit_lock(state_dir: str) -> _CommitLease:
+    """O_EXCL lock file with an owner token — the single-writer assertion.
+
+    A leftover lock from a crashed writer (mtime older than
+    ``_LOCK_STALE_SECS``, and never heartbeat-refreshed, so truly
+    abandoned) is reclaimed; a YOUNG lock means a live concurrent
+    writer and raises. Reclaim is ARBITRATED: the stale file is first
+    atomically renamed (``os.replace``) to a per-reclaimer tombstone,
+    which exactly one of any concurrent reclaimers wins — the losers'
+    rename raises FileNotFoundError and they loop back to contend on
+    the fresh O_EXCL create, so no writer ever unlinks a lock another
+    writer just created."""
+    import secrets  # noqa: PLC0415
+    import time  # noqa: PLC0415
 
     path = os.path.join(state_dir, _LOCK)
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+    token = f"{os.getpid()}:{secrets.token_hex(8)}"
+    for _ in range(64):  # bounded retry; contention resolves in 1-2 spins
         try:
-            age = time.time() - os.path.getmtime(path)
-        except OSError:  # released between probe and stat → retry
-            return _acquire_commit_lock(state_dir)
-        if age < _LOCK_STALE_SECS:
-            raise ConcurrentWriterError(
-                f"{state_dir} has a live commit in flight ({path} is "
-                f"{age:.0f}s old); this state store is single-writer "
-                "by contract"
-            ) from None
-        os.unlink(path)  # crashed writer's leftover
-        return _acquire_commit_lock(state_dir)
-    with os.fdopen(fd, "w") as f:
-        f.write(f"{os.getpid()}\n")
-        f.flush()
-        os.fsync(f.fileno())
-    return path
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:  # released between probe and stat → retry
+                continue
+            if age < _LOCK_STALE_SECS:
+                raise ConcurrentWriterError(
+                    f"{state_dir} has a live commit in flight ({path} is "
+                    f"{age:.0f}s old); this state store is single-writer "
+                    "by contract"
+                ) from None
+            tombstone = f"{path}.reclaimed.{token.replace(':', '.')}"
+            try:
+                os.replace(path, tombstone)  # atomic: ONE reclaimer wins
+            except FileNotFoundError:
+                continue  # another reclaimer won; re-contend on O_EXCL
+            try:
+                os.unlink(tombstone)
+            except FileNotFoundError:
+                pass
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(token + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        return _CommitLease(path, token)
+    raise ConcurrentWriterError(
+        f"could not acquire {path} after 64 attempts (livelock — "
+        "persistent reclaim contention)"
+    )
 
 
 def _current_version(state_dir: str) -> str | None:
@@ -187,12 +264,23 @@ def commit_state(df: DataFrame, state_dir: str) -> str:
     the O_EXCL lock file (crashed writers' stale locks reclaimed).
     """
     os.makedirs(state_dir, exist_ok=True)
-    lock = _acquire_commit_lock(state_dir)
+    lease = _acquire_commit_lock(state_dir)
     try:
         cur = _current_version(state_dir)
         cur_n = int(cur[1:]) if cur else 0
         version = f"v{cur_n + 1:06d}"
         df.write.mode("overwrite").parquet(os.path.join(state_dir, version))
+        # Ownership check at the point of no return: if the lease was
+        # lost (e.g. a reclaimer raced the heartbeat), ABORT before the
+        # flip — our snapshot dir becomes a harmless orphan the next
+        # commit overwrites, and exactly one writer publishes.
+        if not lease.verify():
+            raise ConcurrentWriterError(
+                f"commit lease on {state_dir} lost before pointer flip "
+                "(another writer reclaimed the lock); aborting without "
+                "publishing — the previously committed snapshot is "
+                "untouched"
+            )
         tmp = os.path.join(state_dir, "._CURRENT.tmp")
         with open(tmp, "w") as f:
             f.write(version + "\n")
@@ -207,10 +295,7 @@ def commit_state(df: DataFrame, state_dir: str) -> str:
                 )
         return version
     finally:
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
+        lease.release()
 
 # events.parquet stores ts as timestamp[us] — Spark's native
 # microsecond timestamp, read directly. (Earlier testdata generations
