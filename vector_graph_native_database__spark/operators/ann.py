@@ -393,13 +393,22 @@ def pq_train(
     broadcast of m·ksub small centroids + one groupBy.
     """
     e = _subvectors(emb, m, dim)
+    # Seeds are the ksub numerically-smallest ids — identical in every
+    # subspace (each id contributes one row per sm) — so fetch them
+    # ONCE via TakeOrderedAndProject (the ivf_centroids idiom,
+    # ann.py:258) and broadcast-join; the ranking window then runs
+    # over m*ksub seed rows, never the full subvector frame.
+    seed_ids = (
+        emb.filter(F.size("vector") == dim)
+        .select(F.col("node_id").alias("id"))
+        .orderBy(F.col("id").cast("long"))
+        .limit(ksub)
+    )
     wseed = Window.partitionBy("sm").orderBy(F.col("id").cast("long"))
-    centroids = (
-        e.withColumn("rn", F.row_number().over(wseed))
-        .filter(F.col("rn") <= ksub)
-        .select(
-            "sm", (F.col("rn") - 1).alias("cidx"), F.col("sv").alias("cvec")
-        )
+    centroids = e.join(F.broadcast(seed_ids), "id").select(
+        "sm",
+        (F.row_number().over(wseed) - 1).alias("cidx"),
+        F.col("sv").alias("cvec"),
     )
     for _ in range(iters):
         c = centroids.withColumn("cc", dot("cvec", "cvec"))

@@ -451,15 +451,23 @@ def q_io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session-scoped but a managed-table LOCATION would outlive the
     # session and collide on the next run
     base = scratch_dir("bucketed_join")
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_customer")
+    # run-scoped table names (suffixed with the scratch dir's unique
+    # run id): two concurrent gate runs sharing a metastore would race
+    # each other's DROP/CREATE on fixed names
+    run_id = os.path.basename(base).rsplit("_", 1)[-1]
+    t_orders, t_cust = f"b_orders_{run_id}", f"b_customer_{run_id}"
+    # sweep THIS session's tables from any earlier invocation (the
+    # paths they pointed at were reclaimed by scratch_dir above)
+    for t in spark.catalog.listTables():
+        if t.name.startswith(("b_orders_", "b_customer_")):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     (
         orders.select("o_orderkey", "o_custkey", "o_totalprice")
         .write.mode("overwrite")
         .option("path", os.path.join(base, "orders"))
         .bucketBy(8, "o_custkey")
         .sortBy("o_custkey")
-        .saveAsTable("b_orders")
+        .saveAsTable(t_orders)
     )
     (
         cust.select("c_custkey", "c_mktsegment")
@@ -467,10 +475,10 @@ def q_io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", os.path.join(base, "customer"))
         .bucketBy(8, "c_custkey")
         .sortBy("c_custkey")
-        .saveAsTable("b_customer")
+        .saveAsTable(t_cust)
     )
-    bo = spark.table("b_orders")
-    bc = spark.table("b_customer")
+    bo = spark.table(t_orders)
+    bc = spark.table(t_cust)
     return (
         bo.join(bc, bo["o_custkey"] == bc["c_custkey"])
         .groupBy("c_mktsegment")
