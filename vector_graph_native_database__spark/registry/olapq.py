@@ -2325,3 +2325,162 @@ SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
        count(*) AS n_orders
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority), (year(o_orderdate)), ())"""
+
+
+# --- TPC-H Q12 / Q21 analogs (round 5: the last two partsupp-free
+# shapes; Q2/Q9/Q11/Q16/Q20 need a partsupp table the driver schema
+# does not ship and are documented out of reach in SURVEY §7.4) -----
+
+# The driver schema carries no l_shipmode column; the Q12 shape needs
+# a low-cardinality line-level categorical, so one is DERIVED
+# deterministically from (l_partkey + l_linenumber) mod 7 — identical
+# arithmetic in both engines, playing exactly the grouping/filter role
+# l_shipmode plays in TPC-H. "Late delivery" (l_commitdate <
+# l_receiptdate in TPC-H) is adapted to the schema's available dates
+# as shipped > LATE_DAYS after the order date, same as olap_priority_late.
+SHIP_MODES = ("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB")
+Q12_MODES = ("MAIL", "SHIP")
+Q12_YEAR = ("1997-01-01 00:00:00", "1998-01-01 00:00:00")
+
+
+def _ship_mode_col():
+    return F.element_at(
+        F.array(*[F.lit(m) for m in SHIP_MODES]),
+        (F.pmod(F.col("l_partkey") + F.col("l_linenumber"), F.lit(7)) + 1)
+        .cast("int"),
+    )
+
+
+def q_olap_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per ship mode (restricted to two modes), how
+    many LATE lines belong to high-priority vs low-priority orders in
+    one shipping year — the canonical fact⨝fact join feeding a
+    conditional (CASE-in-aggregate) count.
+
+    Scale shape: the year filter prunes the lineitem scan BEFORE the
+    join (pushed to parquet); the mode filter runs on the derived
+    column in the same scan stage; the orders join is a plain
+    key-equi-join AQE sizes at runtime; both counts come out of ONE
+    map-side-combinable aggregate over a 2-value key — never two
+    passes. Ref parity: the reference has no relational OLAP at all
+    (SURVEY §2.7); this extends the TPC-H suite coverage."""
+    lo, hi = Q12_YEAR
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+        )
+        .withColumn("ship_mode", _ship_mode_col())
+        .filter(F.col("ship_mode").isin(*Q12_MODES))
+        .select("l_orderkey", "ship_mode", "l_shipdate")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+        )
+        .groupBy("ship_mode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+QUERIES["olap_shipmode_priority"] = q_olap_shipmode_priority
+ORACLES["olap_shipmode_priority"] = f"""
+SELECT ['REG AIR','AIR','RAIL','SHIP','TRUCK','MAIL','FOB']
+         [CAST((l_partkey + l_linenumber) % 7 AS INT) + 1] AS ship_mode,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE ship_mode IN ('MAIL','SHIP')
+  AND l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+  AND l_shipdate >= TIMESTAMP '{Q12_YEAR[0]}'
+  AND l_shipdate <  TIMESTAMP '{Q12_YEAR[1]}'
+GROUP BY ship_mode"""
+
+
+def q_olap_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): count, per
+    supplier, the late lines in finished multi-supplier orders where
+    that supplier was the ONLY late one — the EXISTS / NOT-EXISTS
+    double-correlated pattern, the hardest join shape in the suite and
+    the everyday ETL question "a sibling row exists, but none
+    qualifies".
+
+    Spark-first re-expression: the two correlated subqueries collapse
+    into ONE per-order aggregate — n_supp = countDistinct(supplier)
+    (EXISTS a different supplier ⇔ n_supp ≥ 2) and n_late_supp =
+    countDistinct(supplier | late) (NOT EXISTS a *different* late
+    supplier, given this line is late ⇔ n_late_supp = 1) — joined back
+    on the order key. That is two shuffles on l_orderkey total
+    (pre-aggregated map-side), instead of two correlated re-scans of
+    lineitem per outer row; supplier⨝nation is a broadcast dimension.
+    The nation filter of textbook Q21 is dropped (the driver's 10
+    suppliers spread over 25 nations would make most single-nation
+    picks empty) and n_name is surfaced in the group key instead.
+    Late = shipped > LATE_DAYS after order date, as in
+    olap_priority_late; status 'F' = the order is finished."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {LATE_DAYS} DAYS"
+    )
+    lo = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).withColumn("is_late", late)
+    ordstats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    qual = (
+        lo.filter(F.col("is_late"))
+        .join(ordstats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    dim = supp.join(
+        nation, supp["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", "s_name", "n_name")
+    return (
+        qual.join(F.broadcast(dim), qual["l_suppkey"] == dim["s_suppkey"])
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+QUERIES["olap_waiting_suppliers"] = q_olap_waiting_suppliers
+ORACLES["olap_waiting_suppliers"] = f"""
+SELECT s_name, n_name, count(*) AS numwait
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY)
+GROUP BY s_name, n_name"""
