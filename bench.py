@@ -146,6 +146,11 @@ HEADLINE = CANARY + [
     "olap_grouping_sets",
     "graph_scc_condensation",
     "events_stream_dim_join",
+    # round-5: amortized multi-query IVF-PQ serving, TPC-H Q12/Q21,
+    # ANN tier frontier report, exact SCC, streaming->BM25 serving loop
+    "ann_ivfpq_multi",
+    "olap_shipmode_priority",
+    "olap_waiting_suppliers",
 ]
 
 

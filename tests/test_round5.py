@@ -191,3 +191,31 @@ def test_bench_run_set_drops_partial_samples(monkeypatch, spark):
     assert "flaky" not in times, "partial samples must be dropped"
     assert "flaky" in errors
     assert "steady" in times
+
+
+# ---------------------------------------------------------------------------
+# ann_ivfpq_multi: train-once / answer-many serving shape
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_multi_agrees_with_cold_entry_on_shared_queries(spark, sf_dir):
+    """Same index parameters => the 10-query batched entry must return
+    byte-identical rows for the 5 canonical query ids as the cold
+    single-shot entry (training is deterministic; batching must not
+    perturb results)."""
+    from vector_graph_native_database__spark.registry.pipelineq import (
+        ANN_QUERY_IDS,
+        q_ann_ivfpq_multi,
+        q_ann_ivfpq_topk,
+    )
+
+    cold = {
+        (r["qid"], r["id"], r["adist"], r["rnk"])
+        for r in q_ann_ivfpq_topk(spark, sf_dir).collect()
+    }
+    multi = {
+        (r["qid"], r["id"], r["adist"], r["rnk"])
+        for r in q_ann_ivfpq_multi(spark, sf_dir).collect()
+        if r["qid"] in ANN_QUERY_IDS
+    }
+    assert multi == cold

@@ -16,6 +16,12 @@ from .common import ORACLE_PRELUDE, model
 
 ANN_QUERY_IDS = ["0", "100", "200", "300", "400"]
 
+# The batched-serving query set (round 5): 2× the canonical set, for
+# the train-once / answer-many IVF-PQ deployment entry.
+ANN_MULTI_QUERY_IDS = [
+    "0", "50", "100", "150", "200", "250", "300", "350", "400", "450",
+]
+
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, _, _ = model(spark, sf_dir)
@@ -225,6 +231,23 @@ def q_ann_ivfpq_staged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amortized multi-query IVF-PQ serving (round 5, the BM25
+    `bm25_topk_multi` argument made for vectors): train the index ONCE
+    — both Lloyd runs staged eagerly — then answer 10 queries in the
+    same plan. Training cost is per-corpus, probe+ADC cost is
+    per-query; doubling the query set over ann_ivfpq_topk adds only
+    the per-query part, so BENCH per-query cost lands well under the
+    cold entry's (the staged frames are shared, the probes/tables
+    frames stay |queries|-sized broadcasts). Same oracle chain as
+    ann_ivfpq_topk with the 10-id query set."""
+    _, emb, _ = model(spark, sf_dir)
+    return ann.ivfpq_topk(
+        emb, ANN_MULTI_QUERY_IDS, k=5, n_centroids=8, iters=2, nprobe=2,
+        m=4, ksub=16, dim=64, stage_index=True,
+    )
+
+
 def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k over the int8-quantized embedding tier —
     proves the 4×-compressed store is searchable without
@@ -283,6 +306,7 @@ QUERIES = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_ivfpq_staged_topk": q_ann_ivfpq_staged_topk,
+    "ann_ivfpq_multi": q_ann_ivfpq_multi,
     "ann_mllib_lsh_topk": q_ann_mllib_lsh_topk,
     "ann_int8_topk": q_ann_int8_topk,
     "text_lang_id": q_text_lang_id,
@@ -300,7 +324,8 @@ QUERIES = {
 
 
 def _ivf_ctes(
-    n_centroids: int = 8, iters: int = 2, nprobe: int = 2, x: str = ""
+    n_centroids: int = 8, iters: int = 2, nprobe: int = 2, x: str = "",
+    ids_in: str | None = None,
 ) -> str:
     """The IVF index-build CTE chain (unrolled Lloyd iterations —
     c0 = seed centroids, a{t} = assignment, c{t} = rounded
@@ -361,7 +386,8 @@ def _ivf_ctes(
     FROM {x}e t CROSS JOIN {x}cf c
   ) WHERE rn = 1
 ),
-{x}q AS (SELECT id AS qid, v AS qv, vv FROM {x}e WHERE id IN {_IDS_IN}),
+{x}q AS (SELECT id AS qid, v AS qv, vv FROM {x}e
+         WHERE id IN {ids_in or _IDS_IN}),
 {x}probes AS (
   SELECT qid, qv, cidx FROM (
     SELECT t.qid, t.qv, c.cidx,
@@ -405,6 +431,7 @@ SELECT qid, id, cos, rnk FROM (
 def _pq_ctes(
     m: int = 4, ksub: int = 16, iters: int = 2, dim: int = 64,
     src: str = "emb", id_col: str = "node_id", vec_col: str = "vector",
+    ids_in: str | None = None,
 ) -> str:
     """The PQ index-build CTE chain — per-subspace Lloyd training
     (same seed rule, 6dp centroid rounding, and argmin tie-break as
@@ -474,7 +501,7 @@ codes AS (
   ) WHERE rn = 1
 ),
 q AS (SELECT id AS qid, sm, sv AS qsv, vv AS qvv FROM e
-      WHERE id IN {_IDS_IN}),
+      WHERE id IN {ids_in or _IDS_IN}),
 tbl AS (
   SELECT q.qid, q.sm, c.cidx,
          q.qvv + c.cc - 2 * list_dot_product(q.qsv, c.cvec) AS d
@@ -527,6 +554,7 @@ def _ivfpq_sql(
     ksub: int = 16,
     k: int = 5,
     dim: int = 64,
+    ids_in: str | None = None,
 ) -> str:
     """Composed IVF-PQ oracle: the prefixed IVF chain supplies the
     probed candidate set (ivaf × ivprobes); the PQ chain supplies
@@ -535,8 +563,8 @@ def _ivfpq_sql(
     executes."""
     return (
         ORACLE_PRELUDE
-        + _ivf_ctes(n_centroids, iters, nprobe, x="iv")
-        + _pq_ctes(m, ksub, iters, dim)
+        + _ivf_ctes(n_centroids, iters, nprobe, x="iv", ids_in=ids_in)
+        + _pq_ctes(m, ksub, iters, dim, ids_in=ids_in)
         + """,
 sel AS (
   SELECT p.qid, a.id
@@ -874,6 +902,9 @@ SELECT qid, id, cos, rnk FROM (
     "ann_ivfpq_topk": _ivfpq_sql(),
     # staging changes the physical plan only — same result contract
     "ann_ivfpq_staged_topk": _ivfpq_sql(),
+    "ann_ivfpq_multi": _ivfpq_sql(
+        ids_in="('" + "', '".join(ANN_MULTI_QUERY_IDS) + "')"
+    ),
     # The exact-NN frame (qid, nn_id, nn_dist) is real data-dependent
     # SQL; the three invariant columns assert MLlib's behavior: true
     # NN contained at rank 1, exactly k rows back, zero distance
