@@ -219,3 +219,133 @@ def test_ivfpq_multi_agrees_with_cold_entry_on_shared_queries(spark, sf_dir):
         if r["qid"] in ANN_QUERY_IDS
     }
     assert multi == cold
+
+
+# ---------------------------------------------------------------------------
+# ann_tier_report: the frontier's pinned monotonicities (verdict r4
+# task 1): brute is exact, multi-probe >= single-probe, rerank >=
+# binary, residual-PQ distortion <= plain-PQ distortion.
+# ---------------------------------------------------------------------------
+
+
+def test_ann_tier_report_monotonicities(spark, sf_dir):
+    from vector_graph_native_database__spark.registry.qualityq import (
+        q_ann_tier_report,
+    )
+
+    rows = {r["tier"]: r for r in q_ann_tier_report(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "brute", "int8", "lsh", "multiprobe_lsh", "ivf", "pq", "ivfpq",
+        "ivfpq_residual", "matryoshka", "binary_hamming", "binary_rerank",
+    }
+    # ground truth anchors: brute is exact by construction
+    assert rows["brute"]["recall_at_k"] == 1.0
+    assert rows["brute"]["nn_hits"] == 5
+    assert rows["brute"]["n_pairs"] == 25
+    for r in rows.values():  # k=5 x 5 queries bounds every tier
+        assert r["n_pairs"] <= 25
+        assert r["n_hits"] <= r["n_pairs"]
+    # probing more buckets can only add candidates -> recall
+    assert (
+        rows["multiprobe_lsh"]["recall_at_k"] >= rows["lsh"]["recall_at_k"]
+    )
+    # exact-cosine rerank of the Hamming shortlist can only improve
+    # the ordering (and therefore recall within the shortlist)
+    assert (
+        rows["binary_rerank"]["recall_at_k"]
+        >= rows["binary_hamming"]["recall_at_k"]
+    )
+    assert (
+        rows["binary_rerank"]["nn_hits"] >= rows["binary_hamming"]["nn_hits"]
+    )
+
+
+def test_multiprobe_candidates_superset_of_single_probe(spark, sf_dir):
+    """Hamming-1 multi-probe scans the query's bucket plus all 8
+    single-bit-flip buckets: its candidate count per query must be >=
+    single-probe's (the candidate-count axis of the tier frontier)."""
+    from pyspark.sql import functions as F
+
+    from vector_graph_native_database__spark.operators.ann import (
+        hyperplanes,
+        lsh_buckets,
+    )
+    from vector_graph_native_database__spark.registry.pipelineq import (
+        ANN_QUERY_IDS,
+        model,
+    )
+
+    _, emb, _ = model(spark, sf_dir)
+    b = lsh_buckets(emb, hyperplanes(spark, 8, 64)).select(
+        "node_id", "bucket"
+    )
+    q = b.filter(F.col("node_id").isin(ANN_QUERY_IDS)).select(
+        F.col("node_id").alias("qid"), F.col("bucket").alias("qb")
+    )
+    single = (
+        b.join(q, b["bucket"] == q["qb"])
+        .filter(F.col("node_id") != F.col("qid"))
+        .groupBy("qid")
+        .count()
+        .collect()
+    )
+    probes = q.select(
+        "qid",
+        F.explode(
+            F.array(
+                F.col("qb"),
+                *[F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(8)],
+            )
+        ).alias("pb"),
+    )
+    multi = (
+        b.join(probes, b["bucket"] == probes["pb"])
+        .filter(F.col("node_id") != F.col("qid"))
+        .groupBy("qid")
+        .count()
+        .collect()
+    )
+    s = {r["qid"]: r["count"] for r in single}
+    m = {r["qid"]: r["count"] for r in multi}
+    assert set(m) >= set(s)
+    for qid, n in m.items():
+        assert n >= s.get(qid, 0)
+    assert sum(m.values()) > sum(s.values()), (
+        "multi-probe should widen at least one query's candidate set"
+    )
+
+
+def test_residual_pq_distortion_not_worse_than_plain(spark, sf_dir):
+    """faiss's reason for residual encoding, pinned: mean |adist -
+    exact squared L2| over the returned pairs is <= plain IVF-PQ's
+    (deterministic trainings + fixed data => a constant comparison)."""
+    import numpy as np
+
+    from vector_graph_native_database__spark.registry.pipelineq import (
+        model,
+        q_ann_ivfpq_residual_topk,
+        q_ann_ivfpq_topk,
+    )
+
+    _, emb, _ = model(spark, sf_dir)
+    vecs = {
+        r["node_id"]: np.array(r["vector"], dtype=np.float64)
+        for r in emb.filter("size(vector) = 64").collect()
+    }
+
+    def mae(rows):
+        return float(
+            np.mean(
+                [
+                    abs(
+                        r["adist"]
+                        - float(np.sum((vecs[r["qid"]] - vecs[r["id"]]) ** 2))
+                    )
+                    for r in rows
+                ]
+            )
+        )
+
+    plain = mae(q_ann_ivfpq_topk(spark, sf_dir).collect())
+    residual = mae(q_ann_ivfpq_residual_topk(spark, sf_dir).collect())
+    assert residual <= plain

@@ -145,10 +145,104 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The ANN tier frontier (round 5): every DuckDB-replayable tier that
+# returns a ranked (qid, id, rnk) frame, in cost order. MLlib's LSH is
+# the one exclusion — its JVM-side hashing cannot be replayed in the
+# oracle, and its OWN entry (ann_mllib_lsh_topk) already IS a
+# recall/consistency eval. ann_ivfpq_staged/multi are physical-plan /
+# batching twins of ann_ivfpq_topk and would duplicate its row.
+_TIER_ENTRIES = (
+    "ann_brute_topk",
+    "ann_int8_topk",
+    "ann_lsh_topk",
+    "ann_multiprobe_lsh_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_matryoshka_topk",
+    "ann_binary_hamming_topk",
+    "ann_binary_rerank_topk",
+)
+
+
+def q_ann_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tier frontier in ONE table → (tier, n_pairs, n_hits,
+    recall_at_k, nn_hits): every replayable tier's top-5, scored
+    against exact brute-force ground truth on the same 5 queries —
+    the decision tool that turns 11 per-tier entries into a
+    recall-vs-cost comparison a user reads once.
+
+    Per tier: ``n_pairs`` = rows the tier returns at k=5 (pruned
+    tiers return fewer when probed buckets/cells hold <k candidates
+    — the coverage cost of pruning), ``n_hits`` = overlap with the
+    exact top-5, ``recall_at_k`` = n_hits / (|Q|·k), ``nn_hits`` =
+    queries whose TRUE nearest neighbor survives into the tier's
+    top-5 (the metric that matters for dedup/retrieval: is the one
+    right answer still there?).
+
+    Scale shape: ground truth is computed ONCE and eagerly staged
+    (25 rows); each tier contributes one full-outer join of two
+    ≤25-row frames + one aggregate — the report's cost is the sum of
+    the tier index builds themselves, which the lazy union overlaps
+    across the executor pool. Composes the per-tier oracled entries
+    exactly like ann_recall_eval; the DuckDB twin replays every
+    index build bit-for-bit and marks each tier CTE MATERIALIZED.
+    """
+    from . import enrichq, pipelineq
+
+    k = ANN_EVAL_K
+    nq = len(pipelineq.ANN_QUERY_IDS)
+    denom = float(k * nq)
+    fns = {**pipelineq.QUERIES, **enrichq.QUERIES}
+
+    brute5 = (
+        pipelineq.q_ann_brute_topk(spark, sf_dir)
+        .filter(F.col("rnk") <= k)
+        .select("qid", "id", "rnk", F.lit(1).alias("b"))
+        .localCheckpoint(eager=True)  # referenced once per tier row
+    )
+    rows = []
+    for name in _TIER_ENTRIES:
+        t = (
+            fns[name](spark, sf_dir)
+            .filter(F.col("rnk") <= k)
+            .select("qid", "id", F.lit(1).alias("h"))
+        )
+        j = brute5.join(t, ["qid", "id"], "full_outer")
+        rows.append(
+            j.agg(
+                F.sum(F.coalesce("h", F.lit(0))).alias("n_pairs"),
+                F.sum(
+                    F.coalesce("b", F.lit(0)) * F.coalesce("h", F.lit(0))
+                ).alias("n_hits"),
+                F.sum(
+                    F.when(
+                        (F.col("rnk") == 1) & F.col("h").isNotNull(), 1
+                    ).otherwise(0)
+                ).alias("nn_hits"),
+            ).select(
+                F.lit(name.removeprefix("ann_").removesuffix("_topk"))
+                .alias("tier"),
+                "n_pairs",
+                "n_hits",
+                stable_round6(F.col("n_hits") / F.lit(denom)).alias(
+                    "recall_at_k"
+                ),
+                "nn_hits",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 QUERIES = {
     "profile_table_stats": q_profile_table_stats,
     "dq_constraint_check": q_dq_constraint_check,
     "ann_recall_eval": q_ann_recall_eval,
+    "ann_tier_report": q_ann_tier_report,
 }
 
 
@@ -211,10 +305,53 @@ WHERE b.rnk <= {k}
 GROUP BY b.qid"""
 
 
+def _tier_report_oracle() -> str:
+    """One statement: brute ground truth as a MATERIALIZED CTE (it is
+    referenced three times per tier row — DuckDB would re-inline it),
+    one MATERIALIZED top-5 CTE per tier wrapping that tier's full
+    oracled index-build SQL as a subquery, and a UNION ALL of per-tier
+    metric rows."""
+    from .enrichq import ORACLES as ENRICH_ORACLES
+    from .pipelineq import ANN_QUERY_IDS, ORACLES as PIPE_ORACLES
+
+    sqls = {**PIPE_ORACLES, **ENRICH_ORACLES}
+    k = ANN_EVAL_K
+    denom = float(k * len(ANN_QUERY_IDS))
+    ctes = [
+        f"bt AS MATERIALIZED (\n  SELECT qid, id, rnk FROM "
+        f"({sqls['ann_brute_topk']}\n) __b WHERE rnk <= {k})"
+    ]
+    rows = []
+    for i, name in enumerate(_TIER_ENTRIES):
+        label = name.removeprefix("ann_").removesuffix("_topk")
+        ctes.append(
+            f"tt_{i} AS MATERIALIZED (\n  SELECT qid, id FROM "
+            f"({sqls[name]}\n) __t{i} WHERE rnk <= {k})"
+        )
+        hits = (
+            f"SELECT count(*) FROM tt_{i} t "
+            f"JOIN bt ON bt.qid = t.qid AND bt.id = t.id"
+        )
+        rows.append(
+            f"""SELECT '{label}' AS tier,
+       (SELECT CAST(count(*) AS BIGINT) FROM tt_{i}) AS n_pairs,
+       CAST(({hits}) AS BIGINT) AS n_hits,
+       floor(({hits}) / {denom} * 1000000.0 + 0.5) / 1000000.0
+         AS recall_at_k,
+       (SELECT CAST(count(*) AS BIGINT) FROM tt_{i} t
+        JOIN bt ON bt.qid = t.qid AND bt.id = t.id AND bt.rnk = 1)
+         AS nn_hits"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+    )
+
+
 ORACLES = {
     "profile_table_stats": _profile_oracle(),
     "dq_constraint_check": _constraint_oracle(),
     "ann_recall_eval": _recall_oracle(),
+    "ann_tier_report": _tier_report_oracle(),
 }
 
 
