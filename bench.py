@@ -151,6 +151,7 @@ HEADLINE = CANARY + [
     "ann_ivfpq_multi",
     "olap_shipmode_priority",
     "olap_waiting_suppliers",
+    "ann_tier_report",
 ]
 
 

@@ -1085,9 +1085,9 @@ def scc_bounded(
     the edge list — cost is the size of the k-bounded closure, the
     honest price on a sparse graph; the CC pass is the existing
     pointer-jumping components over the (small) witness-pair frame.
-    An unbounded 100 TB SCC runs the forward-backward coloring
-    algorithm instead; this operator is the bounded contract,
-    documented as such.
+    This is the FIXED-BUDGET tier; :func:`scc_exact` (round 5) is
+    the exact upgrade — contraction + hop doubling + DAG certificate
+    — whose labels equal true SCCs on any digraph.
     """
     e = (
         edges.select("src", "dst")
@@ -1116,3 +1116,141 @@ def scc_bounded(
         mutual.select(F.col("u").alias("src"), F.col("v").alias("dst")),
     )
     return comps.select("id", F.col("component").alias("scc_id"))
+
+
+def scc_exact(
+    vertices: DataFrame,
+    edges: DataFrame,
+    initial_hops: int = 3,
+    max_rounds: int = 10,
+) -> DataFrame:
+    """EXACT strongly connected components → (id, scc_id): labels
+    equal true SCCs on any digraph (``scc_id`` = min node id, string
+    order, matching :func:`connected_components`).
+
+    Algorithm — contraction with hop-budget doubling and a DAG
+    certificate (the exact upgrade of :func:`scc_bounded`):
+
+    1. Find MUTUAL-reachability witness pairs within ``h`` hops each
+       way (forward closure built by relation DOUBLING — log2(h)
+       self-joins, covering all 2^t-hop paths per round, the same
+       doubling shape as pointer-jumping components — intersected
+       with its transpose).
+    2. Contract: witnesses in one undirected component of the witness
+       graph provably share a true SCC (mutual reachability is
+       transitive), so merge them, relabel the edge list, drop
+       self-loops. Contraction preserves reachability, so recursion
+       on the contracted graph stays sound.
+    3. When a round finds NO witnesses, attempt the certificate: if
+       the contracted edges are strictly increasing under a
+       topological key (min member id as BIGINT — works whenever ids
+       are numeric strings, as the driver's are), the contracted
+       graph is a DAG, hence cycle-free, hence every supernode IS a
+       complete SCC — EXACT, stop. Certificate failure is never
+       wrongness, only unproven-ness: DOUBLE ``h`` and continue (a
+       chordless cycle of length L yields its first witness at
+       h = ceil(L/2), so log rounds reach any cycle).
+    4. Pigeonhole stop: once h ≥ |V| of the contracted graph, any
+       cycle (length ≤ |V| ≤ h) would have produced a witness, so
+       no-witnesses alone proves the DAG without the certificate.
+
+    Scale shape: per round, closure doubling costs one equi-join of
+    the bounded-reach frame with itself (the frame's size — not the
+    full closure — is the honest price, and contraction keeps
+    shrinking the graph); the witness-component pass is the existing
+    pointer-jumping CC over a small pair frame; the certificate is
+    one broadcast-joined filter over the contracted edge list. On
+    real dependency/citation graphs the cycle core is tiny and this
+    terminates in 2 rounds (witnesses, then certificate).
+
+    Raises RuntimeError if ``max_rounds`` budgets are exhausted
+    before the certificate or pigeonhole bound is reached —
+    explicitly unfinished rather than silently approximate.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # original node -> current supernode label (min member id)
+    labels = vertices.select(
+        "id", F.col("id").alias("lbl")
+    ).localCheckpoint(eager=True)
+    h = initial_hops
+    n_current = vertices.count()
+
+    for _ in range(max_rounds):
+        # forward closure to <= h hops by relation doubling
+        reach = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        steps = 0
+        while (1 << steps) < h:
+            ext = (
+                reach.alias("a")
+                .join(
+                    reach.alias("b"), F.col("a.v") == F.col("b.u")
+                )
+                .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
+            )
+            reach = (
+                reach.unionByName(ext)
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            steps += 1
+        transpose = reach.select(
+            F.col("v").alias("u"), F.col("u").alias("v")
+        )
+        mutual = reach.join(transpose, ["u", "v"], "left_semi")
+
+        if mutual.isEmpty():
+            if h >= n_current:
+                break  # pigeonhole: no cycle can exceed |V| <= h
+            key = labels.groupBy("lbl").agg(
+                F.min(F.col("id").cast("long")).alias("k")
+            )
+            ks = key.select(F.col("lbl").alias("__s"), F.col("k").alias("ks"))
+            kd = key.select(F.col("lbl").alias("__d"), F.col("k").alias("kd"))
+            n_viol = (
+                e.join(ks, e["src"] == ks["__s"])
+                .join(kd, e["dst"] == kd["__d"])
+                .filter(
+                    F.col("ks").isNull()
+                    | F.col("kd").isNull()
+                    | (F.col("ks") >= F.col("kd"))
+                )
+                .count()
+            )
+            if n_viol == 0:
+                break  # certificate: topological key => DAG => exact
+            h *= 2
+            continue
+
+        # contract the witness components
+        sup = connected_components(
+            labels.select(F.col("lbl").alias("id")).distinct(),
+            mutual.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+        ).select(F.col("id").alias("__l"), F.col("component").alias("__c"))
+        labels = (
+            labels.join(sup, labels["lbl"] == sup["__l"])
+            .select("id", F.col("__c").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        rs = sup.select(F.col("__l").alias("__s"), F.col("__c").alias("cs"))
+        rd = sup.select(F.col("__l").alias("__d"), F.col("__c").alias("cd"))
+        e = (
+            e.join(rs, e["src"] == rs["__s"])
+            .join(rd, e["dst"] == rd["__d"])
+            .select(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_current = labels.select("lbl").distinct().count()
+    else:
+        raise RuntimeError(
+            f"scc_exact: exactness not established within {max_rounds} "
+            f"rounds (h reached {h}); raise max_rounds/initial_hops"
+        )
+    return labels.select("id", F.col("lbl").alias("scc_id"))

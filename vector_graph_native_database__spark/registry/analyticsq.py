@@ -723,10 +723,38 @@ def q_graph_scc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_scc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT strongly connected components → (id, scc_id): labels
+    equal true SCCs (round 5 — the exact upgrade of the bounded
+    entry). operators.analytics.scc_exact contracts bounded-mutual
+    witness pairs, doubles the hop budget whenever exactness is
+    unproven, and stops only on a DAG certificate (id-monotone
+    contracted edges) or the pigeonhole bound h ≥ |V| — so the
+    result is exact on ANY digraph, not just this one.
+
+    Oracle exactness: the driver graph's only cycles are 2-cycles —
+    every cycle needs a back edge (i+1 → i, emitted only at
+    i % 7 == 0), back edges retreat exactly 1, and two adjacent back
+    edges would need consecutive multiples of 7 — so mutual pairs
+    within 3 hops ARE all mutual pairs, and the closure-bounded SQL
+    computes true SCCs on this data (pytest-pinned: the operator's
+    certificate terminates at h=3 here, and scc_exact == scc_bounded
+    on the driver tables while diverging on a 10-cycle)."""
+    from ..operators.analytics import scc_exact
+
+    nodes, _, edges = model(spark, sf_dir)
+    return scc_exact(nodes.select("id"), edges, initial_hops=SCC_HOPS)
+
+
 QUERIES["graph_scc_bounded"] = q_graph_scc_bounded
+QUERIES["graph_scc_exact"] = q_graph_scc_exact
 # Recursive closure bounded by hop count; witness pairs = closure ∩
 # its transpose; label = undirected connected component of the
 # witness graph (same recursion shape as the components oracle).
+# For graph_scc_exact the SAME SQL is the TRUE-SCC oracle on this
+# graph family: all cycles here are 2-cycles (see the entry
+# docstring's structural proof), so the 3-hop closure already
+# contains every mutual pair.
 ORACLES["graph_scc_bounded"] = ORACLE_PRELUDE + f""",
 e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
 closure AS (
@@ -747,24 +775,25 @@ reach AS (
   SELECT r.root, m.v FROM reach r JOIN mutual m ON m.u = r.node
 )
 SELECT root AS id, min(node) AS scc_id FROM reach GROUP BY root"""
+ORACLES["graph_scc_exact"] = ORACLES["graph_scc_bounded"]
 
 
 def q_graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Condensation DAG over the bounded-witness SCC labels →
-    (src_scc, dst_scc, n_edges): collapse each SCC to one vertex and
-    keep the distinct cross-component edges with multiplicity — the
-    cycle-free dependency graph scheduling/lineage analyses need
-    (within the same bounded-witness contract as graph_scc_bounded:
-    labels are a refinement of true SCCs, so the condensation may
-    keep an edge a full Tarjan would collapse, never the reverse).
+    """EXACT condensation DAG → (src_scc, dst_scc, n_edges): collapse
+    each true SCC to one vertex and keep the cross-component edges
+    with multiplicity — the cycle-free dependency graph
+    scheduling/lineage analyses need. Labels come from
+    operators.analytics.scc_exact (round 5), whose DAG certificate
+    guarantees the condensation is acyclic and exactly Tarjan's on
+    any digraph — the bounded-witness caveat is gone.
 
     Scale shape: two broadcast-eligible label joins onto the edge
-    list + one map-side-combinable count; the SCC labels come from
-    the bounded operator above."""
-    from ..operators.analytics import scc_bounded
+    list + one map-side-combinable count on top of the exact-SCC
+    contraction rounds."""
+    from ..operators.analytics import scc_exact
 
     nodes, _, edges = model(spark, sf_dir)
-    labels = scc_bounded(nodes.select("id"), edges, max_hops=SCC_HOPS)
+    labels = scc_exact(nodes.select("id"), edges, initial_hops=SCC_HOPS)
     ls = labels.select(
         F.col("id").alias("__s"), F.col("scc_id").alias("src_scc")
     )
