@@ -152,6 +152,7 @@ HEADLINE = CANARY + [
     "olap_shipmode_priority",
     "olap_waiting_suppliers",
     "ann_tier_report",
+    "graph_scc_exact",
 ]
 
 

@@ -305,6 +305,38 @@ def _replay_decoy_batches(
     return docs, read_state(spark, state)
 
 
+def q_bm25_topk_streamed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming→BM25 SERVING loop closed end-to-end (round 5):
+    the corpus replays as three checkpointed micro-batches
+    (decoy-then-rewrite protocol, see _replay_decoy_batches) whose
+    postings are incrementally maintained through the transactional
+    state store — then the top-k SERVING path (positive-score filter,
+    TakeOrderedAndProject, exactly ``bm25_topk_indexed``'s query
+    shape) runs over stats derived from the MAINTAINED state, staged
+    once. That is the reference's "index follows writes" invariant
+    (``app.py:771-773``) as a 100 TB design: writes cost O(batch)
+    maintenance, queries pay only scoring joins over the persisted
+    posting state. The oracle is the plain full-corpus bm25_topk SQL
+    — it knows nothing about batches, so one stale posting, dropped
+    doc, or double-counted rewrite changes the top-15 and fails the
+    value hash."""
+    from ..operators import bm25
+    from ..streaming.ingest import incremental_bm25_maintenance
+    from .searchq import BM25_QUERY
+
+    docs, state_df = _replay_decoy_batches(
+        spark,
+        sf_dir,
+        scratch_name="bm25_streamed_index",
+        decoy_text="stale placeholder superseded by the rewrite",
+        maintain_fn=incremental_bm25_maintenance,
+    )
+    stats = bm25.stats_from_posting(state_df.localCheckpoint(eager=True))
+    return bm25.bm25_topk(
+        docs, BM25_QUERY, top_k=15, round_scores=6, stats=stats
+    )
+
+
 def q_embed_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Twin of bm25_incremental_equiv for the EMBEDDING index: the
     corpus replays as three checkpointed micro-batches through
@@ -365,6 +397,7 @@ QUERIES = {
     "events_props_extract": q_events_props_extract,
     "events_pivot_user_type": q_events_pivot_user_type,
     "bm25_incremental_equiv": q_bm25_incremental_equiv,
+    "bm25_topk_streamed_index": q_bm25_topk_streamed_index,
     "embed_incremental_equiv": q_embed_incremental_equiv,
 }
 
@@ -477,6 +510,19 @@ ORACLES["bm25_incremental_equiv"] = (
     + """
 SELECT n.id, round(coalesce(c.score, 0.0), 6) AS score
 FROM nodes n LEFT JOIN contrib c ON c.id = n.id"""
+)
+
+# The streamed-index serving loop's oracle IS bm25_topk's plain
+# full-corpus SQL (same CTEs, positive filter, top-15): the batches
+# must be invisible in the served ranking.
+ORACLES["bm25_topk_streamed_index"] = (
+    _PRELUDE
+    + _BM25
+    + """
+SELECT n.id, n.text, round(c.score, 6) AS score
+FROM contrib c JOIN nodes n ON n.id = c.id
+WHERE round(c.score, 6) > 0
+ORDER BY round(c.score, 6) DESC, n.id ASC LIMIT 15"""
 )
 
 # Embedding twin: the oracle is the batch hash-embedding definition
