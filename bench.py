@@ -153,6 +153,7 @@ HEADLINE = CANARY + [
     "olap_waiting_suppliers",
     "ann_tier_report",
     "graph_scc_exact",
+    "bm25_topk_streamed_index",
 ]
 
 
