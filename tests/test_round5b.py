@@ -1,0 +1,56 @@
+"""Round-5 second wave: DSIR importance weights, semantic dedup
+(SemDeDup), temperature-mix sampling, PSI drift, Markov transitions,
+per-lang quality regression — semantics on synthetic fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from vector_graph_native_database__spark.operators import curation
+
+
+def _bucket(tok: str, n: int = 64) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n
+
+
+def _round6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def test_dsir_importance_matches_hand_computation(spark):
+    rows = [
+        ("a", "curated curated gold gold gold", 1),
+        ("b", "curated gold noise", 1),
+        ("c", "noise noise noise junk junk", 0),
+        ("d", "junk junk noise curated", 0),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string, is_t int")
+    got = {
+        r["id"]: r
+        for r in curation.dsir_importance(
+            df, target=F.col("is_t") == 1, n_buckets=64
+        ).collect()
+    }
+    # replicate: bucket counts for target / raw
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for _id, text, is_t in rows:
+        for tok in text.split():
+            b = _bucket(tok)
+            cr[b] = cr.get(b, 0) + 1
+            if is_t:
+                ct[b] = ct.get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    for _id, text, _ in rows:
+        logw = sum(
+            math.log((ct.get(_bucket(t), 0) + 1) / (tt + 64))
+            - math.log((cr.get(_bucket(t), 0) + 1) / (tr + 64))
+            for t in text.split()
+        )
+        assert got[_id]["n_tokens"] == len(text.split())
+        assert got[_id]["logw"] == _round6(logw)
+    # resampling direction: target-looking docs score above raw-only docs
+    assert got["a"]["logw"] > got["c"]["logw"]

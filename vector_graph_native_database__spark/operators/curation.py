@@ -156,6 +156,76 @@ def unigram_logprob(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    target,
+    n_buckets: int = 64,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling") over hashed unigram
+    features → (id, n_tokens, logw).
+
+    ``target`` is a document-level boolean Column selecting the slice
+    whose distribution the corpus should be resampled TOWARD (e.g. a
+    curated source). Tokens hash into ``n_buckets`` features; two
+    add-one-smoothed unigram LMs are fit over the buckets — p_target
+    and p_raw — and a document's importance weight is
+
+        logw(d) = Σ_tok  ln p_target(bucket(tok)) − ln p_raw(bucket(tok))
+                = Σ_b    count_d(b) · Δ(b)
+
+    High-logw documents look like the target slice; resampling by
+    exp(logw) shifts the corpus mixture toward it without a trained
+    classifier.
+
+    Scale design: the feature-LM frame is ``n_buckets`` rows — built
+    with ONE map-side-combinable aggregate over the token stream
+    (conditional sums for target/raw in the same pass) and broadcast
+    back. Per-doc scoring is groupBy (id, bucket) count → broadcast
+    join → groupBy id: the only shuffles are keyed by doc id, never
+    by token, and nothing is all-pairs. md5-derived bucketing makes
+    the DuckDB oracle replay bit-for-bit.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        target.cast("int").alias("is_t"),
+        F.explode(tokenize(text_col)).alias("tok"),
+    ).withColumn("b", stable_hash60("tok") % n_buckets)
+    stats = toks.groupBy("b").agg(
+        F.sum("is_t").alias("ct"), F.count("*").alias("cr")
+    )
+    totals = stats.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    delta = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.col("ct") + 1) / (F.col("tt") + n_buckets))
+                - F.log((F.col("cr") + 1) / (F.col("tr") + n_buckets))
+            ).alias("delta"),
+        )
+    )
+    per_bucket = toks.groupBy("id", "b").agg(F.count("*").alias("cnt"))
+    return (
+        per_bucket.join(F.broadcast(delta), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum(F.col("cnt") * F.col("delta")) * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("logw"),
+        )
+    )
+
+
 def centroids_by_group(
     emb: DataFrame,
     labels: DataFrame,

@@ -761,3 +761,56 @@ GROUP BY d.id"""
 )
 
 ORACLES["embedding_debias_pc1"] = _debias_sql()
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (round 5)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 64
+DSIR_TARGET = ("src1", "src2", "src3")
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) importance weights toward a curated
+    source slice: hashed-unigram bucket LMs for target vs raw, per-doc
+    logw = Σ count·Δ(bucket). The resample-toward-quality primitive a
+    pretraining mixture build runs after dedup. Beyond-reference
+    (BASELINE.json north star); no reference counterpart."""
+    nodes, _, _ = model(spark, sf_dir)
+    return curation.dsir_importance(
+        nodes,
+        target=F.col("source").isin(*DSIR_TARGET),
+        n_buckets=DSIR_BUCKETS,
+    )
+
+
+QUERIES["dsir_importance_weights"] = q_dsir_importance_weights
+
+_DSIR_SRCS = ", ".join(f"'{s}'" for s in DSIR_TARGET)
+
+ORACLES["dsir_importance_weights"] = (
+    ORACLE_PRELUDE
+    + _TOKS
+    + f""",
+tokb AS (
+  SELECT u.id, n.is_t, ({_H60.format(x="u.tok")}) % {DSIR_BUCKETS} AS b
+  FROM (SELECT id, unnest(t) AS tok FROM toks) u
+  JOIN (SELECT id,
+               CASE WHEN source IN ({_DSIR_SRCS}) THEN 1 ELSE 0 END AS is_t
+        FROM nodes) n ON n.id = u.id
+),
+stats AS (SELECT b, sum(is_t) AS ct, count(*) AS cr FROM tokb GROUP BY b),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM stats),
+delta AS (
+  SELECT b,
+         ln((ct + 1) * 1.0 / (tt + {DSIR_BUCKETS}))
+         - ln((cr + 1) * 1.0 / (tr + {DSIR_BUCKETS})) AS delta
+  FROM stats CROSS JOIN tot
+),
+perb AS (SELECT id, b, count(*) AS cnt FROM tokb GROUP BY id, b)
+SELECT p.id, CAST(sum(p.cnt) AS BIGINT) AS n_tokens,
+       {sql_stable_round6("sum(p.cnt * d.delta)")} AS logw
+FROM perb p JOIN delta d ON d.b = p.b
+GROUP BY p.id"""
+)
