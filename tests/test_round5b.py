@@ -9,7 +9,7 @@ import math
 
 from pyspark.sql import functions as F
 
-from vector_graph_native_database__spark.operators import curation
+from vector_graph_native_database__spark.operators import curation, dedup
 
 
 def _bucket(tok: str, n: int = 64) -> int:
@@ -54,3 +54,25 @@ def test_dsir_importance_matches_hand_computation(spark):
         assert got[_id]["logw"] == _round6(logw)
     # resampling direction: target-looking docs score above raw-only docs
     assert got["a"]["logw"] > got["c"]["logw"]
+
+
+def test_semdedup_drops_in_cluster_dups_keeps_lowest_id(spark):
+    rows = [
+        ("1", [1.0, 0.0, 0.0, 0.0]),
+        ("2", [0.0, 1.0, 0.0, 0.0]),
+        ("3", [1.0, 0.0, 0.0, 0.0]),  # dup of 1 -> same cluster -> dropped
+        ("4", [0.0, 1.0, 0.0, 0.0]),  # dup of 2 -> dropped
+        ("5", [0.0, 0.0, 1.0, 0.0]),  # orthogonal to everything -> kept
+    ]
+    emb = spark.createDataFrame(rows, "node_id string, vector array<double>")
+    got = {
+        r["id"]: r
+        for r in dedup.semdedup(
+            emb, n_centroids=2, iters=1, threshold=0.9, dim=4
+        ).collect()
+    }
+    assert {i for i, r in got.items() if r["kept"] == 1} == {"1", "2", "5"}
+    assert {i for i, r in got.items() if r["kept"] == 0} == {"3", "4"}
+    # dup pairs co-cluster; the lowest id is the keeper
+    assert got["3"]["cluster"] == got["1"]["cluster"]
+    assert got["4"]["cluster"] == got["2"]["cluster"]

@@ -374,6 +374,73 @@ def embedding_cosine_pairs_multiprobe(
     )
 
 
+def semdedup(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication")
+    → (id, cluster, kept).
+
+    Cluster the embedding space with k-means, then deduplicate ONLY
+    within clusters: a vector is dropped (kept = 0) when a
+    lower-numeric-id member of its own cluster has cosine ≥
+    ``threshold`` with it. The keep-lowest-id rule replaces the
+    paper's keep-random — deterministic, hence oracle-replayable;
+    the paper itself shows the in-cluster keeper choice barely
+    matters.
+
+    Scale design: this is the paper's answer to all-pairs dedup at
+    web scale — k-means (broadcast-centroid Lloyd, ``kmeans_assign``)
+    partitions the corpus so the quadratic step is an equi-join on
+    the cluster id, bounded by cluster size, never global. At 100 TB,
+    k grows with the corpus (the paper uses ~0.1% of N) keeping
+    clusters ~constant-sized; a skewed giant cluster sub-buckets
+    with the sign-LSH variant (``embedding_cosine_pairs_lsh``)
+    inside the cluster. No reference counterpart (BASELINE.json
+    north star).
+    """
+    from .ann import kmeans_assign
+    from ..functions.vectorfn import cosine
+
+    assign = kmeans_assign(emb, n_centroids, iters, dim).select(
+        "id", "cluster"
+    )
+    vecs = emb.filter(F.size("vector") == dim).select(
+        F.col("node_id").alias("id"), "vector"
+    )
+    av = assign.join(vecs, "id")
+    a = av.select(
+        F.col("id").alias("id_a"),
+        F.col("cluster").alias("cl"),
+        F.col("vector").alias("va"),
+    )
+    b = av.select(
+        F.col("id").alias("id_b"),
+        F.col("cluster").alias("cl"),
+        F.col("vector").alias("vb"),
+    )
+    dropped = (
+        a.join(b, "cl")
+        .filter(F.col("id_a").cast("long") < F.col("id_b").cast("long"))
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("__drop", F.lit(1))
+    )
+    return assign.join(dropped, "id", "left").select(
+        "id",
+        "cluster",
+        F.when(F.col("__drop").isNotNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("kept"),
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.4,

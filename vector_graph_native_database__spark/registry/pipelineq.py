@@ -1473,3 +1473,51 @@ SELECT n.id,
 FROM nodes n
 LEFT JOIN pern pn ON pn.id = n.id
 LEFT JOIN perk pk ON pk.id = n.id"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (round 5)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.4
+
+
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space,
+    then near-dup-drop by exact cosine WITHIN clusters only — the
+    cluster-bounded answer to quadratic semantic dedup at web scale.
+    Keep-lowest-id is the deterministic stand-in for the paper's
+    keep-random. Beyond-reference (BASELINE.json north star)."""
+    _, emb, _ = model(spark, sf_dir)
+    return dedup.semdedup(
+        emb, n_centroids=8, iters=2, threshold=SEMDEDUP_TAU, dim=64
+    )
+
+
+QUERIES["dedup_semdedup"] = q_dedup_semdedup
+
+# The kmeans chain (shared with embedding_kmeans) feeding a
+# within-cluster exact-cosine drop rule.
+ORACLES["dedup_semdedup"] = (
+    ORACLE_PRELUDE
+    + _ivf_ctes(8, 2, 2)
+    + f""",
+dropped AS (
+  SELECT DISTINCT b.id
+  FROM af a
+  JOIN af b ON a.cidx = b.cidx
+       AND CAST(a.id AS BIGINT) < CAST(b.id AS BIGINT)
+  JOIN e ea ON ea.id = a.id
+  JOIN e eb ON eb.id = b.id
+  CROSS JOIN LATERAL (
+    SELECT list_dot_product(ea.v, eb.v) AS d,
+           sqrt(list_dot_product(ea.v, ea.v)) AS na,
+           sqrt(list_dot_product(eb.v, eb.v)) AS nb
+  ) t
+  WHERE CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb)
+        ELSE 0.0 END >= {SEMDEDUP_TAU}
+)
+SELECT f.id, f.cidx AS cluster,
+       CASE WHEN dr.id IS NULL THEN 1 ELSE 0 END AS kept
+FROM af f LEFT JOIN dropped dr ON dr.id = f.id"""
+)
