@@ -76,3 +76,24 @@ def test_semdedup_drops_in_cluster_dups_keeps_lowest_id(spark):
     # dup pairs co-cluster; the lowest id is the keeper
     assert got["3"]["cluster"] == got["1"]["cluster"]
     assert got["4"]["cluster"] == got["2"]["cluster"]
+
+
+def test_temperature_mix_upsamples_tail_relative_to_head(spark):
+    from vector_graph_native_database__spark.operators import sampling
+
+    # head group 'en' 400 rows, tail 'fr' 25 rows
+    rows = [(str(i), "en") for i in range(400)] + [
+        (str(i), "fr") for i in range(400, 425)
+    ]
+    df = spark.createDataFrame(rows, "id string, lang string")
+    kept = sampling.temperature_mix(
+        df, group_col="lang", alpha=0.5, budget_frac=0.5
+    ).collect()
+    n_en = sum(1 for r in kept if r["grp"] == "en")
+    n_fr = sum(1 for r in kept if r["grp"] == "fr")
+    # alpha=0.5 at half budget: fr keep-rate should exceed en keep-rate
+    assert n_fr / 25 > n_en / 400
+    # fr's ideal fraction min(1, .5*425*5/(20+5)/25) = 1.0 -> all kept
+    assert n_fr == 25
+    # en is down-sampled: f_en = .5*425*20/25/400 = 0.425
+    assert 0 < n_en < 400

@@ -165,6 +165,56 @@ def pps_sample(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    id_col: str = "id",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling → kept rows (id, grp).
+
+    The multilingual/multi-source rebalancing step every large LM
+    mixture runs (the T=1/α sampling of mBERT/XLM-R/mT5): group g
+    gets mixture weight p_g ∝ n_g^alpha, so alpha=1 preserves the
+    natural distribution, alpha→0 flattens it uniform, and 0<alpha<1
+    up-samples the tail relative to the head. With a total budget of
+    ``budget_frac``·N rows, group g keeps
+    f_g = min(1, budget_frac·N·p_g / n_g) of its rows, drawn by the
+    deterministic id-hash bucket (same primitive as ``hash_sample``).
+
+    Scale design: the group-weight frame is |groups| rows from one
+    map-side-combinable count, broadcast back onto the corpus —
+    membership is then a map-only filter, pure function of the id.
+    No shuffle ever touches the full corpus.
+    """
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_g")
+    )
+    tot = counts.agg(
+        F.sum("n_g").alias("n"),
+        F.sum(F.pow("n_g", F.lit(alpha))).alias("z"),
+    )
+    fr = counts.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        F.least(
+            F.lit(1.0),
+            F.lit(budget_frac)
+            * F.col("n")
+            * F.pow("n_g", F.lit(alpha))
+            / F.col("z")
+            / F.col("n_g"),
+        ).alias("f"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
+        .join(F.broadcast(fr), "grp")
+        .filter(stable_bucket("id", salt) < F.col("f") * BUCKETS)
+        .select("id", "grp")
+    )
+
+
 def corpus_clean(
     df: DataFrame,
     min_quality: float = 0.5,

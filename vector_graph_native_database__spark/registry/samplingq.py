@@ -338,3 +338,39 @@ SELECT total_weight, n_bins,
        floor(total_weight / (n_bins * 256.0) * 1000000.0 + 0.5)
          / 1000000.0 AS fill_ratio
 FROM agg"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (round 5)
+# ---------------------------------------------------------------------------
+
+TMIX_ALPHA = 0.5
+TMIX_BUDGET = 0.5
+
+
+def q_sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling over the documents' lang mixture
+    (p_g ∝ n_g^0.5 at half the corpus budget): the head language is
+    down-sampled, tail languages keep ~all rows — the standard
+    multilingual rebalance. Membership is a pure id-hash function,
+    so the oracle replays it exactly."""
+    nodes, _, _ = model(spark, sf_dir)
+    return sampling.temperature_mix(
+        nodes, group_col="lang", alpha=TMIX_ALPHA, budget_frac=TMIX_BUDGET
+    )
+
+
+QUERIES["sample_temperature_mix"] = q_sample_temperature_mix
+
+ORACLES["sample_temperature_mix"] = ORACLE_PRELUDE + f""",
+counts AS (SELECT lang AS grp, count(*) AS n_g FROM nodes GROUP BY lang),
+tot AS (SELECT sum(n_g) AS n, sum(pow(n_g, {TMIX_ALPHA})) AS z FROM counts),
+fr AS (
+  SELECT grp,
+         least(1.0, {TMIX_BUDGET} * n * pow(n_g, {TMIX_ALPHA}) / z / n_g) AS f
+  FROM counts CROSS JOIN tot
+)
+SELECT n.id, n.lang AS grp
+FROM nodes n JOIN fr ON fr.grp = n.lang
+WHERE ('0x' || substr(md5('tmix' || n.id), 1, 15))::BIGINT % 10000
+      < f * 10000"""
