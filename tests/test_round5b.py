@@ -97,3 +97,33 @@ def test_temperature_mix_upsamples_tail_relative_to_head(spark):
     assert n_fr == 25
     # en is down-sampled: f_en = .5*425*20/25/400 = 0.425
     assert 0 < n_en < 400
+
+
+def test_drift_psi_separates_shifted_from_stable(spark):
+    import datetime as dt
+
+    from vector_graph_native_database__spark.operators import profiling
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # 'stable': identical value pattern in both halves -> psi ~ 0
+    # 'shifted': values 0..9 in first half, 90..99 in second -> psi large
+    for i in range(50):
+        early = t0 + dt.timedelta(minutes=i)        # < midpoint
+        late = t0 + dt.timedelta(days=1, minutes=i)  # > midpoint
+        rows.append(("stable", float(i % 10), early))
+        rows.append(("stable", float(i % 10), late))
+        rows.append(("shifted", float(i % 10), early))
+        rows.append(("shifted", 90.0 + i % 10, late))
+    df = spark.createDataFrame(
+        rows, "event_type string, value double, ts timestamp"
+    )
+    got = {
+        r["grp"]: r
+        for r in profiling.drift_psi(
+            df, group_col="event_type", value_col="value", ts_col="ts"
+        ).collect()
+    }
+    assert got["stable"]["n_ref"] == 50 and got["stable"]["n_cur"] == 50
+    assert got["stable"]["psi"] < 0.1           # conventional "stable" band
+    assert got["shifted"]["psi"] > 0.25         # conventional "shifted" band

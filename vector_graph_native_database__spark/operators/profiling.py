@@ -134,3 +134,89 @@ def predicate_violations(df: DataFrame, pred: Column) -> DataFrame:
             F.when(pred.isNull() | ~pred, F.lit(1)).otherwise(F.lit(0))
         ).alias("n_violations")
     )
+
+def drift_psi(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between the first and second half
+    of the time range, per group → (grp, n_ref, n_cur, psi).
+
+    The train/serve drift gate every deployed scorer runs: the time
+    range splits at its midpoint into reference vs current windows,
+    ``value_col`` is histogrammed into ``n_bins`` fixed-width bins
+    over the GLOBAL min/max (both sides share bin edges — the PSI
+    contract), and
+
+        psi(grp) = Σ_b (p_cur(b) − p_ref(b)) · ln(p_cur(b)/p_ref(b))
+
+    with add-one smoothing on bin counts so one-sided bins stay
+    finite. psi < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted (the
+    conventional bands).
+
+    Scale design: one broadcast 1-row bounds frame (time midpoint +
+    value min/max), then ONE aggregate keyed by (grp, bin) with
+    conditional ref/cur sums — map-side combinable, the only shuffle
+    the bin histogram itself. Per-group totals and the PSI fold
+    happen on the |groups|·n_bins frame, which is tiny at any corpus
+    size. Integer-microsecond midpoint arithmetic keeps the split
+    engine-exact.
+    """
+    bounds = df.agg(
+        F.expr(
+            f"(unix_micros(min({ts_col})) + unix_micros(max({ts_col})))"
+            " div 2"
+        ).alias("mid_us"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    )
+    w = F.col("vmax") - F.col("vmin")
+    binned = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(group_col).alias("grp"),
+            F.when(
+                w > 0,
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.floor(
+                        (F.col(value_col) - F.col("vmin")) / w * n_bins
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .alias("bin"),
+            F.when(
+                F.unix_micros(ts_col) < F.col("mid_us"), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .alias("is_ref"),
+        )
+    )
+    g = binned.groupBy("grp", "bin").agg(
+        F.sum("is_ref").alias("cr"),
+        F.sum(1 - F.col("is_ref")).alias("cc"),
+    )
+    tot = g.groupBy("grp").agg(
+        F.sum("cr").alias("tr"), F.sum("cc").alias("tc")
+    )
+    pr = (F.col("cr") + 1) / (F.col("tr") + n_bins)
+    pc = (F.col("cc") + 1) / (F.col("tc") + n_bins)
+    return (
+        g.join(tot, "grp")
+        .groupBy("grp")
+        .agg(
+            F.first("tr").alias("n_ref"),
+            F.first("tc").alias("n_cur"),
+            (
+                F.floor(
+                    F.sum((pc - pr) * F.log(pc / pr)) * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("psi"),
+        )
+    )

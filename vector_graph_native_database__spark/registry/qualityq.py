@@ -461,3 +461,59 @@ GROUP BY 1, 2"""
 
 QUERIES["lang_id_confusion"] = q_lang_id_confusion
 ORACLES["lang_id_confusion"] = _lang_confusion_oracle()
+
+
+# ---------------------------------------------------------------------------
+# PSI drift gate (round 5)
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 10
+
+
+def q_dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the events value distribution,
+    first half of the time range vs second, per event_type — the
+    train/serve drift gate run before every model refresh. One
+    (grp, bin) conditional aggregate; add-one smoothing; shared
+    global bin edges."""
+    ev = load_table(spark, sf_dir, "events")
+    return profiling.drift_psi(
+        ev, group_col="event_type", value_col="value", ts_col="ts",
+        n_bins=PSI_BINS,
+    )
+
+
+QUERIES["dq_drift_psi"] = q_dq_drift_psi
+
+ORACLES["dq_drift_psi"] = f"""
+WITH bounds AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us,
+         min(value) AS vmin, max(value) AS vmax
+  FROM events
+),
+binned AS (
+  SELECT e.event_type AS grp,
+         CASE WHEN b.vmax - b.vmin > 0 THEN
+           least({PSI_BINS - 1},
+                 CAST(floor((e.value - b.vmin) / (b.vmax - b.vmin)
+                            * {PSI_BINS}) AS BIGINT))
+         ELSE 0 END AS bin,
+         CASE WHEN epoch_us(e.ts) < b.mid_us THEN 1 ELSE 0 END AS is_ref
+  FROM events e CROSS JOIN bounds b
+),
+g AS (
+  SELECT grp, bin, sum(is_ref) AS cr, sum(1 - is_ref) AS cc
+  FROM binned GROUP BY grp, bin
+),
+tot AS (
+  SELECT grp, CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(cc) AS BIGINT) AS tc
+  FROM g GROUP BY grp
+)
+SELECT g.grp, any_value(t.tr) AS n_ref, any_value(t.tc) AS n_cur,
+       floor(sum(((g.cc + 1) * 1.0 / (t.tc + {PSI_BINS})
+                  - (g.cr + 1) * 1.0 / (t.tr + {PSI_BINS}))
+                 * ln(((g.cc + 1) * 1.0 / (t.tc + {PSI_BINS}))
+                      / ((g.cr + 1) * 1.0 / (t.tr + {PSI_BINS}))))
+             * 1000000.0 + 0.5) / 1000000.0 AS psi
+FROM g JOIN tot t ON t.grp = g.grp
+GROUP BY g.grp"""
