@@ -127,3 +127,35 @@ def test_drift_psi_separates_shifted_from_stable(spark):
     assert got["stable"]["n_ref"] == 50 and got["stable"]["n_cur"] == 50
     assert got["stable"]["psi"] < 0.1           # conventional "stable" band
     assert got["shifted"]["psi"] > 0.25         # conventional "shifted" band
+
+
+def test_markov_transitions_probabilities(spark):
+    import datetime as dt
+
+    from vector_graph_native_database__spark.registry.eventsq import (
+        q_events_markov_transitions,
+    )
+    from vector_graph_native_database__spark.registry import eventsq
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b ; user 3: a -> c
+        (1, 1, "a", t0), (2, 1, "b", t0 + dt.timedelta(minutes=1)),
+        (3, 1, "a", t0 + dt.timedelta(minutes=2)),
+        (4, 2, "a", t0), (5, 2, "b", t0 + dt.timedelta(minutes=1)),
+        (6, 3, "a", t0), (7, 3, "c", t0 + dt.timedelta(minutes=1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(eventsq, "_events", lambda s, d: df):
+        got = {
+            (r["src"], r["dst"]): r
+            for r in q_events_markov_transitions(spark, "unused").collect()
+        }
+    assert got[("a", "b")]["n"] == 2 and got[("a", "b")]["p"] == 0.666667
+    assert got[("a", "c")]["n"] == 1 and got[("a", "c")]["p"] == 0.333333
+    assert got[("b", "a")]["p"] == 1.0
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "a")}

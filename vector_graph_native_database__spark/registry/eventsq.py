@@ -1301,3 +1301,50 @@ SELECT e.event_type, e.value > d.type_mean AS above_mean,
        count(*) AS n_events
 FROM events e JOIN dim d ON d.event_type = e.event_type
 GROUP BY 1, 2"""
+
+
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences → (src, dst, n, p): P(next event type | current), the
+    product-analytics primitive behind next-action prediction and
+    anomalous-flow detection. One shuffle partitions by user for the
+    lead() window; the (src, dst) count and the per-src normalizer
+    are |types|²-sized frames — tiny at any event volume, so the
+    user-keyed window shuffle is the whole cost at 100 TB."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cnt = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("src").agg(F.sum("n").alias("t"))
+    return cnt.join(tot, "src").select(
+        "src",
+        "dst",
+        "n",
+        (
+            F.floor(F.col("n") / F.col("t") * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("p"),
+    )
+
+
+QUERIES["events_markov_transitions"] = q_events_markov_transitions
+ORACLES["events_markov_transitions"] = """
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+cnt AS (
+  SELECT src, dst, count(*) AS n FROM seq
+  WHERE dst IS NOT NULL GROUP BY src, dst
+),
+tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY src)
+SELECT c.src, c.dst, c.n,
+       floor(c.n * 1.0 / t.t * 1000000.0 + 0.5) / 1000000.0 AS p
+FROM cnt c JOIN tot t ON t.src = c.src"""
