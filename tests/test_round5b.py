@@ -159,3 +159,39 @@ def test_markov_transitions_probabilities(spark):
     assert got[("a", "c")]["n"] == 1 and got[("a", "c")]["p"] == 0.333333
     assert got[("b", "a")]["p"] == 1.0
     assert set(got) == {("a", "b"), ("a", "c"), ("b", "a")}
+
+
+def test_quality_regression_two_point_exact_fit_and_degenerate_group(spark):
+    from vector_graph_native_database__spark.operators import text_analysis
+
+    rows = [
+        # group g1: two docs, distinct lengths -> exact 2-point fit, r2 = 1
+        ("1", "the quick brown fox jumps over the lazy dog", "g1", 43),
+        ("2", "to be or not", "g1", 12),
+        # group g2: identical lengths -> zero x-variance -> NULL fit
+        ("3", "alpha beta gamma", "g2", 16),
+        ("4", "delta epsilon zeta", "g2", 16),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, text string, lang string, n_chars long"
+    )
+    got = {
+        r["grp"]: r
+        for r in text_analysis.quality_regression(df, group_col="lang").collect()
+    }
+    q = {
+        r["id"]: r["quality"]
+        for r in text_analysis.quality_score(df).collect()
+    }
+    x1, x2 = _round6(math.log(43)), _round6(math.log(12))
+    y1, y2 = q["1"], q["2"]
+    assert got["g1"]["n"] == 2
+    assert got["g1"]["slope"] == _round6((y2 - y1) / (x2 - x1))
+    assert got["g1"]["r2"] == 1.0
+    # intercept passes through both points
+    assert got["g1"]["intercept"] == _round6(
+        ((y1 + y2) - (y2 - y1) / (x2 - x1) * (x1 + x2)) / 2
+    )
+    assert got["g2"]["slope"] is None
+    assert got["g2"]["intercept"] is None
+    assert got["g2"]["r2"] is None

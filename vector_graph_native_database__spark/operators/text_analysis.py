@@ -949,3 +949,71 @@ def chunk_span_dedup(
             "kept_text_hash"
         ),
     )
+
+def quality_regression(
+    docs: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "id",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Per-group OLS fit of quality ~ ln(doc length)
+    → (grp, n, slope, intercept, r2).
+
+    The "train a scorer with one aggregate pass" primitive: closed-
+    form simple linear regression from sufficient statistics
+    (n, Σx, Σy, Σxx, Σxy, Σyy), so fitting a per-language quality
+    model over 100 TB is ONE map-side-combinable groupBy — no
+    gradient loop, no driver-side matrix, no second scan.
+
+    Float discipline (the sf1 money-sum lesson): x and y are
+    quantized to 6 decimals and accumulated as DECIMAL(18,6) /
+    products DECIMAL(38,12) — integer-exact, order-independent sums
+    that both engines reproduce bit-for-bit; only the final
+    slope/intercept/r2 arithmetic runs in double, on identical
+    inputs. Zero-variance groups yield NULL slope/intercept/r2
+    rather than a NaN division.
+    """
+    def r6(c: Column) -> Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    q = quality_score(docs, id_col, text_col).select("id", "quality")
+    base = (
+        docs.filter(F.col(len_col) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(group_col).alias("grp"),
+            r6(F.log(F.col(len_col).cast("double")))
+            .cast("decimal(18,6)")
+            .alias("x"),
+        )
+        .join(q, "id")
+        .withColumn("y", F.col("quality").cast("decimal(18,6)"))
+    )
+    stats = base.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dn = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = dn * sxy - sx * sy
+    denx = dn * sxx - sx * sx
+    deny = dn * syy - sy * sy
+    slope = cov / denx
+    return stats.select(
+        "grp",
+        "n",
+        F.when(denx > 0, r6(slope)).alias("slope"),
+        F.when(denx > 0, r6((sy - slope * sx) / dn)).alias("intercept"),
+        F.when((denx > 0) & (deny > 0), r6(cov * cov / (denx * deny))).alias(
+            "r2"
+        ),
+    )

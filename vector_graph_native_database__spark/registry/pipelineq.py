@@ -1521,3 +1521,73 @@ SELECT f.id, f.cidx AS cluster,
        CASE WHEN dr.id IS NULL THEN 1 ELSE 0 END AS kept
 FROM af f LEFT JOIN dropped dr ON dr.id = f.id"""
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-language quality regression (round 5)
+# ---------------------------------------------------------------------------
+
+
+def q_text_quality_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-language OLS of quality_score on ln(n_chars):
+    sufficient statistics accumulated as exact decimals in ONE
+    map-side-combinable aggregate (the sf1 money-sum discipline),
+    final algebra in double. The one-pass scorer-fitting primitive.
+    Beyond-reference (BASELINE.json north star)."""
+    nodes, _, _ = model(spark, sf_dir)
+    return text_analysis.quality_regression(nodes, group_col="lang")
+
+
+QUERIES["text_quality_regression"] = q_text_quality_regression
+
+
+def _quality_regression_sql() -> str:
+    from .samplingq import _QUALITY
+
+    from .common import sql_stable_round6 as r6
+    fin = {
+        "cov": "(dn * sxy - sx * sy)",
+        "denx": "(dn * sxx - sx * sx)",
+        "deny": "(dn * syy - sy * sy)",
+    }
+    slope = f"{fin['cov']} / {fin['denx']}"
+    return (
+        ORACLE_PRELUDE
+        + _TOKS
+        + _QUALITY
+        + f""",
+base AS (
+  SELECT n.lang AS grp,
+         CAST(floor(ln(CAST(n.n_chars AS DOUBLE)) * 1000000.0 + 0.5)
+              / 1000000.0 AS DECIMAL(18,6)) AS x,
+         CAST(q.quality AS DECIMAL(18,6)) AS y
+  FROM nodes n JOIN quality q ON q.id = n.id
+  WHERE n.n_chars > 0
+),
+stats AS (
+  SELECT grp, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM base GROUP BY grp
+),
+fin AS (
+  SELECT grp, n,
+         CAST(n AS DOUBLE) AS dn,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+         CAST(syy AS DOUBLE) AS syy
+  FROM stats
+)
+SELECT grp, n,
+       CASE WHEN {fin['denx']} > 0
+            THEN {r6(slope)} END AS slope,
+       CASE WHEN {fin['denx']} > 0
+            THEN {r6(f"(sy - ({slope}) * sx) / dn")} END AS intercept,
+       CASE WHEN {fin['denx']} > 0 AND {fin['deny']} > 0
+            THEN {r6(f"{fin['cov']} * {fin['cov']} / ({fin['denx']} * {fin['deny']})")}
+            END AS r2
+FROM fin"""
+    )
+
+
+ORACLES["text_quality_regression"] = _quality_regression_sql()
