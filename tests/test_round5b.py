@@ -195,3 +195,36 @@ def test_quality_regression_two_point_exact_fit_and_degenerate_group(spark):
     assert got["g2"]["slope"] is None
     assert got["g2"]["intercept"] is None
     assert got["g2"]["r2"] is None
+
+
+def test_attribution_credits_latest_preceding_non_purchase(spark):
+    import datetime as dt
+    import unittest.mock as mock
+
+    from vector_graph_native_database__spark.registry import eventsq
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(eid, uid, typ, minutes):
+        return (eid, uid, typ, t0 + dt.timedelta(minutes=minutes))
+
+    rows = [
+        # user 1: click -> view -> purchase  => view gets the credit
+        ev(1, 1, "click", 0), ev(2, 1, "view", 1), ev(3, 1, "purchase", 2),
+        # user 2: purchase with no preceding touch => unattributed, dropped
+        ev(4, 2, "purchase", 0), ev(5, 2, "click", 1),
+        # user 3: click -> purchase -> purchase => click credits BOTH
+        ev(6, 3, "click", 0), ev(7, 3, "purchase", 1), ev(8, 3, "purchase", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    with mock.patch.object(eventsq, "_events", lambda s, d: df):
+        got = {
+            r["channel"]: r
+            for r in eventsq.q_events_attribution(spark, "unused").collect()
+        }
+    assert got["view"]["n_conversions"] == 1
+    assert got["click"]["n_conversions"] == 2
+    assert set(got) == {"view", "click"}
+    assert got["click"]["credit"] == _round6(2 / 3)

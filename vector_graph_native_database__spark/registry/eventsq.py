@@ -1348,3 +1348,66 @@ tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY src)
 SELECT c.src, c.dst, c.n,
        floor(c.n * 1.0 / t.t * 1000000.0 + 0.5) / 1000000.0 AS p
 FROM cnt c JOIN tot t ON t.src = c.src"""
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution → (channel, n_conversions, credit):
+    each purchase credits the user's latest preceding non-purchase
+    event (ties broken by event_id), the standard marketing
+    attribution rule. One user-keyed window shuffle computes the
+    last-touch with a running max over (ts, event_id)-ordered rows —
+    no self-join, no per-conversion scan; the credit rollup is a
+    |channels|-sized aggregate. At 100 TB the window shuffle is the
+    whole cost, identical to sessionization's."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        ev.withColumn("channel", touch)
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("channel").isNotNull())
+    )
+    cnt = conv.groupBy("channel").agg(F.count("*").alias("n_conversions"))
+    tot = cnt.agg(F.sum("n_conversions").alias("t"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "n_conversions",
+        (
+            F.floor(
+                F.col("n_conversions") / F.col("t") * F.lit(1e6) + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("credit"),
+    )
+
+
+QUERIES["events_attribution"] = q_events_attribution
+ORACLES["events_attribution"] = """
+WITH touched AS (
+  SELECT event_type,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events
+),
+cnt AS (
+  SELECT channel, count(*) AS n_conversions
+  FROM touched
+  WHERE event_type = 'purchase' AND channel IS NOT NULL
+  GROUP BY channel
+),
+tot AS (SELECT CAST(sum(n_conversions) AS BIGINT) AS t FROM cnt)
+SELECT c.channel, c.n_conversions,
+       floor(c.n_conversions * 1.0 / t.t * 1000000.0 + 0.5)
+         / 1000000.0 AS credit
+FROM cnt c CROSS JOIN tot t"""
