@@ -228,3 +228,24 @@ def test_attribution_credits_latest_preceding_non_purchase(spark):
     assert got["click"]["n_conversions"] == 2
     assert set(got) == {"view", "click"}
     assert got["click"]["credit"] == _round6(2 / 3)
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    import unittest.mock as mock
+
+    from vector_graph_native_database__spark.registry import pipelineq
+
+    df = spark.createDataFrame(
+        [("1", "hello world!", "en", 0), ("2", "don't stop", "en", 0)],
+        "id string, text string, lang string, n_chars long",
+    )
+    with mock.patch.object(
+        pipelineq, "model", lambda s, d: (df, None, None)
+    ):
+        got = pipelineq.q_text_tokenizer_fertility(spark, "unused").collect()
+    (r,) = got
+    # ws: 2 + 2 = 4; subword: [hello, world, !] + [don, ', t, stop] = 7
+    # chars: 12 + 10 = 22
+    assert r["n_docs"] == 2
+    assert r["fertility"] == _round6(7 / 4)
+    assert r["chars_per_token"] == _round6(22 / 7)

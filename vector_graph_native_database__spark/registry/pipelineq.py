@@ -1591,3 +1591,72 @@ FROM fin"""
 
 
 ORACLES["text_quality_regression"] = _quality_regression_sql()
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility report (round 5)
+# ---------------------------------------------------------------------------
+
+
+def q_text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility report → (lang, n_docs,
+    fertility, chars_per_token): fertility = subword pieces per
+    whitespace word, chars_per_token = chars per subword piece — the
+    two numbers a tokenizer eval reports per language (high fertility
+    = the tokenizer fragments that language, inflating sequence
+    lengths and training cost). Integer count sums (exact, order-
+    free) with ratios taken once per group; one map-side-combinable
+    aggregate over the per-doc count frame. Beyond-reference
+    (BASELINE.json north star)."""
+    nodes, _, _ = model(spark, sf_dir)
+    counts = text_analysis.token_counts(nodes)
+    j = counts.join(nodes.select("id", "lang"), "id")
+    g = j.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("ws"),
+        F.sum("subword_tokens").alias("sw"),
+        F.sum("n_chars").alias("ch"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        F.when(
+            F.col("ws") > 0,
+            F.floor(F.col("sw") / F.col("ws") * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6),
+        ).alias("fertility"),
+        F.when(
+            F.col("sw") > 0,
+            F.floor(F.col("ch") / F.col("sw") * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6),
+        ).alias("chars_per_token"),
+    )
+
+
+QUERIES["text_tokenizer_fertility"] = q_text_tokenizer_fertility
+
+ORACLES["text_tokenizer_fertility"] = (
+    ORACLE_PRELUDE
+    + _TOKS
+    + r""",
+counts AS (
+  SELECT n.id, n.lang, len(t.t) AS ws,
+         len(regexp_extract_all(n.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+           AS sw,
+         length(n.text) AS ch
+  FROM nodes n JOIN toks t ON t.id = n.id
+),
+g AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(ws) AS BIGINT) AS ws, CAST(sum(sw) AS BIGINT) AS sw,
+         CAST(sum(ch) AS BIGINT) AS ch
+  FROM counts GROUP BY lang
+)
+SELECT lang, n_docs,
+       CASE WHEN ws > 0 THEN
+         floor(sw * 1.0 / ws * 1000000.0 + 0.5) / 1000000.0 END AS fertility,
+       CASE WHEN sw > 0 THEN
+         floor(ch * 1.0 / sw * 1000000.0 + 0.5) / 1000000.0
+       END AS chars_per_token
+FROM g"""
+)
