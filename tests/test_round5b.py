@@ -249,3 +249,27 @@ def test_tokenizer_fertility_hand_computed(spark):
     assert r["n_docs"] == 2
     assert r["fertility"] == _round6(7 / 4)
     assert r["chars_per_token"] == _round6(22 / 7)
+
+
+def test_zorder_layout_narrows_both_dimensions(spark):
+    from vector_graph_native_database__spark.registry.coreq import (
+        q_io_zorder_layout,
+    )
+    from vector_graph_native_database__spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_io_zorder_layout(spark, sf).collect()
+    orders = load_table(spark, sf, "orders")
+    n = orders.count()
+    assert sum(r["n_rows"] for r in rows) == n
+    ck_lo = min(r["ck_min"] for r in rows)
+    ck_hi = max(r["ck_max"] for r in rows)
+    d_lo = min(r["d_min"] for r in rows)
+    d_hi = max(r["d_max"] for r in rows)
+    # locality in BOTH dims: the mean per-file span is well under the
+    # global span for custkey AND orderdate (single-column sorting can
+    # only deliver this for its leading column)
+    mean_ck = sum(r["ck_max"] - r["ck_min"] for r in rows) / len(rows)
+    mean_d = sum(r["d_max"] - r["d_min"] for r in rows) / len(rows)
+    assert mean_ck < 0.5 * (ck_hi - ck_lo)
+    assert mean_d < 0.5 * (d_hi - d_lo)

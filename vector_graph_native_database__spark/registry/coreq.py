@@ -498,3 +498,115 @@ SELECT c_mktsegment, count(*) AS n_orders,
          AS total_price
 FROM orders JOIN customer ON c_custkey = o_custkey
 GROUP BY c_mktsegment"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (round 5)
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16
+ZORDER_BUCKET_SHIFT = 2 * ZORDER_BITS - 6  # top 6 z-bits -> 64 files
+
+
+def q_io_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) file layout over orders(o_custkey,
+    o_orderdate) → per-file clustering report (bucket, n_rows,
+    ck_min, ck_max, d_min, d_max).
+
+    The multi-dimensional complement of io_bucketed_join's
+    pay-shuffle-once pattern: both keys are scaled to 16-bit ranks
+    with EXACT integer arithmetic, bit-interleaved into a 32-bit
+    z-value, and the top 6 z-bits name the target file. Because the
+    Morton curve preserves locality in BOTH dimensions, every file's
+    (custkey, orderdate) min/max footer ranges are narrow — so a
+    predicate on EITHER column prunes most files, which single-column
+    sorting only achieves for its leading column. At 100 TB the write
+    is ``repartitionByRange(zval)`` + within-partition sort — one
+    shuffle at layout time, bought back on every scan. The report
+    aggregates the per-file ranges a parquet footer would expose;
+    tests pin that per-file spans are far narrower than the global
+    span."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+    )
+    base = orders.select(
+        F.col("o_custkey").alias("ck"), day.alias("d")
+    )
+    bounds = base.agg(
+        F.min("ck").alias("ck_mn"), F.max("ck").alias("ck_mx"),
+        F.min("d").alias("d_mn"), F.max("d").alias("d_mx"),
+    )
+
+    def scale(v, mn, mx):
+        span = F.col(mx) - F.col(mn)
+        raw = F.expr(
+            f"(({v} - {mn}) * {1 << ZORDER_BITS}) div ({mx} - {mn})"
+        )
+        return F.when(
+            span > 0, F.least(F.lit((1 << ZORDER_BITS) - 1), raw)
+        ).otherwise(F.lit(0))
+
+    xy = base.crossJoin(F.broadcast(bounds)).select(
+        "ck",
+        "d",
+        scale("ck", "ck_mn", "ck_mx").alias("x"),
+        scale("d", "d_mn", "d_mx").alias("y"),
+    )
+    z = F.lit(0)
+    for i in range(ZORDER_BITS):
+        z = z + F.shiftleft(
+            F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        z = z + F.shiftleft(
+            F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return (
+        xy.withColumn("bucket", F.shiftright(z, ZORDER_BUCKET_SHIFT))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("ck").alias("ck_min"),
+            F.max("ck").alias("ck_max"),
+            F.min("d").alias("d_min"),
+            F.max("d").alias("d_max"),
+        )
+    )
+
+
+QUERIES["io_zorder_layout"] = q_io_zorder_layout
+
+_Z_INTERLEAVE = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(ZORDER_BITS)
+)
+
+ORACLES["io_zorder_layout"] = f"""
+WITH base AS (
+  SELECT o_custkey AS ck,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+  FROM orders
+),
+bounds AS (
+  SELECT min(ck) AS ck_mn, max(ck) AS ck_mx,
+         min(d) AS d_mn, max(d) AS d_mx
+  FROM base
+),
+xy AS (
+  SELECT ck, d,
+         CASE WHEN ck_mx - ck_mn > 0 THEN
+           least({(1 << ZORDER_BITS) - 1},
+                 ((ck - ck_mn) * {1 << ZORDER_BITS}) // (ck_mx - ck_mn))
+         ELSE 0 END AS x,
+         CASE WHEN d_mx - d_mn > 0 THEN
+           least({(1 << ZORDER_BITS) - 1},
+                 ((d - d_mn) * {1 << ZORDER_BITS}) // (d_mx - d_mn))
+         ELSE 0 END AS y
+  FROM base CROSS JOIN bounds
+)
+SELECT ({_Z_INTERLEAVE}) >> {ZORDER_BUCKET_SHIFT} AS bucket,
+       count(*) AS n_rows,
+       min(ck) AS ck_min, max(ck) AS ck_max,
+       min(d) AS d_min, max(d) AS d_max
+FROM xy
+GROUP BY 1"""
