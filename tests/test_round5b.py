@@ -273,3 +273,30 @@ def test_zorder_layout_narrows_both_dimensions(spark):
     mean_d = sum(r["d_max"] - r["d_min"] for r in rows) / len(rows)
     assert mean_ck < 0.5 * (ck_hi - ck_lo)
     assert mean_d < 0.5 * (d_hi - d_lo)
+
+
+def test_market_basket_lift_and_distinct_pass(spark):
+    import unittest.mock as mock
+
+    from vector_graph_native_database__spark.registry import olapq
+
+    rows = []
+    for o in (1, 2, 3):
+        rows += [(o, 1), (o, 2)]
+    for o in (4, 5, 6):
+        rows += [(o, 1), (o, 3)]
+    for o in (7, 8, 9):
+        rows += [(o, 4), (o, 5)]
+    rows.append((1, 1))  # duplicate lineitem: must count once
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    with mock.patch.object(olapq, "load_table", lambda s, d, t: df):
+        got = olapq.q_olap_market_basket(spark, "unused").collect()
+    as_map = {(r["pa"], r["pb"]): r for r in got}
+    # N=9; supports: p1=6, p2=3, p3=3, p4=3, p5=3
+    assert as_map[(4, 5)]["n_ab"] == 3
+    assert as_map[(4, 5)]["lift"] == _round6(3 * 9 / (3 * 3))
+    assert as_map[(1, 2)]["lift"] == _round6(3 * 9 / (6 * 3))
+    assert as_map[(1, 3)]["lift"] == _round6(3 * 9 / (6 * 3))
+    # ranked by lift desc: (4,5) first
+    assert (got[0]["pa"], got[0]["pb"]) == (4, 5)
+    assert set(as_map) == {(4, 5), (1, 2), (1, 3)}

@@ -2484,3 +2484,95 @@ WHERE o.o_orderstatus = 'F'
       AND l3.l_suppkey <> l1.l_suppkey
       AND l3.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY)
 GROUP BY s_name, n_name"""
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (round 5)
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 3
+BASKET_TOPK = 25
+
+
+def q_olap_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift → top-25 (pa, pb, n_ab, lift): part pairs
+    co-purchased in the same order, scored by
+    lift = P(a,b)/(P(a)P(b)) = n_ab·N / (n_a·n_b), minimum support
+    3 baskets — the "customers who bought X also bought Y" primitive.
+
+    Scale design: the pair generation is an equi-join on the order
+    key, so its cost is Σ basket_size², bounded by the largest
+    basket (never |parts|² and never corpus-quadratic); the support
+    frame is |parts|-sized and broadcast; the final top-k is
+    TakeOrderedAndProject on the deterministic
+    (lift DESC, pa, pb) key. One distinct pass first so repeat
+    lineitems of a part in one order count once."""
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n = lp.agg(F.countDistinct("o").alias("n_orders"))
+    supp = lp.groupBy("p").agg(F.count("*").alias("s"))
+    a = lp.select(F.col("o"), F.col("p").alias("pa"))
+    b = lp.select(F.col("o"), F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    j = (
+        pairs.join(
+            F.broadcast(supp.select(F.col("p").alias("pa"), F.col("s").alias("sa"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("p").alias("pb"), F.col("s").alias("sb"))),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        j.select(
+            "pa",
+            "pb",
+            "n_ab",
+            (
+                F.floor(
+                    F.col("n_ab")
+                    * F.col("n_orders")
+                    / (F.col("sa") * F.col("sb"))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "pa", "pb")
+        .limit(BASKET_TOPK)
+    )
+
+
+QUERIES["olap_market_basket"] = q_olap_market_basket
+
+ORACLES["olap_market_basket"] = f"""
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT count(DISTINCT o) AS n_orders FROM lp),
+supp AS (SELECT p, count(*) AS s FROM lp GROUP BY p),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+)
+SELECT pa, pb, n_ab,
+       floor(n_ab * 1.0 * n_orders / (sa.s * sb.s) * 1000000.0 + 0.5)
+         / 1000000.0 AS lift
+FROM pairs
+JOIN supp sa ON sa.p = pairs.pa
+JOIN supp sb ON sb.p = pairs.pb
+CROSS JOIN n
+WHERE n_ab >= {BASKET_MIN_SUPPORT}
+ORDER BY lift DESC, pa, pb
+LIMIT {BASKET_TOPK}"""
