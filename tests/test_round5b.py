@@ -300,3 +300,17 @@ def test_market_basket_lift_and_distinct_pass(spark):
     # ranked by lift desc: (4,5) first
     assert (got[0]["pa"], got[0]["pb"]) == (4, 5)
     assert set(as_map) == {(4, 5), (1, 2), (1, 3)}
+
+
+def test_jl_distortion_shrinks_with_k(spark):
+    from vector_graph_native_database__spark.operators.ann import (
+        jl_distortion_eval,
+    )
+    from vector_graph_native_database__spark.sources import embeddings_df
+
+    emb = embeddings_df(spark, "/root/testdata/sf0.001")
+    r8 = jl_distortion_eval(emb, k=8).collect()[0]
+    r32 = jl_distortion_eval(emb, k=32).collect()[0]
+    assert r8["n_pairs"] == r32["n_pairs"] > 0
+    assert 0 < r32["mean_distortion"] < r8["mean_distortion"] < 1
+    assert r32["max_distortion"] <= r8["max_distortion"]

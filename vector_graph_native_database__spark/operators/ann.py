@@ -1387,3 +1387,86 @@ def matryoshka_rerank_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", F.col("node_id").alias("id"), "cos", "rnk")
     )
+
+def jl_signs(spark, k: int = 16, dim: int = 64) -> DataFrame:
+    """Deterministic Achlioptas ±1 projection rows → (j, w).
+
+    sign(j, d) = 1 − 2·(md5-derived bit), identically computable in
+    DuckDB — the JL matrix as data, broadcast like ``hyperplanes``.
+    """
+    return spark.range(k).select(
+        F.col("id").cast("int").alias("j"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), d ->"
+            " cast(1 - 2 * (cast(conv(substr(md5(concat('jl', id, 'd', d)),"
+            " 1, 8), 16, 10) as bigint) % 2) as double))"
+        ).alias("w"),
+    )
+
+
+def jl_distortion_eval(
+    emb: DataFrame, k: int = 16, dim: int = 64
+) -> DataFrame:
+    """Johnson–Lindenstrauss projection quality report → one row
+    (k_dims, n_pairs, mean_distortion, max_distortion).
+
+    Projects the corpus from ``dim`` to ``k`` dimensions with the
+    deterministic ±1/√k matrix (``jl_signs``) and measures, over the
+    consecutive-id pair sample, the relative Euclidean-distance
+    distortion |‖Pa−Pb‖/‖a−b‖ − 1|. The JL lemma bounds this by
+    ε ≈ √(ln n / k); the report is the evidence a deployment checks
+    before running its ANN/dedup stack on projected vectors at a
+    quarter of the I/O. Plan shape: one broadcast of k sign rows,
+    projection is a map-side dot per (vector, row); pair distances
+    shuffle once keyed by pair id; the report is a single global
+    aggregate. No all-pairs anywhere."""
+    import math as _math
+
+    scale = _math.sqrt(k)
+    e = (
+        emb.filter(F.size("vector") == dim)
+        .select(F.col("node_id").cast("long").alias("id"), "vector")
+    )
+    proj = (
+        e.crossJoin(F.broadcast(jl_signs(emb.sparkSession, k, dim)))
+        .select(
+            "id",
+            "j",
+            (dot("vector", "w") / F.lit(scale)).alias("y"),
+        )
+    )
+    a = e.select(F.col("id").alias("ia"), F.col("vector").alias("va"))
+    b = e.select((F.col("id") - 1).alias("ia"), F.col("vector").alias("vb"))
+    pairs = a.join(b, "ia").select(
+        "ia",
+        F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("d2o"),
+    )
+    pa = proj.select(F.col("id").alias("ia"), "j", F.col("y").alias("ya"))
+    pb = proj.select(
+        (F.col("id") - 1).alias("ia"), "j", F.col("y").alias("yb")
+    )
+    d2p = (
+        pa.join(pb, ["ia", "j"])
+        .groupBy("ia")
+        .agg(
+            F.sum((F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))).alias(
+                "d2p"
+            )
+        )
+    )
+    dist = (
+        pairs.join(d2p, "ia")
+        .filter(F.col("d2o") > 0)
+        .select(F.abs(F.sqrt(F.col("d2p") / F.col("d2o")) - 1).alias("e"))
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return dist.agg(
+        F.lit(k).alias("k_dims"),
+        F.count("*").alias("n_pairs"),
+        r6(F.avg("e")).alias("mean_distortion"),
+        r6(F.max("e")).alias("max_distortion"),
+    )

@@ -517,3 +517,71 @@ SELECT g.grp, any_value(t.tr) AS n_ref, any_value(t.tc) AS n_cur,
              * 1000000.0 + 0.5) / 1000000.0 AS psi
 FROM g JOIN tot t ON t.grp = g.grp
 GROUP BY g.grp"""
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss distortion report (round 5)
+# ---------------------------------------------------------------------------
+
+JL_K = 16
+
+
+def q_ann_jl_distortion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL 64→16 projection distortion over the consecutive-id pair
+    sample: the dimensionality-reduction quality gate run before
+    pointing the ANN/dedup stack at projected vectors. One row:
+    (k_dims, n_pairs, mean_distortion, max_distortion)."""
+    from ..operators.ann import jl_distortion_eval
+    from ..sources import embeddings_df
+
+    return jl_distortion_eval(embeddings_df(spark, sf_dir), k=JL_K, dim=64)
+
+
+QUERIES["ann_jl_distortion_eval"] = q_ann_jl_distortion_eval
+
+
+def _jl_sql() -> str:
+    from .common import ORACLE_PRELUDE, sql_stable_round6 as r6
+
+    return (
+        ORACLE_PRELUDE
+        + f""",
+e AS (
+  SELECT CAST(node_id AS BIGINT) AS id, CAST(vector AS DOUBLE[]) AS v
+  FROM emb WHERE len(vector) = 64
+),
+signs AS (
+  SELECT p.j,
+         list_transform(generate_series(0, 63), d ->
+           CAST(1 - 2 * (('0x' || substr(md5('jl' || p.j || 'd' || d),
+                                         1, 8))::BIGINT % 2) AS DOUBLE)) AS w
+  FROM (SELECT unnest(generate_series(0, {JL_K - 1})) AS j) p
+),
+proj AS (
+  SELECT e.id, s.j, list_dot_product(e.v, s.w) / sqrt({JL_K}) AS y
+  FROM e CROSS JOIN signs s
+),
+pairs AS (
+  SELECT a.id AS ia,
+         list_sum(list_transform(generate_series(1, 64),
+                  i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS d2o
+  FROM e a JOIN e b ON b.id = a.id + 1
+),
+d2p AS (
+  SELECT pa.id AS ia, sum((pa.y - pb.y) * (pa.y - pb.y)) AS d2p
+  FROM proj pa JOIN proj pb ON pb.id = pa.id + 1 AND pb.j = pa.j
+  GROUP BY pa.id
+),
+dist AS (
+  SELECT abs(sqrt(d.d2p / p.d2o) - 1) AS e
+  FROM pairs p JOIN d2p d ON d.ia = p.ia
+  WHERE p.d2o > 0
+)
+SELECT {JL_K} AS k_dims, count(*) AS n_pairs,
+       {r6("avg(e)")} AS mean_distortion,
+       {r6("max(e)")} AS max_distortion
+FROM dist"""
+    )
+
+
+ORACLES["ann_jl_distortion_eval"] = _jl_sql()
