@@ -314,3 +314,38 @@ def test_jl_distortion_shrinks_with_k(spark):
     assert r8["n_pairs"] == r32["n_pairs"] > 0
     assert 0 < r32["mean_distortion"] < r8["mean_distortion"] < 1
     assert r32["max_distortion"] <= r8["max_distortion"]
+
+
+def test_dsir_resample_gumbel_topk_hand_computed(spark):
+    rows = [
+        ("a", "curated curated gold gold gold", 1),
+        ("b", "curated gold noise", 1),
+        ("c", "noise noise noise junk junk", 0),
+        ("d", "junk junk noise curated", 0),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string, is_t int")
+    got = curation.dsir_resample_topk(
+        df, target=F.col("is_t") == 1, n_keep=2, n_buckets=64
+    ).collect()
+    # replicate: logw (as in the weights test) + deterministic Gumbel
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for _id, text, is_t in rows:
+        for tok in text.split():
+            b = _bucket(tok)
+            cr[b] = cr.get(b, 0) + 1
+            if is_t:
+                ct[b] = ct.get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    keys = {}
+    for _id, text, _ in rows:
+        logw = _round6(sum(
+            math.log((ct.get(_bucket(t), 0) + 1) / (tt + 64))
+            - math.log((cr.get(_bucket(t), 0) + 1) / (tr + 64))
+            for t in text.split()
+        ))
+        u = (int(hashlib.md5(f"gum{_id}".encode()).hexdigest()[:15], 16)
+             % 10000 + 0.5) / 10000.0
+        keys[_id] = _round6(logw + -math.log(-math.log(u)))
+    want = sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(r["id"], r["key"]) for r in got] == want

@@ -226,6 +226,47 @@ def dsir_importance(
     )
 
 
+def dsir_resample_topk(
+    df: DataFrame,
+    target,
+    n_keep: int = 100,
+    n_buckets: int = 64,
+    id_col: str = "id",
+    text_col: str = "text",
+    salt: str = "gum",
+) -> DataFrame:
+    """The resampling step on top of ``dsir_importance``: Gumbel
+    top-k sampling without replacement → (id, logw, key), the
+    ``n_keep`` selected documents.
+
+    Sampling proportional-to-weight without replacement is exactly
+    top-k over perturbed keys (the Gumbel-max trick):
+    key_i = logw_i + G_i with G_i = −ln(−ln(u_i)) and u_i a uniform
+    draw — here the deterministic id-hash bucket mapped to (0, 1), so
+    the "randomness" replays in the oracle and across cluster runs.
+    The selection is one TakeOrderedAndProject over the weight frame
+    (keys rounded to 6dp before ordering, id tie-break): no sort of
+    the corpus, no sequential draw loop — the only way
+    without-replacement weighted sampling scales to 100 TB.
+    """
+    from .sampling import stable_bucket
+
+    w = dsir_importance(df, target, n_buckets, id_col, text_col)
+    u = (stable_bucket("id", salt) + F.lit(0.5)) / F.lit(10000.0)
+    key = F.col("logw") + -F.log(-F.log(u))
+    return (
+        w.select(
+            "id",
+            "logw",
+            (F.floor(key * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+                "key"
+            ),
+        )
+        .orderBy(F.desc("key"), "id")
+        .limit(n_keep)
+    )
+
+
 def centroids_by_group(
     emb: DataFrame,
     labels: DataFrame,

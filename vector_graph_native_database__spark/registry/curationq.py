@@ -789,9 +789,10 @@ QUERIES["dsir_importance_weights"] = q_dsir_importance_weights
 
 _DSIR_SRCS = ", ".join(f"'{s}'" for s in DSIR_TARGET)
 
-ORACLES["dsir_importance_weights"] = (
-    ORACLE_PRELUDE
-    + _TOKS
+# The DSIR CTE chain, ending in dsirw(id, n_tokens, logw) — shared
+# by the weights entry and the Gumbel-top-k resample entry.
+_DSIR_CTES = (
+    _TOKS
     + f""",
 tokb AS (
   SELECT u.id, n.is_t, ({_H60.format(x="u.tok")}) % {DSIR_BUCKETS} AS b
@@ -808,9 +809,55 @@ delta AS (
          - ln((cr + 1) * 1.0 / (tr + {DSIR_BUCKETS})) AS delta
   FROM stats CROSS JOIN tot
 ),
-perb AS (SELECT id, b, count(*) AS cnt FROM tokb GROUP BY id, b)
-SELECT p.id, CAST(sum(p.cnt) AS BIGINT) AS n_tokens,
-       {sql_stable_round6("sum(p.cnt * d.delta)")} AS logw
-FROM perb p JOIN delta d ON d.b = p.b
-GROUP BY p.id"""
+perb AS (SELECT id, b, count(*) AS cnt FROM tokb GROUP BY id, b),
+dsirw AS (
+  SELECT p.id, CAST(sum(p.cnt) AS BIGINT) AS n_tokens,
+         {sql_stable_round6("sum(p.cnt * d.delta)")} AS logw
+  FROM perb p JOIN delta d ON d.b = p.b
+  GROUP BY p.id
+)"""
+)
+
+ORACLES["dsir_importance_weights"] = (
+    ORACLE_PRELUDE
+    + _DSIR_CTES
+    + """
+SELECT id, n_tokens, logw FROM dsirw"""
+)
+
+
+DSIR_KEEP = 100
+
+
+def q_dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-k resampling over the DSIR importance weights:
+    weighted sampling WITHOUT replacement as one
+    TakeOrderedAndProject over hash-deterministic perturbed keys —
+    the step that turns importance weights into the actual curated
+    subset. Beyond-reference (BASELINE.json north star)."""
+    nodes, _, _ = model(spark, sf_dir)
+    return curation.dsir_resample_topk(
+        nodes,
+        target=F.col("source").isin(*DSIR_TARGET),
+        n_keep=DSIR_KEEP,
+        n_buckets=DSIR_BUCKETS,
+    )
+
+
+QUERIES["dsir_resample_topk"] = q_dsir_resample_topk
+
+ORACLES["dsir_resample_topk"] = (
+    ORACLE_PRELUDE
+    + _DSIR_CTES
+    + f""",
+keyed AS (
+  SELECT id, logw,
+         floor((logw + -ln(-ln(
+             ((('0x' || substr(md5('gum' || id), 1, 15))::BIGINT % 10000)
+              + 0.5) / 10000.0)))
+           * 1000000.0 + 0.5) / 1000000.0 AS key
+  FROM dsirw
+)
+SELECT id, logw, key FROM keyed
+ORDER BY key DESC, id LIMIT {DSIR_KEEP}"""
 )
