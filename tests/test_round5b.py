@@ -349,3 +349,19 @@ def test_dsir_resample_gumbel_topk_hand_computed(spark):
         keys[_id] = _round6(logw + -math.log(-math.log(u)))
     want = sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
     assert [(r["id"], r["key"]) for r in got] == want
+
+
+def test_mixture_pipeline_funnel_monotonic(spark):
+    from vector_graph_native_database__spark.registry.samplingq import (
+        q_mixture_pipeline_summary,
+    )
+
+    rows = q_mixture_pipeline_summary(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 1
+    for r in rows:
+        # funnel can only shrink at each stage
+        assert r["n_raw"] >= r["n_clean"] >= r["n_kept"] >= 0
+        assert (r["tok_kept"] > 0) == (r["n_kept"] > 0)
+    # the temperature rebalance bites somewhere: at least one language
+    # is down-sampled between clean and kept
+    assert any(r["n_kept"] < r["n_clean"] for r in rows)

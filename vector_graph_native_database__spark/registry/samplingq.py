@@ -374,3 +374,92 @@ SELECT n.id, n.lang AS grp
 FROM nodes n JOIN fr ON fr.grp = n.lang
 WHERE ('0x' || substr(md5('tmix' || n.id), 1, 15))::BIGINT % 10000
       < f * 10000"""
+
+
+# ---------------------------------------------------------------------------
+# Mixture build capstone (round 5)
+# ---------------------------------------------------------------------------
+
+
+def q_mixture_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 mixture build as ONE lazy plan: quality gate +
+    exact dedup (corpus_clean) → temperature-scaled language
+    rebalance (temperature_mix) → per-language funnel summary
+    (lang, n_raw, n_clean, n_kept, tok_kept). Catalyst fuses the
+    stages; every per-stage frame this aggregates is |langs|-sized.
+    The composition proof for the new sampling/mixing operators —
+    same design as curation_pipeline_summary (BASELINE.json north
+    star)."""
+    nodes, _, _ = model(spark, sf_dir)
+    kept = sampling.corpus_clean(nodes, min_quality=0.5)
+    d2 = nodes.join(kept.select("id"), "id", "left_semi")
+    mix = sampling.temperature_mix(
+        d2, group_col="lang", alpha=0.5, budget_frac=0.5
+    )
+    raw = nodes.groupBy("lang").agg(F.count("*").alias("n_raw"))
+    clean = d2.groupBy("lang").agg(F.count("*").alias("n_clean"))
+    kt = (
+        mix.join(kept.select("id", "n_tokens"), "id")
+        .groupBy(F.col("grp").alias("lang"))
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tokens").alias("tok_kept"),
+        )
+    )
+    return (
+        raw.join(clean, "lang", "left")
+        .join(kt, "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("tok_kept", F.lit(0).cast("long")).alias("tok_kept"),
+        )
+    )
+
+
+QUERIES["mixture_pipeline_summary"] = q_mixture_pipeline_summary
+
+ORACLES["mixture_pipeline_summary"] = (
+    ORACLE_PRELUDE
+    + _TOKS
+    + _QUALITY
+    + """,
+passing AS (
+  SELECT q.id, q.n_tokens, md5(n.text) AS th
+  FROM quality q JOIN nodes n ON n.id = q.id
+  WHERE q.quality >= 0.5
+),
+keepers AS (SELECT th, min(id) AS id FROM passing GROUP BY th),
+clean AS (
+  SELECT p.id, p.n_tokens, n.lang
+  FROM passing p JOIN keepers k ON k.id = p.id
+  JOIN nodes n ON n.id = p.id
+),
+counts AS (SELECT lang AS grp, count(*) AS n_g FROM clean GROUP BY lang),
+tot AS (SELECT sum(n_g) AS n, sum(pow(n_g, 0.5)) AS z FROM counts),
+fr AS (
+  SELECT grp, least(1.0, 0.5 * n * pow(n_g, 0.5) / z / n_g) AS f
+  FROM counts CROSS JOIN tot
+),
+mix AS (
+  SELECT c.id, c.lang, c.n_tokens
+  FROM clean c JOIN fr ON fr.grp = c.lang
+  WHERE ('0x' || substr(md5('tmix' || c.id), 1, 15))::BIGINT % 10000
+        < f * 10000
+),
+raw AS (SELECT lang, count(*) AS n_raw FROM nodes GROUP BY lang),
+cl AS (SELECT lang, count(*) AS n_clean FROM clean GROUP BY lang),
+kt AS (
+  SELECT lang, count(*) AS n_kept, CAST(sum(n_tokens) AS BIGINT) AS tok_kept
+  FROM mix GROUP BY lang
+)
+SELECT r.lang, r.n_raw,
+       coalesce(cl.n_clean, 0) AS n_clean,
+       coalesce(kt.n_kept, 0) AS n_kept,
+       coalesce(kt.tok_kept, 0) AS tok_kept
+FROM raw r
+LEFT JOIN cl ON cl.lang = r.lang
+LEFT JOIN kt ON kt.lang = r.lang"""
+)
