@@ -365,3 +365,42 @@ def test_mixture_pipeline_funnel_monotonic(spark):
     # the temperature rebalance bites somewhere: at least one language
     # is down-sampled between clean and kept
     assert any(r["n_kept"] < r["n_clean"] for r in rows)
+
+
+def test_ab_ttest_flags_lifted_variant_only(spark):
+    import datetime as dt
+    import unittest.mock as mock
+
+    from vector_graph_native_database__spark.registry import eventsq
+
+    def parity(uid: int) -> int:
+        return int(hashlib.md5(f"ab{uid}".encode()).hexdigest()[:15], 16) % 2
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(40):
+        v = parity(uid)
+        for k in range(3):
+            eid += 1
+            # 'lifted': variant B runs ~10 higher; 'flat': identical
+            lifted_val = 10.0 + k if v == 1 else 0.0 + k
+            rows.append((eid, uid, "lifted", lifted_val, t0))
+            eid += 1
+            rows.append((eid, uid, "flat", 5.0 + k, t0))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp",
+    )
+    with mock.patch.object(eventsq, "_events", lambda s, d: df):
+        got = {
+            r["event_type"]: r
+            for r in eventsq.q_events_ab_ttest(spark, "unused").collect()
+        }
+    assert got["lifted"]["significant"]
+    assert not got["flat"]["significant"]
+    assert abs(got["flat"]["t_stat"]) < 0.5
+    assert got["lifted"]["mean_b"] - got["lifted"]["mean_a"] == 10.0
+    # both variants drew users (hash split is balanced-ish)
+    assert got["flat"]["n_a"] > 1 and got["flat"]["n_b"] > 1
