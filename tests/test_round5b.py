@@ -404,3 +404,21 @@ def test_ab_ttest_flags_lifted_variant_only(spark):
     assert got["lifted"]["mean_b"] - got["lifted"]["mean_a"] == 10.0
     # both variants drew users (hash split is balanced-ish)
     assert got["flat"]["n_a"] > 1 and got["flat"]["n_b"] > 1
+
+
+def test_assortativity_star_is_minus_one_cycle_is_null(spark):
+    from vector_graph_native_database__spark.operators.analytics import (
+        degree_assortativity,
+    )
+
+    star = spark.createDataFrame(
+        [("h", l) for l in ["a", "b", "c", "d"]], "src string, dst string"
+    )
+    (r,) = degree_assortativity(star).collect()
+    assert r["n_endpoints"] == 8
+    assert r["assortativity"] == -1.0  # perfect hub-to-leaf graph
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    (r2,) = degree_assortativity(cycle).collect()
+    assert r2["assortativity"] is None  # zero degree variance

@@ -1254,3 +1254,59 @@ def scc_exact(
             f"rounds (h reached {h}); raise max_rounds/initial_hops"
         )
     return labels.select("id", F.col("lbl").alias("scc_id"))
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient → one row
+    (n_endpoints, assortativity).
+
+    Pearson correlation of total degrees across the endpoints of the
+    symmetrized edge set (each edge contributes both orientations, the
+    standard undirected treatment): positive = hubs link to hubs
+    (social-graph shape), negative = hubs link to leaves
+    (star/hierarchy shape). Degrees are integers, so every sufficient
+    statistic (n, Σx, Σy, Σxy, Σx², Σy²) is an EXACT integer sum —
+    order-free, engine-identical; only the final correlation runs in
+    double. Plan: the degree frame (two map-side-combinable counts)
+    joins the edge list twice by key — two shuffles total at any
+    scale, no iteration. Returns NULL assortativity on zero-variance
+    degree sequences (e.g. a pure cycle) rather than NaN."""
+    deg = degrees(edges).select("id", "degree")
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    j = (
+        sym.join(
+            deg.select(F.col("id").alias("src"), F.col("degree").alias("x")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("degree").alias("y")),
+            "dst",
+        )
+    )
+    g = j.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    r = (n * sxy - sx * sy) / F.sqrt(denx * deny)
+    return g.select(
+        F.col("n").alias("n_endpoints"),
+        F.when(
+            (denx > 0) & (deny > 0),
+            F.floor(r * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("assortativity"),
+    )

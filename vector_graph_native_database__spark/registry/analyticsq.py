@@ -841,3 +841,63 @@ JOIN lab ls ON ls.id = ed.src
 JOIN lab ld ON ld.id = ed.dst
 WHERE ls.scc_id <> ld.scc_id
 GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (round 5)
+# ---------------------------------------------------------------------------
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the engine graph (symmetrized):
+    exact integer sufficient statistics, one correlation — is this a
+    hub-to-hub or hub-to-leaf topology? Complements degrees/
+    clustering-coefficient in the structure-report family."""
+    from ..operators.analytics import degree_assortativity
+
+    _, _, edges = model(spark, sf_dir)
+    return degree_assortativity(edges)
+
+
+QUERIES["graph_assortativity"] = q_graph_assortativity
+
+ORACLES["graph_assortativity"] = (
+    ORACLE_PRELUDE
+    + """,
+outd AS (SELECT src AS id, count(*) AS o FROM edges GROUP BY src),
+ind AS (SELECT dst AS id, count(*) AS i FROM edges GROUP BY dst),
+deg AS (
+  SELECT coalesce(o.id, i.id) AS id,
+         coalesce(o.o, 0) + coalesce(i.i, 0) AS degree
+  FROM outd o FULL OUTER JOIN ind i ON i.id = o.id
+),
+sym AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges
+),
+j AS (
+  SELECT dx.degree AS x, dy.degree AS y
+  FROM sym s JOIN deg dx ON dx.id = s.src JOIN deg dy ON dy.id = s.dst
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM j
+)
+SELECT n AS n_endpoints,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
+             AND (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+            THEN floor((CAST(n AS DOUBLE) * sxy
+                        - CAST(sx AS DOUBLE) * sy)
+                       / sqrt((CAST(n AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx)
+                              * (CAST(n AS DOUBLE) * syy
+                                 - CAST(sy AS DOUBLE) * sy))
+                       * 1000000.0 + 0.5) / 1000000.0
+       END AS assortativity
+FROM g"""
+)
