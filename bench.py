@@ -154,6 +154,25 @@ HEADLINE = CANARY + [
     "ann_tier_report",
     "graph_scc_exact",
     "bm25_topk_streamed_index",
+    # round-5 second wave: DSIR resampling weights, SemDeDup,
+    # temperature mixing, PSI drift gate, Markov transitions,
+    # one-pass quality regression, attribution, tokenizer fertility,
+    # Z-order layout
+    "dsir_importance_weights",
+    "dedup_semdedup",
+    "sample_temperature_mix",
+    "dq_drift_psi",
+    "events_markov_transitions",
+    "text_quality_regression",
+    "events_attribution",
+    "text_tokenizer_fertility",
+    "io_zorder_layout",
+    "olap_market_basket",
+    "ann_jl_distortion_eval",
+    "dsir_resample_topk",
+    "mixture_pipeline_summary",
+    "events_ab_ttest",
+    "graph_assortativity",
 ]
 
 
