@@ -422,3 +422,42 @@ def test_assortativity_star_is_minus_one_cycle_is_null(spark):
     )
     (r2,) = degree_assortativity(cycle).collect()
     assert r2["assortativity"] is None  # zero degree variance
+
+
+def test_markov_maintenance_counts_boundary_transitions(spark, tmp_path):
+    import datetime as dt
+    import os
+
+    from vector_graph_native_database__spark.streaming.ingest import (
+        incremental_markov_maintenance,
+        read_state,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    src = str(tmp_path / "src")
+    counts_d = str(tmp_path / "counts")
+    carry_d = str(tmp_path / "carry")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: user 1 does a, b ; user 2 does a
+    b1 = [(1, t0, 1, "a"), (2, t0 + dt.timedelta(minutes=1), 1, "b"),
+          (3, t0, 2, "a")]
+    # batch 2: user 1 does c (boundary b->c); user 2 does b (boundary a->b)
+    t1 = t0 + dt.timedelta(hours=1)
+    b2 = [(4, t1, 1, "c"), (5, t1, 2, "b")]
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, schema).write.mode("append").parquet(src)
+        incremental_markov_maintenance(
+            spark, src, schema, counts_d, carry_d, ckpt
+        )
+    got = {
+        (r["src"], r["dst"]): r["n"]
+        for r in read_state(spark, counts_d).collect()
+    }
+    # in-batch a->b (user 1) plus boundary a->b (user 2) = 2
+    assert got == {("a", "b"): 2, ("b", "c"): 1}
+    carry = {
+        r["user_id"]: r["last_type"]
+        for r in read_state(spark, carry_d).collect()
+    }
+    assert carry == {1: "c", 2: "b"}

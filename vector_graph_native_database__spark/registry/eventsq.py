@@ -1509,3 +1509,68 @@ SELECT grp AS event_type, n_a, n_b,
                   + ((qb - sb * sb / nb) / (nb - 1)) / nb)) > 1.96
          AS significant
 FROM f"""
+
+
+def q_markov_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof that streamed Markov maintenance with
+    carry-over state equals the batch transition matrix: events
+    replay as THREE event-time-range micro-batches through the real
+    foreachBatch machinery; each batch merges its internal
+    lead()-pairs plus the carried last-event boundary pairs into the
+    transactional counts state. The final matrix from the MAINTAINED
+    counts must hash-equal the batch answer (the
+    events_markov_transitions oracle — it knows nothing about
+    batches, so a lost boundary transition, double merge, or stale
+    carry row fails the value check)."""
+    import os
+
+    from ..streaming.ingest import (
+        incremental_markov_maintenance,
+        read_state,
+    )
+    from .common import scratch_dir
+
+    base = scratch_dir("markov_incremental")
+    src = os.path.join(base, "src")
+    counts_d = os.path.join(base, "counts")
+    carry_d = os.path.join(base, "carry")
+    ckpt = os.path.join(base, "ckpt")
+    ev = _events(spark, sf_dir)
+    b = ev.agg(
+        F.unix_micros(F.min("ts")).alias("mn"),
+        F.unix_micros(F.max("ts")).alias("mx"),
+    ).collect()[0]
+    cut1 = b["mn"] + (b["mx"] - b["mn"]) // 3
+    cut2 = b["mn"] + 2 * (b["mx"] - b["mn"]) // 3
+    us = F.unix_micros("ts")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    batches = [
+        ev.filter(us < cut1),
+        ev.filter((us >= cut1) & (us < cut2)),
+        ev.filter(us >= cut2),
+    ]
+    for bdf in batches:
+        bdf.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).write.mode("append").parquet(src)
+        incremental_markov_maintenance(
+            spark, src, schema, counts_d, carry_d, ckpt
+        )
+    cnt = read_state(spark, counts_d)
+    tot = cnt.groupBy("src").agg(F.sum("n").alias("t"))
+    return cnt.join(tot, "src").select(
+        "src",
+        "dst",
+        "n",
+        (
+            F.floor(F.col("n") / F.col("t") * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("p"),
+    )
+
+
+QUERIES["markov_incremental_equiv"] = q_markov_incremental_equiv
+ORACLES["markov_incremental_equiv"] = ORACLES["events_markov_transitions"]

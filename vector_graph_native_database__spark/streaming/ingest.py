@@ -629,3 +629,102 @@ def read_state_version(
             f"(have {list_state_versions(state_dir)})"
         )
     return spark.read.parquet(os.path.join(state_dir, version))
+
+def incremental_markov_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    event_schema: str | StructType,
+    counts_dir: str,
+    carry_dir: str,
+    checkpoint_dir: str,
+):
+    """Event stream (time-ordered micro-batches) → maintained Markov
+    transition counts WITH cross-batch continuity.
+
+    The transition count frame (src, dst, n) is sum-mergeable, but
+    unlike the CMS/HLL monoids a naive per-batch count LOSES every
+    transition that straddles a batch boundary (a user's last event
+    of batch i → first event of batch i+1). The fix is the canonical
+    keyed carry-over state: alongside the counts, the maintenance
+    keeps a second state frame (user_id, last_type) — each batch
+    first emits its internal lead()-pairs, then joins the carried
+    last-event of every user onto the batch's first-event to emit the
+    boundary pairs, then replaces the carry rows of users seen in the
+    batch (latest wins). With batches partitioned by event-time range
+    the maintained counts equal the batch Markov matrix exactly —
+    value-asserted against the ``events_markov_transitions`` oracle,
+    which knows nothing about batches.
+
+    Scale shape: per batch, one user-keyed window over the BATCH
+    (not the history), one broadcast-sized join against the carry
+    frame, and a counts merge that is |types|²-sized. The carry frame
+    is one row per ever-seen user — the bounded keyed state a
+    transformWithState deployment would hold; here it lives in the
+    transactional snapshot store so the maintenance is crash-safe
+    (at-least-once caveat: the counts and carry commits are two
+    snapshots, so a crash between them can double-count one batch's
+    boundary pairs on replay — same at-least-once contract as the
+    other foreachBatch maintainers).
+    """
+    from pyspark.sql.window import Window
+
+    ev = spark.readStream.schema(event_schema).parquet(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = batch_df.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        pairs = seq.filter(F.col("nxt").isNotNull()).select(
+            F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+        )
+        firsts = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias("first_type"))
+        )
+        carry = read_state(spark, carry_dir)
+        if carry is not None:
+            boundary = carry.join(firsts, "user_id").select(
+                F.col("last_type").alias("src"),
+                F.col("first_type").alias("dst"),
+            )
+            pairs = pairs.unionByName(boundary)
+        fresh = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+        cur = read_state(spark, counts_dir)
+        merged = (
+            cur.unionByName(fresh)
+            .groupBy("src", "dst")
+            .agg(F.sum("n").alias("n"))
+            if cur is not None
+            else fresh
+        )
+        commit_state(merged, counts_dir)
+        wl = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        lasts = (
+            batch_df.withColumn("rn", F.row_number().over(wl))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias("last_type"))
+        )
+        new_carry = (
+            carry.join(lasts.select("user_id"), "user_id", "left_anti")
+            .unionByName(lasts)
+            if carry is not None
+            else lasts
+        )
+        commit_state(new_carry, carry_dir)
+
+    q = (
+        ev.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
