@@ -461,3 +461,38 @@ def test_markov_maintenance_counts_boundary_transitions(spark, tmp_path):
         for r in read_state(spark, carry_d).collect()
     }
     assert carry == {1: "c", 2: "b"}
+
+
+def test_cuped_perfect_covariate_zeroes_delta(spark):
+    import datetime as dt
+    import unittest.mock as mock
+
+    from vector_graph_native_database__spark.registry import eventsq
+
+    def parity(uid: int) -> int:
+        return int(hashlib.md5(f"ab{uid}".encode()).hexdigest()[:15], 16) % 2
+
+    # two users of each variant, with the SAME covariate multiset {1, 4}
+    a_users = [u for u in range(100) if parity(u) == 0][:2]
+    b_users = [u for u in range(100) if parity(u) == 1][:2]
+    t0 = dt.datetime(2026, 1, 1)
+    t1 = t0 + dt.timedelta(days=2)
+    rows, eid = [], 0
+    for users in (a_users, b_users):
+        for u, xval in zip(users, (1.0, 4.0)):
+            eid += 1
+            rows.append((eid, t0, u, "m", xval, "{}"))   # pre period
+            eid += 1
+            rows.append((eid, t1, u, "m", xval, "{}"))   # post: y = x exactly
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    with mock.patch.object(eventsq, "_events", lambda s, d: df):
+        (r,) = eventsq.q_events_ab_cuped(spark, "unused").collect()
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    # y == x -> theta = 1, rho2 = 1, and the CUPED delta collapses to 0
+    assert r["rho2"] == 1.0
+    assert r["delta_raw"] == 0.0
+    assert r["delta_cuped"] == 0.0

@@ -1574,3 +1574,174 @@ def q_markov_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["markov_incremental_equiv"] = q_markov_incremental_equiv
 ORACLES["markov_incremental_equiv"] = ORACLES["events_markov_transitions"]
+
+
+def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout → one row
+    (n_a, n_b, delta_raw, delta_cuped, rho2).
+
+    The industry-standard fix for noisy A/B metrics: each user's
+    PRE-period mean value (first half of the time range, the same
+    integer-µs midpoint as dq_drift_psi) is the control covariate for
+    their EXPERIMENT-period mean; θ = cov(x,y)/var(x) over all
+    included users, delta_cuped = delta_raw − θ·(x̄_B − x̄_A), and
+    rho2 = corr² is exactly the variance fraction removed. Users
+    must appear in both periods (the deterministic inclusion rule);
+    variant is the same md5(user) parity as events_ab_ttest.
+
+    Float discipline: per-user period means come from decimal-exact
+    sums of 6dp-quantized values; the user-level covariates are
+    re-quantized and re-accumulated as decimals, so every sufficient
+    statistic is engine-exact; only θ/δ/ρ² run in double. Two
+    shuffles at any scale: user-keyed period aggregation, then one
+    global sufficient-statistics fold."""
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(
+        F.expr(
+            "(unix_micros(min(ts)) + unix_micros(max(ts))) div 2"
+        ).alias("mid_us")
+    )
+    vq = (
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    ).cast("decimal(18,6)")
+    base = ev.crossJoin(F.broadcast(mid)).select(
+        "user_id",
+        (F.unix_micros("ts") < F.col("mid_us")).alias("pre"),
+        vq.alias("x"),
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    per_user = (
+        base.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("pre"), 1).otherwise(0)).alias("nx"),
+            F.sum(F.when(~F.col("pre"), 1).otherwise(0)).alias("ny"),
+            F.sum(F.when(F.col("pre"), F.col("x"))).alias("sx"),
+            F.sum(F.when(~F.col("pre"), F.col("x"))).alias("sy"),
+        )
+        .filter((F.col("nx") > 0) & (F.col("ny") > 0))
+        .select(
+            "user_id",
+            r6(F.col("sx").cast("double") / F.col("nx"))
+            .cast("decimal(18,6)")
+            .alias("x"),
+            r6(F.col("sy").cast("double") / F.col("ny"))
+            .cast("decimal(18,6)")
+            .alias("y"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("ab"), F.col("user_id"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("v"),
+        )
+    )
+    g = per_user.agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("v") == 0, F.col("x"))).alias("sxa"),
+        F.sum(F.when(F.col("v") == 1, F.col("x"))).alias("sxb"),
+        F.sum(F.when(F.col("v") == 0, F.col("y"))).alias("sya"),
+        F.sum(F.when(F.col("v") == 1, F.col("y"))).alias("syb"),
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    theta = cov / varx
+    delta_raw = (
+        F.col("syb").cast("double") / F.col("n_b")
+        - F.col("sya").cast("double") / F.col("n_a")
+    )
+    dx = (
+        F.col("sxb").cast("double") / F.col("n_b")
+        - F.col("sxa").cast("double") / F.col("n_a")
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        r6(delta_raw).alias("delta_raw"),
+        F.when(varx > 0, r6(delta_raw - theta * dx)).alias("delta_cuped"),
+        F.when((varx > 0) & (vary > 0), r6(cov * cov / (varx * vary))).alias(
+            "rho2"
+        ),
+    )
+
+
+QUERIES["events_ab_cuped"] = q_events_ab_cuped
+ORACLES["events_ab_cuped"] = """
+WITH mid AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us FROM events
+),
+base AS (
+  SELECT user_id, epoch_us(e.ts) < m.mid_us AS pre,
+         CAST(floor(value * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(18,6)) AS x
+  FROM events e CROSS JOIN mid m
+),
+pu AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS nx,
+         CAST(sum(CASE WHEN NOT pre THEN 1 ELSE 0 END) AS BIGINT) AS ny,
+         sum(CASE WHEN pre THEN x END) AS sx,
+         sum(CASE WHEN NOT pre THEN x END) AS sy
+  FROM base GROUP BY user_id
+),
+cov AS (
+  SELECT user_id,
+         CAST(floor(CAST(sx AS DOUBLE) / nx * 1000000.0 + 0.5)
+              / 1000000.0 AS DECIMAL(18,6)) AS x,
+         CAST(floor(CAST(sy AS DOUBLE) / ny * 1000000.0 + 0.5)
+              / 1000000.0 AS DECIMAL(18,6)) AS y,
+         ('0x' || substr(md5('ab' || user_id), 1, 15))::BIGINT % 2 AS v
+  FROM pu WHERE nx > 0 AND ny > 0
+),
+g AS (
+  SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         sum(CASE WHEN v = 0 THEN x END) AS sxa,
+         sum(CASE WHEN v = 1 THEN x END) AS sxb,
+         sum(CASE WHEN v = 0 THEN y END) AS sya,
+         sum(CASE WHEN v = 1 THEN y END) AS syb,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM cov
+),
+f AS (
+  SELECT n_a, n_b,
+         CAST(n AS DOUBLE) AS n,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+         CAST(syy AS DOUBLE) AS syy,
+         CAST(sxa AS DOUBLE) / n_a AS mxa, CAST(sxb AS DOUBLE) / n_b AS mxb,
+         CAST(sya AS DOUBLE) / n_a AS mya, CAST(syb AS DOUBLE) / n_b AS myb
+  FROM g
+)
+SELECT n_a, n_b,
+       floor((myb - mya) * 1000000.0 + 0.5) / 1000000.0 AS delta_raw,
+       CASE WHEN (n * sxx - sx * sx) > 0 THEN
+         floor(((myb - mya)
+                - (n * sxy - sx * sy) / (n * sxx - sx * sx) * (mxb - mxa))
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS delta_cuped,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+         floor((n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS rho2
+FROM f"""
