@@ -173,6 +173,9 @@ HEADLINE = CANARY + [
     "mixture_pipeline_summary",
     "events_ab_ttest",
     "graph_assortativity",
+    "markov_incremental_equiv",
+    "events_ab_cuped",
+    "ann_jl_topk",
 ]
 
 

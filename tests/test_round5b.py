@@ -496,3 +496,40 @@ def test_cuped_perfect_covariate_zeroes_delta(spark):
     assert r["rho2"] == 1.0
     assert r["delta_raw"] == 0.0
     assert r["delta_cuped"] == 0.0
+
+
+def test_jl_topk_recall_monotone_in_candidates_and_rerank_exact(spark):
+    from vector_graph_native_database__spark.operators import ann
+    from vector_graph_native_database__spark.registry.pipelineq import (
+        ANN_QUERY_IDS,
+        q_ann_brute_topk,
+    )
+    from vector_graph_native_database__spark.sources import embeddings_df
+
+    sf = "/root/testdata/sf0.001"
+    brute = {
+        (r["qid"], r["id"]): r["cos"]
+        for r in q_ann_brute_topk(spark, sf).collect()
+        if r["rnk"] <= 5
+    }
+    emb = embeddings_df(spark, sf)
+
+    def run(cands):
+        return {
+            (r["qid"], r["id"]): r["cos"]
+            for r in ann.jl_rerank_topk(
+                emb, ANN_QUERY_IDS, k=5, jl_k=16, candidates=cands
+            ).collect()
+        }
+
+    # On near-orthogonal synthetic vectors the true cosine gaps are far
+    # below the JL distortion at k=16, so absolute recall@5 is data-poor
+    # here; the GUARANTEED properties are (a) widening the candidate cut
+    # never loses recall (superset rerank) and (b) the rerank is exact.
+    narrow, wide = run(20), run(100)
+    hits_narrow = set(narrow) & set(brute)
+    hits_wide = set(wide) & set(brute)
+    assert len(hits_wide) >= len(hits_narrow) > 0
+    for key in hits_narrow | hits_wide:
+        got = narrow.get(key, wide.get(key))
+        assert got == brute[key]

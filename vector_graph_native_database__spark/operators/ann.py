@@ -1470,3 +1470,81 @@ def jl_distortion_eval(
         r6(F.avg("e")).alias("mean_distortion"),
         r6(F.max("e")).alias("max_distortion"),
     )
+
+def jl_rerank_topk(
+    emb: DataFrame,
+    query_ids: list[str],
+    k: int = 5,
+    jl_k: int = 16,
+    candidates: int = 20,
+    dim: int = 64,
+) -> DataFrame:
+    """JL two-stage retrieval → (qid, id, cos, rnk): stage 1 scores
+    cosine over the ±1/√k Johnson–Lindenstrauss projection
+    (``jl_signs``, the matrix ``ann_jl_distortion_eval`` certifies)
+    to pick ``candidates`` per query; stage 2 re-ranks those with
+    full-dimension exact cosine. The data-independent cousin of the
+    Matryoshka prefix tier: no trained encoder required, distortion
+    bounded by the JL lemma instead of the MRL training objective.
+
+    Scale shape: the projected corpus is jl_k/dim of the vector
+    bytes (here 4×to smaller), computed map-side under one broadcast
+    of k sign rows; both ranking stages are the audited
+    broadcast-query shape, stage 2 touching |queries|·candidates
+    full vectors only. Ties break by (rounded score, id) at both
+    stages (engine-parity rule).
+    """
+    import math as _math
+
+    from pyspark.sql.window import Window
+
+    from ..functions.vectorfn import cosine
+
+    scale = _math.sqrt(jl_k)
+    e = emb.filter(F.size("vector") == dim).select(
+        F.col("node_id").alias("id"), "vector"
+    )
+    proj = (
+        e.crossJoin(F.broadcast(jl_signs(emb.sparkSession, jl_k, dim)))
+        .select("id", "j", (dot("vector", "w") / F.lit(scale)).alias("y"))
+    )
+    pv = proj.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "y"))),
+            lambda s: s.getField("y"),
+        ).alias("pvec")
+    )
+    q = pv.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("qid"), F.col("pvec").alias("qpvec")
+    )
+    pre = (
+        pv.crossJoin(F.broadcast(q))
+        .filter(F.col("id") != F.col("qid"))
+        .withColumn("pcos", cosine("pvec", "qpvec"))
+    )
+    w1 = Window.partitionBy("qid").orderBy(
+        F.desc(
+            F.floor(F.col("pcos") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ),
+        F.asc("id"),
+    )
+    cand = (
+        pre.withColumn("prnk", F.row_number().over(w1))
+        .filter(F.col("prnk") <= candidates)
+        .select("qid", "id")
+    )
+    qv = e.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("qid"), F.col("vector").alias("qvec")
+    )
+    cos6 = F.floor(
+        cosine("vector", "qvec") * F.lit(1e6) + F.lit(0.5)
+    ) / F.lit(1e6)
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        cand.join(e, "id")
+        .join(F.broadcast(qv), "qid")
+        .withColumn("cos", cos6)
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "id", "cos", "rnk")
+    )

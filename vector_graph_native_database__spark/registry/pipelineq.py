@@ -1660,3 +1660,84 @@ SELECT lang, n_docs,
        END AS chars_per_token
 FROM g"""
 )
+
+
+# ---------------------------------------------------------------------------
+# JL-projected retrieval tier (round 5)
+# ---------------------------------------------------------------------------
+
+JL_TIER_K = 16
+
+
+def q_ann_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval over the Johnson–Lindenstrauss projection:
+    candidates by 16-dim projected cosine, exact full-dim rerank —
+    the data-independent sibling of ann_matryoshka_topk, using the
+    matrix ann_jl_distortion_eval certifies. Beyond-reference
+    (BASELINE.json north star)."""
+    _, emb, _ = model(spark, sf_dir)
+    return ann.jl_rerank_topk(
+        emb, ANN_QUERY_IDS, k=5, jl_k=JL_TIER_K, candidates=20, dim=64
+    )
+
+
+QUERIES["ann_jl_topk"] = q_ann_jl_topk
+
+ORACLES["ann_jl_topk"] = (
+    ORACLE_PRELUDE
+    + f""",
+e AS (SELECT node_id AS id, CAST(vector AS DOUBLE[]) AS v
+      FROM emb WHERE len(vector) = 64),
+signs AS (
+  SELECT p.j,
+         list_transform(generate_series(0, 63), d ->
+           CAST(1 - 2 * (('0x' || substr(md5('jl' || p.j || 'd' || d),
+                                         1, 8))::BIGINT % 2) AS DOUBLE)) AS w
+  FROM (SELECT unnest(generate_series(0, {JL_TIER_K - 1})) AS j) p
+),
+proj AS (
+  SELECT e.id, s.j, list_dot_product(e.v, s.w) / sqrt({JL_TIER_K}) AS y
+  FROM e CROSS JOIN signs s
+),
+pv AS (SELECT id, list(y ORDER BY j) AS p FROM proj GROUP BY id),
+q AS (SELECT id AS qid, p AS qp FROM pv WHERE id IN {_IDS_IN}),
+pre AS (
+  SELECT q.qid, c.id,
+         floor((CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb)
+                ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS pcos
+  FROM pv c CROSS JOIN q
+  CROSS JOIN LATERAL (
+    SELECT list_dot_product(c.p, q.qp) AS d,
+           sqrt(list_dot_product(c.p, c.p)) AS na,
+           sqrt(list_dot_product(q.qp, q.qp)) AS nb
+  ) t
+  WHERE c.id <> q.qid
+),
+cand AS (
+  SELECT qid, id FROM (
+    SELECT qid, id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY pcos DESC, id ASC) AS prnk
+    FROM pre
+  ) WHERE prnk <= 20
+),
+exact AS (
+  SELECT c.qid, c.id,
+         floor((CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb)
+                ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM cand c
+  JOIN e x ON x.id = c.id
+  JOIN e qq ON qq.id = c.qid
+  CROSS JOIN LATERAL (
+    SELECT list_dot_product(x.v, qq.v) AS d,
+           sqrt(list_dot_product(x.v, x.v)) AS na,
+           sqrt(list_dot_product(qq.v, qq.v)) AS nb
+  ) t
+)
+SELECT qid, id, cos, rnk FROM (
+  SELECT qid, id, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, id ASC) AS rnk
+  FROM exact
+) WHERE rnk <= 5"""
+)
