@@ -236,7 +236,8 @@ def test_ann_tier_report_monotonicities(spark, sf_dir):
     rows = {r["tier"]: r for r in q_ann_tier_report(spark, sf_dir).collect()}
     assert set(rows) == {
         "brute", "int8", "lsh", "multiprobe_lsh", "ivf", "pq", "ivfpq",
-        "ivfpq_residual", "matryoshka", "binary_hamming", "binary_rerank",
+        "ivfpq_residual", "matryoshka", "jl", "binary_hamming",
+        "binary_rerank",
     }
     # ground truth anchors: brute is exact by construction
     assert rows["brute"]["recall_at_k"] == 1.0

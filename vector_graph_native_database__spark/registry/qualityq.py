@@ -161,6 +161,7 @@ _TIER_ENTRIES = (
     "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk",
     "ann_matryoshka_topk",
+    "ann_jl_topk",
     "ann_binary_hamming_topk",
     "ann_binary_rerank_topk",
 )
@@ -170,8 +171,9 @@ def q_ann_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN tier frontier in ONE table → (tier, n_pairs, n_hits,
     recall_at_k, nn_hits): every replayable tier's top-5, scored
     against exact brute-force ground truth on the same 5 queries —
-    the decision tool that turns 11 per-tier entries into a
-    recall-vs-cost comparison a user reads once.
+    the decision tool that turns 12 per-tier entries into a
+    recall-vs-cost comparison a user reads once (round-5 second
+    wave adds the JL tier).
 
     Per tier: ``n_pairs`` = rows the tier returns at k=5 (pruned
     tiers return fewer when probed buckets/cells hold <k candidates
