@@ -533,3 +533,42 @@ def test_jl_topk_recall_monotone_in_candidates_and_rerank_exact(spark):
     for key in hits_narrow | hits_wide:
         got = narrow.get(key, wide.get(key))
         assert got == brute[key]
+
+
+def test_round5b_plan_shapes(spark):
+    """Plan pins for the round-5 second wave: distributed top-k where
+    a top-k exists, zero Python UDFs anywhere (these are all
+    built-in-function plans), and the mixture funnel stays
+    broadcast-joined."""
+    from vector_graph_native_database__spark import registry
+    from vector_graph_native_database__spark.plans import plan_summary
+
+    SF = "/root/testdata/sf0.001"
+    qs = registry.all_queries()
+    for name in (
+        "dsir_importance_weights",
+        "dsir_resample_topk",
+        "sample_temperature_mix",
+        "mixture_pipeline_summary",
+        "dq_drift_psi",
+        "events_markov_transitions",
+        "events_attribution",
+        "events_ab_ttest",
+        "events_ab_cuped",
+        "text_quality_regression",
+        "text_tokenizer_fertility",
+        "olap_market_basket",
+        "ann_jl_topk",
+        "graph_assortativity",
+        "io_zorder_layout",
+    ):
+        s = plan_summary(qs[name](spark, SF))
+        assert s["python_row_udfs"] == 0, name
+        assert s["python_arrow_udfs"] == 0, name
+    # weighted sampling without replacement = distributed top-k,
+    # never a global sort of the corpus
+    s = plan_summary(qs["dsir_resample_topk"](spark, SF))
+    assert s["take_ordered"] >= 1
+    s = plan_summary(qs["olap_market_basket"](spark, SF))
+    assert s["take_ordered"] >= 1
+    assert s["sort_merge_joins"] == 0  # supports broadcast, pairs equi-join
