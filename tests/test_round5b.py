@@ -572,3 +572,29 @@ def test_round5b_plan_shapes(spark):
     s = plan_summary(qs["olap_market_basket"](spark, SF))
     assert s["take_ordered"] >= 1
     assert s["sort_merge_joins"] == 0  # supports broadcast, pairs equi-join
+
+
+def test_incremental_lsh_equals_cross_pairs_of_full_dedup(spark):
+    rows = [
+        ("0", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("2", "one two three four five six seven"),
+        ("1", "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 0
+        ("3", "totally unrelated words in this document here"),
+        ("5", "one two three four five six seven"),              # dup of 2
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    corpus = df.filter(F.col("id").cast("long") % 2 == 0)
+    inc = df.filter(F.col("id").cast("long") % 2 == 1)
+    got = {
+        (r["id_inc"], r["id_corpus"]): r["jaccard"]
+        for r in dedup.incremental_lsh_dedup(corpus, inc).collect()
+    }
+    assert set(got) == {("1", "0"), ("5", "2")}
+    assert got[("1", "0")] == 1.0 and got[("5", "2")] == 1.0
+    # cross-pair agreement with the full (corpus ∪ increment) dedup
+    full = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in dedup.minhash_lsh_dedup(df, threshold=0.8).collect()
+    }
+    cross = {p for p in full if int(p[0]) % 2 != int(p[1]) % 2}
+    assert {tuple(sorted(k)) for k in got} == cross

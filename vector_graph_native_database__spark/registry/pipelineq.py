@@ -1741,3 +1741,64 @@ SELECT qid, id, cos, rnk FROM (
   FROM exact
 ) WHERE rnk <= 5"""
 )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup (round 5)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(increment) dedup of a new batch (odd ids) against the
+    accumulated corpus (even ids): the corpus band index is staged
+    once, the batch joins it on (band, sig), candidates verify by
+    exact Jaccard. Oracle = the cross-parity subset of the full
+    MinHash pair chain — blind to the staging, so a wrong index or
+    missed candidate fails the value check."""
+    nodes, _, _ = model(spark, sf_dir)
+    did = F.col("id").cast("long")
+    return dedup.incremental_lsh_dedup(
+        nodes.filter(did % 2 == 0), nodes.filter(did % 2 == 1),
+        threshold=0.8,
+    )
+
+
+QUERIES["dedup_incremental_lsh"] = q_dedup_incremental_lsh
+
+ORACLES["dedup_incremental_lsh"] = (
+    ORACLE_PRELUDE
+    + _TOKS
+    + _sh_cte(2, "sh")
+    + f""",
+perms AS (SELECT unnest(generate_series(0, 11)) AS perm),
+mh AS (
+  SELECT s.id, p.perm,
+         min({_H60.format(x="p.perm || '|' || s.shingle")}) AS minhash
+  FROM sh s CROSS JOIN perms p GROUP BY s.id, p.perm
+),
+banded AS (
+  SELECT id, perm // 4 AS band,
+         string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm) AS sig
+  FROM mh GROUP BY id, perm // 4
+),
+bi AS (SELECT * FROM banded WHERE CAST(id AS BIGINT) % 2 = 1),
+bc AS (SELECT * FROM banded WHERE CAST(id AS BIGINT) % 2 = 0),
+cand AS (
+  SELECT DISTINCT i.id AS id_inc, c.id AS id_corpus
+  FROM bi i JOIN bc c ON i.band = c.band AND i.sig = c.sig
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_inc, c.id_corpus, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.id = c.id_inc
+  JOIN sh y ON y.id = c.id_corpus AND y.shingle = x.shingle
+  GROUP BY c.id_inc, c.id_corpus
+)
+SELECT i.id_inc, i.id_corpus,
+       round(i.i * 1.0 / (a.n + b.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes a ON a.id = i.id_inc
+JOIN sizes b ON b.id = i.id_corpus
+WHERE i.i * 1.0 / (a.n + b.n - i.i) >= 0.8"""
+)
