@@ -176,6 +176,8 @@ HEADLINE = CANARY + [
     "markov_incremental_equiv",
     "events_ab_cuped",
     "ann_jl_topk",
+    "dedup_incremental_lsh",
+    "events_top_paths",
 ]
 
 

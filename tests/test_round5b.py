@@ -598,3 +598,32 @@ def test_incremental_lsh_equals_cross_pairs_of_full_dedup(spark):
     }
     cross = {p for p in full if int(p[0]) % 2 != int(p[1]) % 2}
     assert {tuple(sorted(k)) for k in got} == cross
+
+
+def test_top_paths_counts_three_step_windows(spark):
+    import datetime as dt
+    import unittest.mock as mock
+
+    from vector_graph_native_database__spark.registry import eventsq
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: a b c d  -> paths a>b>c, b>c>d
+        (1, 1, "a", t0), (2, 1, "b", t0 + dt.timedelta(minutes=1)),
+        (3, 1, "c", t0 + dt.timedelta(minutes=2)),
+        (4, 1, "d", t0 + dt.timedelta(minutes=3)),
+        # user 2: a b c -> a>b>c (again)
+        (5, 2, "a", t0), (6, 2, "b", t0 + dt.timedelta(minutes=1)),
+        (7, 2, "c", t0 + dt.timedelta(minutes=2)),
+        # user 3: only two events -> no path
+        (8, 3, "a", t0), (9, 3, "b", t0 + dt.timedelta(minutes=1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    with mock.patch.object(eventsq, "_events", lambda s, d: df):
+        got = [
+            (r["path"], r["n"])
+            for r in eventsq.q_events_top_paths(spark, "unused").collect()
+        ]
+    assert got == [("a>b>c", 2), ("b>c>d", 1)]

@@ -1745,3 +1745,47 @@ SELECT n_a, n_b,
                * 1000000.0 + 0.5) / 1000000.0
        END AS rho2
 FROM f"""
+
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-travelled 3-step event paths → top-10 (path, n): the
+    sequence-mining complement of the 1-step Markov matrix (funnel
+    DISCOVERY — which flows exist — where events_funnel measures a
+    known flow). Two lead() taps over the same user-keyed window
+    (one shuffle, shared partitioning), a |types|³-bounded count
+    frame, deterministic TakeOrderedAndProject on (n DESC, path)."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
+QUERIES["events_top_paths"] = q_events_top_paths
+ORACLES["events_top_paths"] = """
+WITH seq AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 10"""
