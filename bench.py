@@ -178,6 +178,7 @@ HEADLINE = CANARY + [
     "ann_jl_topk",
     "dedup_incremental_lsh",
     "events_top_paths",
+    "events_active_users",
 ]
 
 

@@ -627,3 +627,33 @@ def test_top_paths_counts_three_step_windows(spark):
             for r in eventsq.q_events_top_paths(spark, "unused").collect()
         ]
     assert got == [("a>b>c", 2), ("b>c>d", 1)]
+
+
+def test_active_users_rolling_windows(spark):
+    import datetime as dt
+    import unittest.mock as mock
+
+    from vector_graph_native_database__spark.registry import eventsq
+
+    def ev(eid, uid, day):
+        return (eid, uid, "x", dt.datetime(2026, 1, day, 12))
+
+    rows = [
+        ev(1, 1, 1), ev(2, 2, 1),          # day 1: users {1,2}
+        ev(3, 1, 2),                        # day 2: {1}
+        ev(4, 3, 10),                       # day 10: {3} (day 2 beyond WAU)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    with mock.patch.object(eventsq, "_events", lambda s, d: df):
+        got = {
+            r["day"]: r
+            for r in eventsq.q_events_active_users(spark, "unused").collect()
+        }
+    assert got["2026-01-01"]["dau"] == 2
+    assert got["2026-01-02"]["dau"] == 1
+    assert got["2026-01-02"]["wau"] == 2    # users 1,2 within 7 days
+    assert got["2026-01-10"]["dau"] == 1
+    assert got["2026-01-10"]["wau"] == 1    # days 1-2 fell out of the week
+    assert got["2026-01-10"]["mau"] == 3    # but stay in the 28-day window

@@ -1789,3 +1789,60 @@ FROM seq WHERE e3 IS NOT NULL
 GROUP BY 1
 ORDER BY n DESC, path
 LIMIT 10"""
+
+
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU / WAU / MAU per day → (day, dau, wau, mau): the
+    canonical product-health metric, exact (the HLL-tile entry is the
+    sketched sibling for when exactness can yield). The corpus
+    touches one shuffle — the (day, user) distinct grain; the rolling
+    windows are a range join of the TINY day dimension against that
+    grain (≤28× replication of day-grain rows, keyed by day), with
+    the three distinct counts taken conditionally in one aggregate.
+    No user-level self-join, no window over the raw event stream."""
+    ev = _events(spark, sf_dir)
+    du = ev.select(
+        F.to_date("ts").alias("uday"), "user_id"
+    ).distinct()
+    days = du.select(F.col("uday").alias("day")).distinct()
+    j = days.join(
+        du,
+        (F.col("uday") <= F.col("day"))
+        & (F.col("uday") >= F.date_sub(F.col("day"), 27)),
+    )
+    return (
+        j.groupBy("day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("uday") == F.col("day"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct(
+                F.when(
+                    F.col("uday") >= F.date_sub(F.col("day"), 6),
+                    F.col("user_id"),
+                )
+            ).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+        )
+    )
+
+
+QUERIES["events_active_users"] = q_events_active_users
+ORACLES["events_active_users"] = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS uday, user_id FROM events),
+days AS (SELECT DISTINCT uday AS day FROM du),
+j AS (
+  SELECT d.day, u.uday, u.user_id
+  FROM days d JOIN du u ON u.uday <= d.day AND u.uday >= d.day - 27
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       count(DISTINCT CASE WHEN uday = day THEN user_id END) AS dau,
+       count(DISTINCT CASE WHEN uday >= day - 6 THEN user_id END) AS wau,
+       count(DISTINCT user_id) AS mau
+FROM j GROUP BY day"""
