@@ -179,6 +179,7 @@ HEADLINE = CANARY + [
     "dedup_incremental_lsh",
     "events_top_paths",
     "events_active_users",
+    "text_diversity_by_source",
 ]
 
 

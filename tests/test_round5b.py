@@ -657,3 +657,31 @@ def test_active_users_rolling_windows(spark):
     assert got["2026-01-10"]["dau"] == 1
     assert got["2026-01-10"]["wau"] == 1    # days 1-2 fell out of the week
     assert got["2026-01-10"]["mau"] == 3    # but stay in the 28-day window
+
+
+def test_diversity_flags_templated_source(spark):
+    import unittest.mock as mock
+
+    from vector_graph_native_database__spark.registry import pipelineq
+
+    rows = [
+        # 'spam' source: same 3 bigrams in every doc
+        ("1", "buy now cheap", "spam"),
+        ("2", "buy now cheap", "spam"),
+        ("3", "buy now cheap", "spam"),
+        # 'organic': all-distinct bigrams
+        ("4", "alpha beta gamma", "organic"),
+        ("5", "delta epsilon zeta", "organic"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string, source string")
+    with mock.patch.object(pipelineq, "model", lambda s, d: (df, None, None)):
+        got = {
+            r["source"]: r
+            for r in pipelineq.q_text_diversity_by_source(
+                spark, "unused"
+            ).collect()
+        }
+    assert got["spam"]["n_bigrams"] == 6 and got["spam"]["n_distinct"] == 2
+    assert got["spam"]["diversity"] == _round6(2 / 6)
+    assert got["organic"]["diversity"] == 1.0
+    assert got["spam"]["diversity"] < got["organic"]["diversity"]

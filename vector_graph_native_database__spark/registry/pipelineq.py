@@ -1802,3 +1802,79 @@ JOIN sizes a ON a.id = i.id_inc
 JOIN sizes b ON b.id = i.id_corpus
 WHERE i.i * 1.0 / (a.n + b.n - i.i) >= 0.8"""
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-source n-gram diversity (round 5)
+# ---------------------------------------------------------------------------
+
+
+def q_text_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram diversity → (source, n_docs, n_bigrams,
+    n_distinct, diversity): distinct-bigram share — the cheap
+    templated-/boilerplate-source detector a curation run uses to
+    decide which sources need the heavier dedup passes (a source
+    whose millions of documents share a few thousand bigrams is
+    generated or scraped template spam). One source-keyed aggregate
+    over the exploded bigram stream; the distinct count is the only
+    Expand, and the output is |sources|-sized. Beyond-reference
+    (BASELINE.json north star)."""
+    from ..functions.textfn import tokenize
+
+    nodes, _, _ = model(spark, sf_dir)
+    toks = nodes.select(
+        "source", F.col("id"), tokenize("text").alias("t")
+    )
+    bi = toks.select(
+        "source",
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 1, 0)),"
+                " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    return (
+        bi.groupBy("source")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count("*").alias("n_bigrams"),
+            F.countDistinct("bg").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_bigrams",
+            "n_distinct",
+            (
+                F.floor(
+                    F.col("n_distinct") / F.col("n_bigrams") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("diversity"),
+        )
+    )
+
+
+QUERIES["text_diversity_by_source"] = q_text_diversity_by_source
+
+ORACLES["text_diversity_by_source"] = (
+    ORACLE_PRELUDE
+    + _TOKS
+    + """,
+bi AS (
+  SELECT n.source, t.id, unnest(
+    list_transform(generate_series(1, greatest(len(t.t) - 1, 0)),
+                   i -> t.t[i] || ' ' || t.t[i + 1])) AS bg
+  FROM toks t JOIN nodes n ON n.id = t.id
+)
+SELECT source,
+       count(DISTINCT id) AS n_docs,
+       count(*) AS n_bigrams,
+       count(DISTINCT bg) AS n_distinct,
+       floor(count(DISTINCT bg) * 1.0 / count(*) * 1000000.0 + 0.5)
+         / 1000000.0 AS diversity
+FROM bi GROUP BY source"""
+)
