@@ -180,6 +180,7 @@ HEADLINE = CANARY + [
     "events_top_paths",
     "events_active_users",
     "text_diversity_by_source",
+    "profile_embedding_stats",
 ]
 
 

@@ -685,3 +685,30 @@ def test_diversity_flags_templated_source(spark):
     assert got["spam"]["diversity"] == _round6(2 / 6)
     assert got["organic"]["diversity"] == 1.0
     assert got["spam"]["diversity"] < got["organic"]["diversity"]
+
+
+def test_embedding_profile_counts_degenerate_vectors(spark):
+    import unittest.mock as mock
+
+    from vector_graph_native_database__spark.registry import qualityq
+
+    rows = [
+        ("a", [1.0, 0.0, 0.0], 3),
+        ("b", [0.0, 0.0, 0.0], 3),        # zero norm
+        ("c", [3.0, 4.0, 0.0], 3),        # norm 5 -> unnormalized
+        ("d", [0.6, 0.8], 2),             # dim drift, normalized
+    ]
+    df = spark.createDataFrame(
+        rows, "node_id string, vector array<double>, dim int"
+    )
+    with mock.patch(
+        "vector_graph_native_database__spark.sources.embeddings_df",
+        lambda s, d: df,
+    ):
+        (r,) = qualityq.q_profile_embedding_stats(spark, "unused").collect()
+    assert r["n_vectors"] == 4
+    assert r["n_dims"] == 2
+    assert r["n_zero_norm"] == 1
+    assert r["n_unnormalized"] == 2       # the zero vector and norm-5
+    assert r["min_norm"] == 0.0 and r["max_norm"] == 5.0
+    assert r["mean_norm"] == _round6((1.0 + 0.0 + 5.0 + 1.0) / 4)

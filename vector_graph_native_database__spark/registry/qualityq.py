@@ -587,3 +587,71 @@ FROM dist"""
 
 
 ORACLES["ann_jl_distortion_eval"] = _jl_sql()
+
+
+# ---------------------------------------------------------------------------
+# Embedding-table health profile (round 5)
+# ---------------------------------------------------------------------------
+
+
+def q_profile_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-table health report → one row (n_vectors, n_dims,
+    n_zero_norm, n_unnormalized, min_norm, max_norm, mean_norm): the
+    gate a vector store runs before pointing search at a new batch —
+    catches dimension drift, zero vectors, and unnormalized uploads
+    (the reference accepts manual vectors UNNORMALIZED,
+    app.py:763-764, so this report is what tells an operator the
+    cosine scores are about to surprise them). One aggregate; norms
+    quantized to 6dp and mean-accumulated as exact decimals."""
+    from ..sources import embeddings_df
+
+    emb = embeddings_df(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with("vector", "vector", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    base = emb.select(
+        "dim", r6(norm).alias("n6")
+    )
+    return base.agg(
+        F.count("*").alias("n_vectors"),
+        F.countDistinct("dim").alias("n_dims"),
+        F.sum(F.when(F.col("n6") == 0.0, 1).otherwise(0)).alias(
+            "n_zero_norm"
+        ),
+        F.sum(
+            F.when(F.abs(F.col("n6") - 1.0) > 0.001, 1).otherwise(0)
+        ).alias("n_unnormalized"),
+        F.min("n6").alias("min_norm"),
+        F.max("n6").alias("max_norm"),
+        r6(
+            F.sum(F.col("n6").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_norm"),
+    )
+
+
+QUERIES["profile_embedding_stats"] = q_profile_embedding_stats
+
+ORACLES["profile_embedding_stats"] = """
+WITH base AS (
+  SELECT len(embedding) AS dim,
+         floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[])))
+               * 1000000.0 + 0.5) / 1000000.0 AS n6
+  FROM embeddings
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
+       CAST(sum(CASE WHEN n6 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_norm,
+       CAST(sum(CASE WHEN abs(n6 - 1.0) > 0.001 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unnormalized,
+       min(n6) AS min_norm, max(n6) AS max_norm,
+       floor(CAST(sum(CAST(n6 AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+             * 1000000.0 + 0.5) / 1000000.0 AS mean_norm
+FROM base"""
