@@ -181,6 +181,7 @@ HEADLINE = CANARY + [
     "events_active_users",
     "text_diversity_by_source",
     "profile_embedding_stats",
+    "dedup_semdedup_central",
 ]
 
 

@@ -712,3 +712,29 @@ def test_embedding_profile_counts_degenerate_vectors(spark):
     assert r["n_unnormalized"] == 2       # the zero vector and norm-5
     assert r["min_norm"] == 0.0 and r["max_norm"] == 5.0
     assert r["mean_norm"] == _round6((1.0 + 0.0 + 5.0 + 1.0) / 4)
+
+
+def test_semdedup_central_keeps_farthest_from_centroid(spark):
+    # cluster seeds: ids 1,2. Component {1,3,6} around e1; 6 sits
+    # farther from the cluster centroid than 1 or 3 -> 6 is the keeper.
+    rows = [
+        ("1", [1.0, 0.0, 0.0, 0.0]),
+        ("2", [0.0, 1.0, 0.0, 0.0]),
+        ("3", [1.0, 0.0, 0.0, 0.0]),        # identical to 1
+        ("6", [0.9, 0.0, 0.1, 0.0]),        # near-dup of 1, off-centroid
+        ("5", [0.0, 0.8, 0.6, 0.0]),        # cluster-2 singleton (cos .8 < τ)
+    ]
+    emb = spark.createDataFrame(rows, "node_id string, vector array<double>")
+    got = {
+        r["id"]: r
+        for r in dedup.semdedup_keep_central(
+            emb, n_centroids=2, iters=1, threshold=0.9, dim=4
+        ).collect()
+    }
+    grp = got["1"]["grp"]
+    assert got["3"]["grp"] == grp and got["6"]["grp"] == grp
+    kept = {i for i, r in got.items() if r["kept"] == 1}
+    # the component keeps exactly its farthest-from-centroid member (6);
+    # singletons 2 and 5 survive
+    assert kept == {"6", "2", "5"}
+    assert got["5"]["grp"] == "5"  # singleton forms its own group

@@ -525,6 +525,76 @@ def semdedup(
     )
 
 
+def semdedup_keep_central(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup with the PAPER'S keeper rule → (id, cluster, grp,
+    kept): within each in-cluster duplicate COMPONENT (connected
+    ≥threshold cosine pairs), keep the member with the LOWEST
+    similarity to its centroid — i.e. the largest k-means distance —
+    the rule Abbas et al. 2023 found best preserves downstream
+    accuracy (the component edge keeps more of the cluster's
+    diversity than keeping the most typical member would).
+
+    The min-id variant (``semdedup``) is the cheap deterministic
+    default; this one adds the transitive-component pass (the same
+    pointer-jumping components as cluster_from_pairs — O(log
+    diameter) rounds over the PAIR frame, which is ≪ corpus) and an
+    argmax-by-distance keeper per component (one window over the
+    component partitioning; 6dp-rounded distances + id tie-break
+    keep it engine-portable). Singletons — cluster members with no
+    ≥threshold neighbor — form their own group and are kept.
+    """
+    from pyspark.sql.window import Window
+
+    from .ann import kmeans_assign
+    from .curation import cluster_from_pairs
+    from ..functions.vectorfn import cosine
+
+    assign = kmeans_assign(emb, n_centroids, iters, dim)
+    vecs = emb.filter(F.size("vector") == dim).select(
+        F.col("node_id").alias("id"), "vector"
+    )
+    av = assign.join(vecs, "id")
+    a = av.select(
+        F.col("id").alias("id_a"),
+        F.col("cluster").alias("cl"),
+        F.col("vector").alias("va"),
+    )
+    b = av.select(
+        F.col("id").alias("id_b"),
+        F.col("cluster").alias("cl"),
+        F.col("vector").alias("vb"),
+    )
+    pairs = (
+        a.join(b, "cl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = cluster_from_pairs(pairs).select(
+        "id", F.col("cluster").alias("grp")
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("dist"), F.asc("id"))
+    grouped = (
+        comp.join(assign, "id")
+        .withColumn("kept", (F.row_number().over(w) == 1).cast("int"))
+        .select("id", "cluster", "grp", "kept")
+    )
+    singles = (
+        assign.join(comp.select("id"), "id", "left_anti")
+        .select(
+            "id", "cluster", F.col("id").alias("grp"), F.lit(1).alias("kept")
+        )
+    )
+    return grouped.unionByName(singles)
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.4,

@@ -1878,3 +1878,77 @@ SELECT source,
          / 1000000.0 AS diversity
 FROM bi GROUP BY source"""
 )
+
+
+def q_dedup_semdedup_central(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the paper's keeper: transitive in-cluster
+    duplicate components, keep the member FARTHEST from its centroid
+    (lowest centroid similarity — the diversity-preserving rule of
+    Abbas et al. 2023). The min-id entry (dedup_semdedup) is the
+    cheap default; this is the faithful one."""
+    _, emb, _ = model(spark, sf_dir)
+    return dedup.semdedup_keep_central(
+        emb, n_centroids=8, iters=2, threshold=SEMDEDUP_TAU, dim=64
+    )
+
+
+QUERIES["dedup_semdedup_central"] = q_dedup_semdedup_central
+
+ORACLES["dedup_semdedup_central"] = (
+    ORACLE_PRELUDE
+    + _ivf_ctes(8, 2, 2)
+    + f""",
+dists AS (
+  SELECT id, cidx AS cluster,
+         floor(dist * 1000000.0 + 0.5) / 1000000.0 AS dist
+  FROM (
+    SELECT t.id, c.cidx,
+           t.vv + c.cc - 2 * list_dot_product(t.v, c.cvec) AS dist,
+           row_number() OVER (
+             PARTITION BY t.id
+             ORDER BY t.vv + c.cc - 2 * list_dot_product(t.v, c.cvec),
+                      c.cidx) AS rn
+    FROM e t CROSS JOIN cf c
+  ) WHERE rn = 1
+),
+prs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM af a
+  JOIN af b ON a.cidx = b.cidx AND a.id < b.id
+  JOIN e ea ON ea.id = a.id
+  JOIN e eb ON eb.id = b.id
+  CROSS JOIN LATERAL (
+    SELECT list_dot_product(ea.v, eb.v) AS d,
+           sqrt(list_dot_product(ea.v, ea.v)) AS na,
+           sqrt(list_dot_product(eb.v, eb.v)) AS nb
+  ) t
+  WHERE CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb)
+        ELSE 0.0 END >= {SEMDEDUP_TAU}
+),
+verts AS (SELECT id_a AS id FROM prs UNION SELECT id_b AS id FROM prs),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION SELECT id_b AS src, id_a AS dst FROM prs
+),
+reach AS (
+  SELECT id AS root, id AS node FROM verts
+  UNION
+  SELECT r.root, s.dst AS node FROM reach r JOIN sym s ON s.src = r.node
+),
+comp AS (SELECT root AS id, min(node) AS grp FROM reach GROUP BY root),
+grouped AS (
+  SELECT c.id, d.cluster, c.grp,
+         CASE WHEN row_number() OVER (
+                PARTITION BY c.grp ORDER BY d.dist DESC, c.id ASC) = 1
+              THEN 1 ELSE 0 END AS kept
+  FROM comp c JOIN dists d ON d.id = c.id
+),
+singles AS (
+  SELECT d.id, d.cluster, d.id AS grp, 1 AS kept
+  FROM dists d LEFT JOIN comp c ON c.id = d.id
+  WHERE c.id IS NULL
+)
+SELECT id, cluster, grp, kept FROM grouped
+UNION ALL
+SELECT id, cluster, grp, kept FROM singles"""
+)
