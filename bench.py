@@ -182,6 +182,7 @@ HEADLINE = CANARY + [
     "text_diversity_by_source",
     "profile_embedding_stats",
     "dedup_semdedup_central",
+    "io_partition_skew_report",
 ]
 
 

@@ -738,3 +738,36 @@ def test_semdedup_central_keeps_farthest_from_centroid(spark):
     # singletons 2 and 5 survive
     assert kept == {"6", "2", "5"}
     assert got["5"]["grp"] == "5"  # singleton forms its own group
+
+
+def test_partition_skew_report_hand_computed(spark):
+    import datetime as dt
+    import unittest.mock as mock
+
+    from vector_graph_native_database__spark.registry import coreq
+
+    rows = []
+    eid = 0
+    # day 1: 6 events, day 2: 2 events -> skew = 6*2/8 = 1.5
+    # types: 'a' x 7, 'b' x 1 -> skew = 7*2/8 = 1.75
+    for i in range(8):
+        eid += 1
+        day = 1 if i < 6 else 2
+        typ = "a" if i < 7 else "b"
+        rows.append((eid, 1, typ, 1.0, dt.datetime(2026, 1, day), "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp, props string",
+    )
+    with mock.patch.object(coreq, "load_table", lambda s, d, t: df):
+        got = {
+            r["partition_col"]: r
+            for r in coreq.q_io_partition_skew_report(
+                spark, "unused"
+            ).collect()
+        }
+    assert got["day"]["n_partitions"] == 2
+    assert got["day"]["max_rows"] == 6 and got["day"]["skew"] == 1.5
+    assert got["day"]["max_share"] == 0.75
+    assert got["event_type"]["skew"] == 1.75

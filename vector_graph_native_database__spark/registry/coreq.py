@@ -610,3 +610,77 @@ SELECT ({_Z_INTERLEAVE}) >> {ZORDER_BUCKET_SHIFT} AS bucket,
        min(d) AS d_min, max(d) AS d_max
 FROM xy
 GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Partition-skew report (round 5)
+# ---------------------------------------------------------------------------
+
+
+def q_io_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-column planning report → one row per candidate
+    (partition_col, n_partitions, max_rows, total_rows, skew,
+    max_share): before committing a table layout, compare candidate
+    partition columns by partition count and hot-partition skew
+    (max/avg) — the number that predicts straggler tasks and
+    write-side small-file storms. skew = max·n_partitions/total is
+    exact integer arithmetic until the final division. One count
+    aggregate per candidate over the same scan; |keys|-sized frames
+    after. Complements io_zorder_layout (multi-dim) and
+    skew_salted_* (the fix once a hot key is found)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def report(name: str, key) -> DataFrame:
+        g = ev.groupBy(key.alias("k")).agg(F.count("*").alias("n"))
+        return g.agg(
+            F.lit(name).alias("partition_col"),
+            F.count("*").alias("n_partitions"),
+            F.max("n").alias("max_rows"),
+            F.sum("n").alias("total_rows"),
+        ).select(
+            "partition_col",
+            "n_partitions",
+            "max_rows",
+            "total_rows",
+            (
+                F.floor(
+                    F.col("max_rows")
+                    * F.col("n_partitions")
+                    / F.col("total_rows")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("skew"),
+            (
+                F.floor(
+                    F.col("max_rows") / F.col("total_rows") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("max_share"),
+        )
+
+    return report("day", F.to_date("ts")).unionByName(
+        report("event_type", F.col("event_type"))
+    )
+
+
+QUERIES["io_partition_skew_report"] = q_io_partition_skew_report
+
+_SKEW_ROW = """
+SELECT '{name}' AS partition_col,
+       CAST(count(*) AS BIGINT) AS n_partitions,
+       CAST(max(n) AS BIGINT) AS max_rows,
+       CAST(sum(n) AS BIGINT) AS total_rows,
+       floor(max(n) * count(*) * 1.0 / sum(n) * 1000000.0 + 0.5)
+         / 1000000.0 AS skew,
+       floor(max(n) * 1.0 / sum(n) * 1000000.0 + 0.5)
+         / 1000000.0 AS max_share
+FROM (SELECT {key} AS k, count(*) AS n FROM events GROUP BY 1)"""
+
+ORACLES["io_partition_skew_report"] = (
+    _SKEW_ROW.format(name="day", key="CAST(ts AS DATE)")
+    + "\nUNION ALL\n"
+    + _SKEW_ROW.format(name="event_type", key="event_type")
+)
