@@ -183,6 +183,7 @@ HEADLINE = CANARY + [
     "profile_embedding_stats",
     "dedup_semdedup_central",
     "io_partition_skew_report",
+    "tmix_incremental_equiv",
 ]
 
 

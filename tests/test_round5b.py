@@ -771,3 +771,24 @@ def test_partition_skew_report_hand_computed(spark):
     assert got["day"]["max_rows"] == 6 and got["day"]["skew"] == 1.5
     assert got["day"]["max_share"] == 0.75
     assert got["event_type"]["skew"] == 1.75
+
+
+def test_group_count_maintenance_sums_across_batches(spark, tmp_path):
+    from vector_graph_native_database__spark.streaming.ingest import (
+        incremental_group_count_maintenance,
+        read_state,
+    )
+
+    schema = "id string, lang string"
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = [("1", "en"), ("2", "en"), ("3", "fr")]
+    b2 = [("4", "en"), ("5", "de")]
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, schema).write.mode("append").parquet(src)
+        incremental_group_count_maintenance(
+            spark, src, schema, state, ckpt, "lang"
+        )
+    got = {r["grp"]: r["n"] for r in read_state(spark, state).collect()}
+    assert got == {"en": 3, "fr": 1, "de": 1}

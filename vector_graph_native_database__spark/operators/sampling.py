@@ -172,8 +172,15 @@ def temperature_mix(
     budget_frac: float = 0.5,
     id_col: str = "id",
     salt: str = "tmix",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Temperature-scaled mixture sampling → kept rows (id, grp).
+
+    ``counts`` optionally supplies the per-group count frame
+    (grp, n_g) from an external source — e.g. the streaming-
+    maintained state of ``tmix_incremental_equiv`` — instead of
+    recomputing it from ``df``; membership semantics are identical
+    because the fractions are a pure function of the counts.
 
     The multilingual/multi-source rebalancing step every large LM
     mixture runs (the T=1/α sampling of mBERT/XLM-R/mT5): group g
@@ -189,9 +196,10 @@ def temperature_mix(
     membership is then a map-only filter, pure function of the id.
     No shuffle ever touches the full corpus.
     """
-    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
-        F.count("*").alias("n_g")
-    )
+    if counts is None:
+        counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+            F.count("*").alias("n_g")
+        )
     tot = counts.agg(
         F.sum("n_g").alias("n"),
         F.sum(F.pow("n_g", F.lit(alpha))).alias("z"),

@@ -463,3 +463,47 @@ FROM raw r
 LEFT JOIN cl ON cl.lang = r.lang
 LEFT JOIN kt ON kt.lang = r.lang"""
 )
+
+
+def q_tmix_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end proof that a streaming-maintained language-count
+    state reproduces the batch temperature mix: documents replay as
+    THREE disjoint micro-batches (crc32(id) mod 3) through the real
+    foreachBatch machinery, per-lang counts sum-merged into the
+    transactional store; the final mixture membership computed from
+    the MAINTAINED counts must hash-equal batch temperature_mix (its
+    oracle — blind to batches, so a lost batch, double merge, or
+    stale snapshot fails the value check). The 100 TB shape: the
+    corpus streams in, the |langs|-sized count state is the only
+    thing maintained, and the mixture is re-derivable after every
+    commit without a corpus rescan."""
+    import os
+
+    from ..streaming.ingest import (
+        incremental_group_count_maintenance,
+        read_state,
+    )
+    from .common import scratch_dir
+
+    base = scratch_dir("tmix_incremental")
+    src = os.path.join(base, "src")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    nodes, _, _ = model(spark, sf_dir)
+    docs = nodes.select("id", "lang")
+    part = F.pmod(F.crc32(F.col("id")), F.lit(3))
+    for i in range(3):
+        docs.filter(part == i).write.mode("append").parquet(src)
+        incremental_group_count_maintenance(
+            spark, src, "id string, lang string", state, ckpt, "lang"
+        )
+    counts = read_state(spark, state).select(
+        "grp", F.col("n").alias("n_g")
+    )
+    return sampling.temperature_mix(
+        nodes, group_col="lang", alpha=0.5, budget_frac=0.5, counts=counts
+    )
+
+
+QUERIES["tmix_incremental_equiv"] = q_tmix_incremental_equiv
+ORACLES["tmix_incremental_equiv"] = ORACLES["sample_temperature_mix"]

@@ -728,3 +728,47 @@ def incremental_markov_maintenance(
     )
     q.awaitTermination()
     return q
+
+def incremental_group_count_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    row_schema: str | StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+):
+    """Row stream → maintained per-group counts (grp, n) by SUM merge.
+
+    The simplest useful monoid in the maintenance family — and the
+    one mixture sampling lives on: temperature-mix keep fractions
+    are a pure function of the per-group counts, so a streaming
+    pipeline maintains THIS tiny frame and re-derives the mixture
+    after every batch instead of rescanning the corpus
+    (``tmix_incremental_equiv`` value-asserts the equivalence).
+    Per batch: one map-side-combinable count of the BATCH, one
+    |groups|-sized merge, one transactional snapshot commit.
+    """
+    rows = spark.readStream.schema(row_schema).parquet(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        fresh = batch_df.groupBy(
+            F.col(group_col).alias("grp")
+        ).agg(F.count("*").alias("n"))
+        cur = read_state(spark, state_dir)
+        merged = (
+            cur.unionByName(fresh).groupBy("grp").agg(F.sum("n").alias("n"))
+            if cur is not None
+            else fresh
+        )
+        commit_state(merged, state_dir)
+
+    q = (
+        rows.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
