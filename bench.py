@@ -184,6 +184,7 @@ HEADLINE = CANARY + [
     "dedup_semdedup_central",
     "io_partition_skew_report",
     "tmix_incremental_equiv",
+    "sql_frontend_seg_revenue",
 ]
 
 

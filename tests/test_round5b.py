@@ -792,3 +792,20 @@ def test_group_count_maintenance_sums_across_batches(spark, tmp_path):
         )
     got = {r["grp"]: r["n"] for r in read_state(spark, state).collect()}
     assert got == {"en": 3, "fr": 1, "de": 1}
+
+
+def test_sql_frontend_seg_revenue_shares_sum_to_one(spark):
+    from vector_graph_native_database__spark.registry.coreq import (
+        q_sql_frontend_seg_revenue,
+    )
+
+    rows = q_sql_frontend_seg_revenue(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_year: dict[int, float] = {}
+    for r in rows:
+        assert r["revenue"] > 0
+        by_year[r["yr"]] = by_year.get(r["yr"], 0.0) + r["yr_share"]
+    for yr, total in by_year.items():
+        assert abs(total - 1.0) < 1e-4, (yr, total)

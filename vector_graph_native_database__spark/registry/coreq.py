@@ -684,3 +684,42 @@ ORACLES["io_partition_skew_report"] = (
     + "\nUNION ALL\n"
     + _SKEW_ROW.format(name="event_type", key="event_type")
 )
+
+
+# ---------------------------------------------------------------------------
+# SQL frontend #2 (round 5): cross-table revenue share
+# ---------------------------------------------------------------------------
+
+SQL_SEG_REVENUE = """
+WITH rev AS (
+  SELECT c.c_mktsegment AS seg,
+         EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+         SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                  AS DECIMAL(30,10))) AS r
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY c.c_mktsegment, EXTRACT(YEAR FROM o.o_orderdate)
+)
+SELECT seg, CAST(yr AS BIGINT) AS yr,
+       CAST(ROUND(r, 2) AS DOUBLE) AS revenue,
+       CAST(FLOOR(CAST(r AS DOUBLE) / CAST(SUM(r) OVER (PARTITION BY yr)
+                                          AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE) AS yr_share
+FROM rev"""
+
+
+def q_sql_frontend_seg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second SQL-surface proof, this time over the RAW harness
+    tables: a three-way star join + decimal-exact revenue + windowed
+    share-of-year, written once in common ANSI (EXTRACT, DECIMAL
+    cast, window SUM) and executed by BOTH engines from the same
+    text. Dialect discipline: decimal accumulation for money (the
+    sf1 lesson), double cast before the ratio, floor-based 6dp."""
+    from ..sql import sql
+
+    return sql(spark, sf_dir, SQL_SEG_REVENUE)
+
+
+QUERIES["sql_frontend_seg_revenue"] = q_sql_frontend_seg_revenue
+ORACLES["sql_frontend_seg_revenue"] = SQL_SEG_REVENUE
