@@ -555,7 +555,14 @@ def semdedup_keep_central(
     from .curation import cluster_from_pairs
     from ..functions.vectorfn import cosine
 
-    assign = kmeans_assign(emb, n_centroids, iters, dim)
+    # Stage the assignment: it feeds the pair join, the keeper
+    # window, AND the singleton anti-join — without the eager
+    # checkpoint each consumer (and every pointer-jumping component
+    # round downstream) would replay the Lloyd training from scratch
+    # (the dedup_cluster_from_pairs staging lesson).
+    assign = kmeans_assign(emb, n_centroids, iters, dim).localCheckpoint(
+        eager=True
+    )
     vecs = emb.filter(F.size("vector") == dim).select(
         F.col("node_id").alias("id"), "vector"
     )
@@ -570,12 +577,14 @@ def semdedup_keep_central(
         F.col("cluster").alias("cl"),
         F.col("vector").alias("vb"),
     )
+    # The pair frame is likewise staged before the component rounds.
     pairs = (
         a.join(b, "cl")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", cosine("va", "vb"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
     comp = cluster_from_pairs(pairs).select(
         "id", F.col("cluster").alias("grp")
