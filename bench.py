@@ -185,6 +185,7 @@ HEADLINE = CANARY + [
     "io_partition_skew_report",
     "tmix_incremental_equiv",
     "sql_frontend_seg_revenue",
+    "graph_degree_histogram",
 ]
 
 

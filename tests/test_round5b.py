@@ -809,3 +809,26 @@ def test_sql_frontend_seg_revenue_shares_sum_to_one(spark):
         by_year[r["yr"]] = by_year.get(r["yr"], 0.0) + r["yr_share"]
     for yr, total in by_year.items():
         assert abs(total - 1.0) < 1e-4, (yr, total)
+
+
+def test_degree_histogram_log2_buckets(spark):
+    import unittest.mock as mock
+
+    from vector_graph_native_database__spark.registry import analyticsq
+
+    star = spark.createDataFrame(
+        [("h", l) for l in ["a", "b", "c", "d"]], "src string, dst string"
+    )
+    with mock.patch.object(
+        analyticsq, "model", lambda s, d: (None, None, star)
+    ):
+        got = {
+            r["bucket"]: r
+            for r in analyticsq.q_graph_degree_histogram(
+                spark, "unused"
+            ).collect()
+        }
+    # hub degree 4 -> bucket 2; four leaves degree 1 -> bucket 0
+    assert got[2]["n_nodes"] == 1 and got[2]["min_degree"] == 4
+    assert got[0]["n_nodes"] == 4 and got[0]["max_degree"] == 1
+    assert set(got) == {0, 2}

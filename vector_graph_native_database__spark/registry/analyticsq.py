@@ -901,3 +901,49 @@ SELECT n AS n_endpoints,
        END AS assortativity
 FROM g"""
 )
+
+
+def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned total-degree histogram → (bucket, n_nodes,
+    min_degree, max_degree): the scale-free-or-not profile read
+    before choosing graph algorithms (a heavy power-law tail means
+    salting/hub-splitting; a flat histogram means plain hash
+    partitioning is fine). bucket = floor(log2(degree)) computed as
+    the bit length of an integer — exact in both engines, no float
+    log at the bin boundary. Two count aggregates + a |buckets|-sized
+    rollup."""
+    from ..operators.analytics import degrees
+
+    _, _, edges = model(spark, sf_dir)
+    deg = degrees(edges)
+    bucket = F.length(F.conv(F.col("degree"), 10, 2)) - 1
+    return (
+        deg.filter(F.col("degree") > 0)
+        .withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+    )
+
+
+QUERIES["graph_degree_histogram"] = q_graph_degree_histogram
+
+ORACLES["graph_degree_histogram"] = (
+    ORACLE_PRELUDE
+    + """,
+outd AS (SELECT src AS id, count(*) AS o FROM edges GROUP BY src),
+ind AS (SELECT dst AS id, count(*) AS i FROM edges GROUP BY dst),
+deg AS (
+  SELECT coalesce(o.id, i.id) AS id,
+         coalesce(o.o, 0) + coalesce(i.i, 0) AS degree
+  FROM outd o FULL OUTER JOIN ind i ON i.id = o.id
+)
+SELECT CAST(length(bin(degree)) - 1 AS INT) AS bucket,
+       count(*) AS n_nodes,
+       min(degree) AS min_degree, max(degree) AS max_degree
+FROM deg WHERE degree > 0
+GROUP BY 1"""
+)
