@@ -186,6 +186,7 @@ HEADLINE = CANARY + [
     "tmix_incremental_equiv",
     "sql_frontend_seg_revenue",
     "graph_degree_histogram",
+    "ann_ivf_nprobe_sweep",
 ]
 
 

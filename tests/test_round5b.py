@@ -832,3 +832,25 @@ def test_degree_histogram_log2_buckets(spark):
     assert got[2]["n_nodes"] == 1 and got[2]["min_degree"] == 4
     assert got[0]["n_nodes"] == 4 and got[0]["max_degree"] == 1
     assert set(got) == {0, 2}
+
+
+def test_nprobe_sweep_recall_monotone(spark):
+    from vector_graph_native_database__spark.registry.qualityq import (
+        q_ann_ivf_nprobe_sweep,
+    )
+
+    rows = {
+        r["nprobe"]: r
+        for r in q_ann_ivf_nprobe_sweep(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    # probing more cells only adds candidates -> pairs and recall monotone
+    assert rows[1]["n_pairs"] <= rows[2]["n_pairs"] <= rows[4]["n_pairs"]
+    assert (
+        rows[1]["recall_at_k"]
+        <= rows[2]["recall_at_k"]
+        <= rows[4]["recall_at_k"]
+    )
+    assert rows[4]["recall_at_k"] > 0

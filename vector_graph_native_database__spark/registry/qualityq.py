@@ -655,3 +655,99 @@ SELECT CAST(count(*) AS BIGINT) AS n_vectors,
        floor(CAST(sum(CAST(n6 AS DECIMAL(18,6))) AS DOUBLE) / count(*)
              * 1000000.0 + 0.5) / 1000000.0 AS mean_norm
 FROM base"""
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe tuning curve (round 5)
+# ---------------------------------------------------------------------------
+
+NPROBE_SWEEP = (1, 2, 4)
+
+
+def q_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve → one row per nprobe (nprobe, n_pairs,
+    n_hits, recall_at_k): where the tier report compares index
+    FAMILIES, this sweeps the single knob an IVF deployment actually
+    turns — probed cells per query — against exact ground truth, so
+    an operator reads recall-vs-cost for THEIR index and picks the
+    knee. Ground truth staged once; each sweep point is one probed
+    top-k plus a ≤25-row comparison join; recall is monotone in
+    nprobe by construction (probing more cells only adds candidates
+    — pytest-pinned)."""
+    from . import pipelineq
+    from ..operators import ann
+
+    k = ANN_EVAL_K
+    denom = float(k * len(pipelineq.ANN_QUERY_IDS))
+    _, emb, _ = pipelineq.model(spark, sf_dir)
+    brute5 = (
+        pipelineq.q_ann_brute_topk(spark, sf_dir)
+        .filter(F.col("rnk") <= k)
+        .select("qid", "id", F.lit(1).alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for p in NPROBE_SWEEP:
+        t = ann.ivf_topk(
+            emb, pipelineq.ANN_QUERY_IDS, k=k, n_centroids=8, iters=2,
+            nprobe=p, dim=64, round_scores=6,
+        ).select("qid", "id", F.lit(1).alias("h"))
+        j = brute5.join(t, ["qid", "id"], "full_outer")
+        rows.append(
+            j.agg(
+                F.sum(F.coalesce("h", F.lit(0))).alias("n_pairs"),
+                F.sum(
+                    F.coalesce("b", F.lit(0)) * F.coalesce("h", F.lit(0))
+                ).alias("n_hits"),
+            ).select(
+                F.lit(p).alias("nprobe"),
+                "n_pairs",
+                "n_hits",
+                stable_round6(F.col("n_hits") / F.lit(denom)).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _nprobe_sweep_oracle() -> str:
+    from .pipelineq import _ivf_sql, ANN_QUERY_IDS
+
+    k = ANN_EVAL_K
+    denom = float(k * len(ANN_QUERY_IDS))
+    ctes = []
+    rows = []
+    for i, p in enumerate(NPROBE_SWEEP):
+        ctes.append(
+            f"sw_{i} AS MATERIALIZED (\n  SELECT qid, id FROM "
+            f"({_ivf_sql(8, 2, p, k)}\n) __s{i} WHERE rnk <= {k})"
+        )
+        hits = (
+            f"SELECT count(*) FROM sw_{i} t "
+            f"JOIN swb ON swb.qid = t.qid AND swb.id = t.id"
+        )
+        rows.append(
+            f"""SELECT {p} AS nprobe,
+       (SELECT CAST(count(*) AS BIGINT) FROM sw_{i}) AS n_pairs,
+       CAST(({hits}) AS BIGINT) AS n_hits,
+       floor(CAST(({hits}) AS DOUBLE) / {denom} * 1000000.0 + 0.5)
+         / 1000000.0 AS recall_at_k"""
+        )
+    from .pipelineq import ORACLES as PIPE_ORACLES
+
+    brute = (
+        f"swb AS MATERIALIZED (\n  SELECT qid, id FROM "
+        f"({PIPE_ORACLES['ann_brute_topk']}\n) __bb WHERE rnk <= {k})"
+    )
+    return (
+        "WITH " + ",\n".join([brute] + ctes) + "\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+QUERIES["ann_ivf_nprobe_sweep"] = q_ann_ivf_nprobe_sweep
+ORACLES["ann_ivf_nprobe_sweep"] = _nprobe_sweep_oracle()
