@@ -1,0 +1,54 @@
+"""Round-5 continuation: delta-join IVM and layout prune evaluation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_graph_native_database__spark.operators.cdc import ivm_join_delta
+
+
+def test_ivm_join_delta_equals_recompute(spark):
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 7.0), (3, 10, 9.0), (4, 30, 1.0)],
+        "k long, fk long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(10, "a"), (20, "b"), (30, "c")], "fk long, attr string"
+    )
+    view = fact.join(dim, "fk").select("k", "fk", "attr", "v")
+    # compacted log: delete k=1, update k=2 (v -> 70, moves to fk 30),
+    # insert k=9 under fk 10
+    log = spark.createDataFrame(
+        [
+            (1, 10, 5.0, "D"),
+            (2, 30, 70.0, "U"),
+            (9, 10, 3.0, "I"),
+        ],
+        "k long, fk long, v double, op string",
+    )
+    maintained = ivm_join_delta(view, log, dim, ["k"], ["fk"])
+
+    # recompute: apply the log to the fact, re-join
+    applied = (
+        fact.join(log.select("k").distinct(), "k", "left_anti")
+        .unionByName(log.filter(F.col("op") != "D").drop("op"))
+    )
+    expect = applied.join(dim, "fk").select("k", "fk", "attr", "v")
+
+    got = {tuple(r) for r in maintained.select("k", "fk", "attr", "v").collect()}
+    want = {tuple(r) for r in expect.collect()}
+    assert got == want
+    assert (2, 30, "c", 70.0) in got and (1, 10, "a", 5.0) not in got
+
+
+def test_ivm_join_delta_plan_broadcasts_affected_keys(spark):
+    fact = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("fk"),
+        F.lit(1.0).alias("v"),
+    )
+    dim = spark.range(5).select(F.col("id").alias("fk"), F.lit("x").alias("attr"))
+    view = fact.join(dim, "fk").select("k", "fk", "attr", "v")
+    log = spark.createDataFrame([(3, 1, 2.0, "U")], "k long, fk long, v double, op string")
+    plan = ivm_join_delta(view, log, dim, ["k"], ["fk"])._jdf.queryExecution().executedPlan().toString()
+    # the stored view must be touched only via a broadcast anti-join
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

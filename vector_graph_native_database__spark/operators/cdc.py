@@ -175,3 +175,45 @@ def ivm_aggregate_delta(
         ).alias("tv"),
     )
     return merged.filter(F.col("n") > 0)
+
+
+def ivm_join_delta(
+    view: DataFrame,
+    compacted_log: DataFrame,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    dim_key_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental view maintenance of the JOIN view ``A ⋈ dim``
+    under a compacted I/U/D changelog of the fact side A → the
+    maintained view, WITHOUT re-joining A's unaffected rows — the
+    delta-join rule ΔV = −V[affected keys] ∪ (ΔA⁺ ⋈ dim) for a
+    static dimension, i.e. the other half of the IVM story next to
+    ``ivm_aggregate_delta`` (aggregates there, join fan-in here).
+
+    ``view`` is the stored materialization keyed by A's key
+    (``key_cols``), carrying dim attributes already joined in;
+    ``compacted_log`` has one winner row per key with ``op`` ∈
+    {'I','U','D'} and A's full payload; ``dim`` must expose
+    ``dim_key_cols`` under the SAME column names the log uses (the
+    caller renames, e.g. c_custkey → o_custkey).
+
+    Cost shape — the whole point at 100 TB: the stored view is
+    touched only by a BROADCAST anti-join on the affected-key list
+    (changelog-sized by the delta contract, same as
+    ``ivm_aggregate_delta``), and the only join executed is
+    delta ⋈ dim — changelog × dimension, never fact × dimension.
+    A recompute engine pays the full fact-dim shuffle on every
+    batch; this pays O(|Δ|).
+    """
+    keys = list(key_cols)
+    affected = compacted_log.select(*keys).distinct()
+    kept = view.join(F.broadcast(affected), keys, "left_anti")
+    fresh = (
+        compacted_log.filter(F.col(op_col) != "D")
+        .drop(op_col)
+        .join(dim, list(dim_key_cols), "inner")
+        .select(*view.columns)
+    )
+    return kept.unionByName(fresh)

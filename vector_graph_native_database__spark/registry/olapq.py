@@ -2576,3 +2576,81 @@ CROSS JOIN n
 WHERE n_ab >= {BASKET_MIN_SUPPORT}
 ORDER BY lift DESC, pa, pb
 LIMIT {BASKET_TOPK}"""
+
+
+def q_ivm_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-JOIN view maintenance proven against recompute → per
+    segment (c_mktsegment, n_rows, total_price): the materialized
+    enrichment view orders ⋈ customer is DELTA-maintained under the
+    compacted orders changelog (≡0 mod 10 deleted, ≡1 price ×3,
+    ≡2 inserted keeping its o_custkey) via
+    ``operators/cdc.ivm_join_delta`` — stored view rows survive
+    through a broadcast affected-key anti-join and only the
+    changelog is re-joined to the dimension. The oracle RECOMPUTES
+    the join on the applied snapshot, so the gate proves
+    delta-join ≡ recompute, the join-IVM correctness contract
+    (the aggregate half is ivm_aggregate_maintenance).
+
+    Scale shape: the fact-side view is never re-joined — per batch
+    the engine pays O(|Δ| ⋈ dim) + a broadcast anti-join, vs the
+    full fact-dim shuffle a recompute pays. Sums run in DECIMAL."""
+    from ..operators.cdc import ivm_join_delta
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    view = orders.join(cust, "o_custkey").select(
+        "o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    log = (
+        orders.filter(k % 10 == 0)
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            F.lit("D").alias("op"),
+        )
+        .unionByName(
+            orders.filter(k % 10 == 1).select(
+                "o_orderkey",
+                "o_custkey",
+                (F.col("o_totalprice") * 3).alias("o_totalprice"),
+                F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            orders.filter(k % 10 == 2).select(
+                (k + 10_000_000).alias("o_orderkey"),
+                "o_custkey",
+                "o_totalprice",
+                F.lit("I").alias("op"),
+            )
+        )
+    )
+    maintained = ivm_join_delta(
+        view, log, cust, ["o_orderkey"], ["o_custkey"]
+    )
+    return maintained.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        _dec_sum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+QUERIES["ivm_join_maintenance"] = q_ivm_join_maintenance
+ORACLES["ivm_join_maintenance"] = """
+WITH snap AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 3
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 2
+)
+SELECT c.c_mktsegment, count(*) AS n_rows,
+       CAST(round(sum(CAST(s.o_totalprice AS DECIMAL(30,10))), 2) AS DOUBLE)
+         AS total_price
+FROM snap s JOIN customer c ON c.c_custkey = s.o_custkey
+GROUP BY c.c_mktsegment"""
