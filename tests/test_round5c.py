@@ -52,3 +52,26 @@ def test_ivm_join_delta_plan_broadcasts_affected_keys(spark):
     plan = ivm_join_delta(view, log, dim, ["k"], ["fk"])._jdf.queryExecution().executedPlan().toString()
     # the stored view must be touched only via a broadcast anti-join
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_zonemap_prune_eval_layout_ordering(spark):
+    from vector_graph_native_database__spark.registry.coreq import (
+        q_io_zonemap_prune_eval,
+    )
+
+    rows = {
+        r["layout"]: r.asDict()
+        for r in q_io_zonemap_prune_eval(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == {"hash", "range_date", "zorder"}
+    # hash layout has no date locality: every file overlaps the window
+    assert rows["hash"]["files_scanned"] == rows["hash"]["n_files"]
+    # locality ladder: range on the filter column <= zorder <= hash
+    assert (
+        rows["range_date"]["rows_scanned"]
+        <= rows["zorder"]["rows_scanned"]
+        <= rows["hash"]["rows_scanned"]
+    )
+    # zone maps never lose rows: scanned covers all matching rows
+    for r in rows.values():
+        assert r["rows_scanned"] >= r["rows_matching"]

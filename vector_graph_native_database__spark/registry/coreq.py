@@ -723,3 +723,158 @@ def q_sql_frontend_seg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_frontend_seg_revenue"] = q_sql_frontend_seg_revenue
 ORACLES["sql_frontend_seg_revenue"] = SQL_SEG_REVENUE
+
+
+# ---------------------------------------------------------------------------
+# Zone-map prune evaluation (round 5): which layout earns its shuffle
+# ---------------------------------------------------------------------------
+
+ZM_FILES = 64          # files per simulated layout
+ZM_LO_OFF = 600        # predicate window [d_mn+600, d_mn+629]
+ZM_WIN = 30
+
+
+def q_io_zonemap_prune_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping effectiveness report → one row per candidate
+    layout (layout, n_files, files_scanned, rows_scanned,
+    rows_matching): simulate writing orders as 64 files under three
+    layouts — ``hash`` (o_orderkey mod 64, the default shuffle
+    layout), ``range_date`` (value-range partition on o_orderdate),
+    ``zorder`` (3+3-bit Morton interleave of custkey × date) — build
+    each file's min/max date zone map (what a parquet footer
+    exposes), and count how many files and rows a fixed 30-day date
+    predicate must scan under each. rows_matching anchors the
+    amplification: range_date scans ≈ the matching rows, zorder a
+    band, hash everything — the number that justifies paying the
+    layout shuffle once at write time.
+
+    Decision-tool companion to io_zorder_layout (which reports the
+    per-file ranges; this entry converts them into scan cost) —
+    the same move ann_tier_report made for the ANN family. All
+    bucket arithmetic is EXACT integers (value-range buckets, not
+    rank-based — no single-task ntile window anywhere), so the
+    oracle reproduces it bit-for-bit. One pass over the fact table,
+    |layouts|×|files| frames after."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+    )
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        day.alias("d"),
+    )
+    bounds = base.agg(
+        F.min("d").alias("d_mn"), F.max("d").alias("d_mx"),
+        F.min("ck").alias("ck_mn"), F.max("ck").alias("ck_mx"),
+    )
+
+    def vr_bucket(v: str, mn: str, mx: str, nb: int):
+        return F.least(
+            F.lit(nb - 1),
+            F.expr(f"(({v} - {mn}) * {nb}) div ({mx} - {mn} + 1)"),
+        )
+
+    xy = base.crossJoin(F.broadcast(bounds)).select(
+        "k",
+        "d",
+        (F.col("k") % ZM_FILES).alias("bh"),
+        vr_bucket("d", "d_mn", "d_mx", ZM_FILES).alias("br"),
+        vr_bucket("ck", "ck_mn", "ck_mx", 8).alias("x"),
+        vr_bucket("d", "d_mn", "d_mx", 8).alias("y"),
+        (F.col("d_mn") + ZM_LO_OFF).alias("lo"),
+        (F.col("d_mn") + ZM_LO_OFF + ZM_WIN - 1).alias("hi"),
+    )
+    z = F.lit(0)
+    for i in range(3):
+        z = z + F.shiftleft(
+            F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        z = z + F.shiftleft(
+            F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    lb = xy.withColumn("bz", z).selectExpr(
+        "d",
+        "lo",
+        "hi",
+        "stack(3, 'hash', bh, 'range_date', br, 'zorder', bz)"
+        " AS (layout, bucket)",
+    )
+    zm = lb.groupBy("layout", "bucket").agg(
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+        F.count("*").alias("n"),
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+    )
+    hit = (F.col("dmin") <= F.col("hi")) & (F.col("dmax") >= F.col("lo"))
+    m = xy.filter(
+        (F.col("d") >= F.col("lo")) & (F.col("d") <= F.col("hi"))
+    ).agg(F.count("*").alias("rows_matching"))
+    return (
+        zm.groupBy("layout")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(
+                "files_scanned"
+            ),
+            F.sum(F.when(hit, F.col("n")).otherwise(0)).cast("long").alias(
+                "rows_scanned"
+            ),
+        )
+        .crossJoin(F.broadcast(m))
+    )
+
+
+QUERIES["io_zonemap_prune_eval"] = q_io_zonemap_prune_eval
+
+_ZM3 = (
+    "(((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1) + "
+    "(((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3) + "
+    "(((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5)"
+)
+
+ORACLES["io_zonemap_prune_eval"] = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+  FROM orders
+),
+bounds AS (
+  SELECT min(d) AS d_mn, max(d) AS d_mx,
+         min(ck) AS ck_mn, max(ck) AS ck_mx
+  FROM base
+),
+xy AS (
+  SELECT k, d,
+         k % {ZM_FILES} AS bh,
+         least({ZM_FILES - 1},
+               ((d - d_mn) * {ZM_FILES}) // (d_mx - d_mn + 1)) AS br,
+         least(7, ((ck - ck_mn) * 8) // (ck_mx - ck_mn + 1)) AS x,
+         least(7, ((d - d_mn) * 8) // (d_mx - d_mn + 1)) AS y,
+         d_mn + {ZM_LO_OFF} AS lo,
+         d_mn + {ZM_LO_OFF + ZM_WIN - 1} AS hi
+  FROM base CROSS JOIN bounds
+),
+lb AS (
+  SELECT 'hash' AS layout, bh AS bucket, d, lo, hi FROM xy
+  UNION ALL
+  SELECT 'range_date', br, d, lo, hi FROM xy
+  UNION ALL
+  SELECT 'zorder', {_ZM3}, d, lo, hi FROM xy
+),
+zm AS (
+  SELECT layout, bucket, min(d) AS dmin, max(d) AS dmax,
+         count(*) AS n, min(lo) AS lo, min(hi) AS hi
+  FROM lb GROUP BY layout, bucket
+),
+m AS (SELECT count(*) AS rows_matching FROM xy WHERE d BETWEEN lo AND hi)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN dmin <= hi AND dmax >= lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS files_scanned,
+       CAST(sum(CASE WHEN dmin <= hi AND dmax >= lo THEN n ELSE 0 END)
+            AS BIGINT) AS rows_scanned,
+       CAST(m.rows_matching AS BIGINT) AS rows_matching
+FROM zm CROSS JOIN m
+GROUP BY layout, m.rows_matching"""
