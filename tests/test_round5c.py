@@ -75,3 +75,23 @@ def test_zonemap_prune_eval_layout_ordering(spark):
     # zone maps never lose rows: scanned covers all matching rows
     for r in rows.values():
         assert r["rows_scanned"] >= r["rows_matching"]
+
+
+def test_derived_partsupp_tpch_shapes_nonempty(spark):
+    from vector_graph_native_database__spark.registry import olapq
+
+    sf = "/root/testdata/sf0.001"
+    stock = olapq.q_olap_important_stock(spark, sf).collect()
+    assert len(stock) >= 1  # scale-free 2x-mean threshold never empties
+    top = olapq.q_olap_mincost_supplier(spark, sf).collect()
+    assert 0 < len(top) <= 20
+    # regional-minimum contract: every returned (part, cost) is the min
+    ps = olapq._partsupp(spark, sf)
+    assert ps.columns == [
+        "ps_partkey", "ps_suppkey", "ps_availqty", "ps_cost_cents",
+        "ps_supplycost",
+    ]
+    # top-20 is TakeOrderedAndProject, never a global sort
+    plan = olapq.q_olap_mincost_supplier(spark, sf)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -2654,3 +2654,384 @@ SELECT c.c_mktsegment, count(*) AS n_rows,
          AS total_price
 FROM snap s JOIN customer c ON c.c_custkey = s.o_custkey
 GROUP BY c.c_mktsegment"""
+
+
+# ---------------------------------------------------------------------------
+# Derived-partsupp TPC-H completions (round 5): Q2 / Q9 / Q11 / Q16 / Q20
+#
+# The driver schema carries no partsupp table, which kept five classic
+# TPC-H join shapes out of reach. partsupp is DERIVED here, identically
+# on both engines: one row per DISTINCT (l_partkey, l_suppkey) pair
+# observed in lineitem — so referential integrity to lineitem holds by
+# construction, exactly what Q9/Q20 rely on — with availqty/supplycost
+# as key-deterministic functions. supplycost is defined in integer
+# CENTS ((pk*31+sk*37) mod 80000 + 20000, i.e. $200.00-$999.99) so
+# stock-value arithmetic can run in exact BIGINT where a threshold
+# comparison would otherwise ride on float summation order.
+# ---------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         (ps_partkey * 7 + ps_suppkey * 13) % 9999 + 1 AS ps_availqty,
+         (ps_partkey * 31 + ps_suppkey * 37) % 80000 + 20000 AS ps_cost_cents,
+         CAST((ps_partkey * 31 + ps_suppkey * 37) % 80000 + 20000 AS DOUBLE)
+           / 100.0 AS ps_supplycost
+  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem)
+)"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp view (see block comment above): distinct
+    observed (part, supplier) pairs + key-deterministic qty/cost.
+    Scale shape: one distinct on a 2-column projection of lineitem —
+    the same single shuffle a real partsupp table load would pay."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    pk, sk = F.col("ps_partkey"), F.col("ps_suppkey")
+    cents = (pk * 31 + sk * 37) % 80000 + 20000
+    return li.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((pk * 7 + sk * 13) % 9999 + 1).cast("long").alias("ps_availqty"),
+        cents.cast("long").alias("ps_cost_cents"),
+        (cents.cast("double") / 100.0).alias("ps_supplycost"),
+    )
+
+
+def q_olap_mincost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog (minimum-cost supplier) → top 20
+    (s_acctbal, s_name, n_name, p_partkey, p_brand, supplycost):
+    for every small part (p_size ≤ 10), find the supplier(s) in
+    EUROPE offering the REGIONAL MINIMUM supply cost — the
+    correlated-min subquery shape, decorrelated the Spark way as a
+    per-part min aggregate joined back on (part, cost) equality.
+
+    Scale shape: the region-filtered partsupp⋈supplier⋈nation frame
+    is built once and reused for both the min aggregate and the
+    join-back (self-join on the smaller aggregated side); dimension
+    joins broadcast; final top-20 is TakeOrderedAndProject on the
+    rounded sort key. Adaptations from dbgen (documented): p_mfgr /
+    address / phone / comment columns don't exist in the driver
+    schema, so the output carries brand + nation instead."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    eu = (
+        supp.join(
+            F.broadcast(nation.filter(F.col("n_regionkey") == 3)),
+            supp.s_nationkey == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        ps.join(F.broadcast(eu), ps.ps_suppkey == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_size") <= 10).select(
+                    "p_partkey", "p_brand"
+                )
+            ),
+            ps.ps_partkey == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey", "p_brand", "s_name", "s_acctbal", "n_name",
+            "ps_cost_cents",
+        )
+    )
+    mins = (
+        offers.groupBy("p_partkey")
+        .agg(F.min("ps_cost_cents").alias("min_cents"))
+        .withColumnRenamed("p_partkey", "mp_partkey")
+    )
+    best = offers.join(
+        mins,
+        (F.col("p_partkey") == F.col("mp_partkey"))
+        & (F.col("ps_cost_cents") == F.col("min_cents")),
+    ).select(
+        stable_round6(F.col("s_acctbal")).alias("s_acctbal"),
+        "s_name",
+        "n_name",
+        "p_partkey",
+        "p_brand",
+        (F.col("ps_cost_cents").cast("double") / 100.0).alias("supplycost"),
+    )
+    return best.orderBy(
+        F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+    ).limit(20)
+
+
+def q_olap_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog (product-type profit) → (n_name, o_year,
+    profit): for widget parts, profit = revenue − supplycost·qty
+    per supplier nation and order year — the five-way
+    fact⋈fact-derived⋈3-dim join with a compound measure.
+
+    Scale shape: lineitem joins partsupp on the COMPOSITE
+    (partkey, suppkey) key — the one join here that genuinely
+    shuffles both sides at 100 TB (partsupp is |distinct pairs|,
+    not dimension-sized); part filter broadcasts and PRUNES the
+    pair frame before that shuffle; orders arrives via its own key
+    join (AQE picks the strategy); profit accumulates in DECIMAL."""
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    widget = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey")
+    pairs = ps.join(
+        F.broadcast(widget), ps.ps_partkey == F.col("p_partkey")
+    ).select("ps_partkey", "ps_suppkey", "ps_supplycost")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        li.join(
+            pairs,
+            (li.l_partkey == pairs.ps_partkey)
+            & (li.l_suppkey == pairs.ps_suppkey),
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "o_year")
+        .agg(_dec_sum(amount, "profit"))
+    )
+
+
+def q_olap_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (important stock identification) →
+    (ps_partkey, stock_value): parts whose stock value held by
+    ASIA-region suppliers exceeds TWICE the mean per-part value —
+    the global-scalar HAVING shape. dbgen's fixed fraction
+    (0.0001/SF) collapses to zero rows as part count grows, so the
+    threshold is scale-free (value > 2·total/n_parts). All value
+    arithmetic runs in exact BIGINT CENTS (availqty × cost_cents)
+    and the threshold test is the integer cross-multiplication
+    part_value·n_parts > 2·total_value — no float sum-order hazard
+    on the boundary, the same exact-accumulation discipline the
+    money sums use.
+
+    Scale shape: one groupBy on the region-pruned pair frame; the
+    grand total is a 1-row broadcast; output re-scales cents to
+    dollars only for display."""
+    ps = _partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    asia = supp.join(
+        F.broadcast(nation.filter(F.col("n_regionkey") == 2)),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    vals = (
+        ps.join(F.broadcast(asia), ps.ps_suppkey == F.col("s_suppkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_availqty") * F.col("ps_cost_cents")).alias("vc"),
+        )
+    )
+    per_part = vals.groupBy("ps_partkey").agg(F.sum("vc").alias("part_cents"))
+    total = per_part.agg(
+        F.sum("part_cents").alias("total_cents"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_cents") * F.col("n_parts")
+            > F.lit(2) * F.col("total_cents")
+        )
+        .select(
+            "ps_partkey",
+            (F.col("part_cents").cast("double") / 100.0).alias("stock_value"),
+        )
+    )
+
+
+def q_olap_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog (parts/supplier relationship) → top 25
+    (p_brand, p_type, p_size, supplier_cnt): how many distinct
+    suppliers stock each (brand, type, size) combination, excluding
+    one brand+type and a deterministic supplier blocklist
+    (s_suppkey ≡ 0 mod 7 — the driver schema has no s_comment for
+    dbgen's complaints filter; the NOT-IN shape is preserved as a
+    broadcast anti-join).
+
+    Scale shape: anti-join prunes partsupp before the distinct
+    count; part attributes broadcast; count(DISTINCT) shuffles on
+    the 3-part group key; top-25 is TakeOrderedAndProject."""
+    ps = _partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    blocked = supp.filter(F.col("s_suppkey") % 7 == 0).select("s_suppkey")
+    keep_parts = part.filter(
+        ~((F.col("p_brand") == "Brand#13") & (F.col("p_type") == "PROMO"))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(
+            F.broadcast(blocked),
+            ps.ps_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(keep_parts), ps.ps_partkey == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(25)
+    )
+
+
+def q_olap_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog (potential part promotion) → distinct
+    (s_name, n_name) of suppliers holding EXCESS stock of a bolt
+    part: ps_availqty > ½ of the quantity that (part, supplier)
+    pair actually shipped in 1996 — the nested correlated-subquery
+    shape, decorrelated into a per-pair shipped-quantity aggregate
+    inner-joined back (an empty correlated sum is NULL in TPC-H and
+    excludes the row, which the inner join reproduces exactly).
+
+    Scale shape: the 1996+bolt filters prune lineitem BEFORE its
+    (partkey, suppkey) aggregate; the comparison is integer-exact
+    (quantities are integral, halving a double integer is exact);
+    dimension joins broadcast; output is dimension-sized."""
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    bolts = part.filter(F.col("p_name").like("%bolt%")).select("p_partkey")
+    shipped = (
+        li.filter(F.year("l_shipdate") == 1996)
+        .join(F.broadcast(bolts), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    excess = ps.join(
+        shipped,
+        (ps.ps_partkey == shipped.l_partkey)
+        & (ps.ps_suppkey == shipped.l_suppkey),
+    ).filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+    return (
+        excess.select("ps_suppkey")
+        .distinct()
+        .join(F.broadcast(supp), F.col("ps_suppkey") == supp.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+QUERIES["olap_mincost_supplier"] = q_olap_mincost_supplier
+QUERIES["olap_product_profit"] = q_olap_product_profit
+QUERIES["olap_important_stock"] = q_olap_important_stock
+QUERIES["olap_parts_supplier_cnt"] = q_olap_parts_supplier_cnt
+QUERIES["olap_excess_stock"] = q_olap_excess_stock
+
+ORACLES["olap_mincost_supplier"] = f"""
+WITH {_PARTSUPP_SQL.strip()},
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_regionkey = 3
+),
+offers AS (
+  SELECT p.p_partkey, p.p_brand, e.s_name, e.s_acctbal, e.n_name,
+         ps.ps_cost_cents
+  FROM partsupp ps
+  JOIN eu e ON e.s_suppkey = ps.ps_suppkey
+  JOIN part p ON p.p_partkey = ps.ps_partkey
+  WHERE p.p_size <= 10
+),
+mins AS (
+  SELECT p_partkey, min(ps_cost_cents) AS min_cents
+  FROM offers GROUP BY p_partkey
+)
+SELECT floor(o.s_acctbal * 1000000.0 + 0.5) / 1000000.0 AS s_acctbal,
+       o.s_name, o.n_name, o.p_partkey, o.p_brand,
+       CAST(o.ps_cost_cents AS DOUBLE) / 100.0 AS supplycost
+FROM offers o JOIN mins m
+  ON m.p_partkey = o.p_partkey AND o.ps_cost_cents = m.min_cents
+ORDER BY 1 DESC, o.n_name, o.s_name, o.p_partkey
+LIMIT 20"""
+
+ORACLES["olap_product_profit"] = f"""
+WITH {_PARTSUPP_SQL.strip()}
+SELECT n.n_name, EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           - ps.ps_supplycost * l.l_quantity
+                           AS DECIMAL(30,10))), 2) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                AND ps.ps_suppkey = l.l_suppkey
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name, o_year"""
+
+ORACLES["olap_important_stock"] = f"""
+WITH {_PARTSUPP_SQL.strip()},
+asia AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_regionkey = 2
+),
+per_part AS (
+  SELECT ps_partkey, sum(ps_availqty * ps_cost_cents) AS part_cents
+  FROM partsupp JOIN asia ON asia.s_suppkey = partsupp.ps_suppkey
+  GROUP BY ps_partkey
+)
+SELECT ps_partkey,
+       CAST(part_cents AS DOUBLE) / 100.0 AS stock_value
+FROM per_part
+WHERE part_cents * (SELECT count(*) FROM per_part)
+      > 2 * (SELECT sum(part_cents) FROM per_part)"""
+
+ORACLES["olap_parts_supplier_cnt"] = f"""
+WITH {_PARTSUPP_SQL.strip()}
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+FROM partsupp ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE NOT (p.p_brand = 'Brand#13' AND p.p_type = 'PROMO')
+  AND ps.ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+LIMIT 25"""
+
+ORACLES["olap_excess_stock"] = f"""
+WITH {_PARTSUPP_SQL.strip()},
+shipped AS (
+  SELECT l.l_partkey, l.l_suppkey, sum(l.l_quantity) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+  WHERE EXTRACT(YEAR FROM l.l_shipdate) = 1996
+  GROUP BY l.l_partkey, l.l_suppkey
+)
+SELECT DISTINCT s.s_name, n.n_name
+FROM partsupp ps
+JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+               AND sh.l_suppkey = ps.ps_suppkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE ps.ps_availqty > 0.5 * sh.qty
+ORDER BY s.s_name"""
