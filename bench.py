@@ -187,6 +187,15 @@ HEADLINE = CANARY + [
     "sql_frontend_seg_revenue",
     "graph_degree_histogram",
     "ann_ivf_nprobe_sweep",
+    # round-5 continuation: delta-join IVM, zone-map prune report,
+    # derived-partsupp TPC-H completions (Q2/Q9/Q11/Q16/Q20)
+    "ivm_join_maintenance",
+    "io_zonemap_prune_eval",
+    "olap_mincost_supplier",
+    "olap_product_profit",
+    "olap_important_stock",
+    "olap_parts_supplier_cnt",
+    "olap_excess_stock",
 ]
 
 
