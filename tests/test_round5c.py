@@ -95,3 +95,32 @@ def test_derived_partsupp_tpch_shapes_nonempty(spark):
     plan = olapq.q_olap_mincost_supplier(spark, sf)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_ivf_streamed_index_equals_batch(spark):
+    from vector_graph_native_database__spark.registry.eventsq import (
+        q_ann_ivf_streamed_index,
+    )
+    from vector_graph_native_database__spark.registry.pipelineq import (
+        q_ann_ivf_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        tuple(r) for r in q_ann_ivf_streamed_index(spark, sf).collect()
+    }
+    batch = {tuple(r) for r in q_ann_ivf_topk(spark, sf).collect()}
+    # the maintained vector state must be invisible to the index build
+    assert streamed == batch and len(streamed) == 25
+
+
+def test_text_ngram_novelty_bounds(spark):
+    from vector_graph_native_database__spark.registry.pipelineq import (
+        q_text_ngram_novelty,
+    )
+
+    rows = q_text_ngram_novelty(spark, "/root/testdata/sf0.001").collect()
+    assert rows  # the 20% eval split is never empty
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_grams"]
+        assert 0.0 <= r["novelty"] <= 1.0

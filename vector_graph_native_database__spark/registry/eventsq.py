@@ -337,6 +337,65 @@ def q_bm25_topk_streamed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_streamed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming→ANN SERVING loop closed end-to-end: the
+    embeddings table replays as three checkpointed micro-batches —
+    a third of the vectors first as a DECOY constant vector (seq 0),
+    the rest true (seq 1), then the decoys REWRITTEN with their true
+    vectors (seq 2) — maintained latest-wins through the
+    transactional state store by ``incremental_vector_maintenance``
+    (the external-embedding-service ingestion shape); the standard
+    IVF index build + nprobe serving then runs over the MAINTAINED
+    vector state. The oracle is the plain batch ``ann_ivf_topk``
+    chain — blind to batches — so one stale decoy vector, dropped
+    id, or double-applied rewrite moves a centroid or an inverted
+    list and fails the value hash. Vectors roundtrip parquet float32
+    bit-exactly, which is what makes maintained ≡ batch provable at
+    the value level. Companion of ``bm25_topk_streamed_index``: the
+    reference's "index follows writes" invariant (app.py:771-773)
+    for the vector index instead of the posting index."""
+    import os
+
+    from ..operators import ann
+    from ..streaming.ingest import (
+        incremental_vector_maintenance,
+        read_state,
+    )
+    from .common import model
+    from .pipelineq import ANN_QUERY_IDS
+
+    base = scratch_dir("ann_ivf_streamed")
+    src = os.path.join(base, "src")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    _, emb, _ = model(spark, sf_dir)
+    vecs = emb.select("node_id", "vector")
+    rewrite = F.pmod(F.crc32(F.col("node_id")), F.lit(3)) == 0
+    decoy = F.array_repeat(F.lit(0.125).cast("float"), 64)
+    schema = "node_id string, vector array<float>, seq long"
+    batches = [
+        vecs.filter(rewrite).select(
+            "node_id",
+            decoy.alias("vector"),
+            F.lit(0).cast("long").alias("seq"),
+        ),
+        vecs.filter(~rewrite).select(
+            "node_id", "vector", F.lit(1).cast("long").alias("seq")
+        ),
+        vecs.filter(rewrite).select(
+            "node_id", "vector", F.lit(2).cast("long").alias("seq")
+        ),
+    ]
+    for b in batches:
+        b.write.mode("append").parquet(src)
+        incremental_vector_maintenance(spark, src, schema, state, ckpt)
+    maintained = read_state(spark, state)
+    return ann.ivf_topk(
+        maintained, ANN_QUERY_IDS, k=5, n_centroids=8, iters=2,
+        nprobe=2, dim=64, round_scores=6,
+    )
+
+
 def q_embed_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Twin of bm25_incremental_equiv for the EMBEDDING index: the
     corpus replays as three checkpointed micro-batches through
@@ -398,6 +457,7 @@ QUERIES = {
     "events_pivot_user_type": q_events_pivot_user_type,
     "bm25_incremental_equiv": q_bm25_incremental_equiv,
     "bm25_topk_streamed_index": q_bm25_topk_streamed_index,
+    "ann_ivf_streamed_index": q_ann_ivf_streamed_index,
     "embed_incremental_equiv": q_embed_incremental_equiv,
 }
 
@@ -524,6 +584,13 @@ FROM contrib c JOIN nodes n ON n.id = c.id
 WHERE round(c.score, 6) > 0
 ORDER BY round(c.score, 6) DESC, n.id ASC LIMIT 15"""
 )
+
+# blind-to-batches by design: the maintained vector state must be
+# indistinguishable from the plain embeddings table, so the oracle is
+# the batch IVF chain itself
+from .pipelineq import ORACLES as _PIPE_ORACLES  # noqa: E402
+
+ORACLES["ann_ivf_streamed_index"] = _PIPE_ORACLES["ann_ivf_topk"]
 
 # Embedding twin: the oracle is the batch hash-embedding definition
 # (same CTEs as functionsq's embed_batch) projected to the

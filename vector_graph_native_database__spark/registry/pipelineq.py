@@ -1952,3 +1952,102 @@ SELECT id, cluster, grp, kept FROM grouped
 UNION ALL
 SELECT id, cluster, grp, kept FROM singles"""
 )
+
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY against the training split →
+    (id, n_grams, n_novel, novelty) for every held-out doc with ≥1
+    trigram: the corpus hash-splits 80/20 on the stable md5 bucket
+    (salt 'novelty' — the same deterministic deal train_eval_split
+    uses), the train side contributes its distinct-trigram set, and
+    each eval doc reports what fraction of ITS distinct trigrams the
+    train corpus has never seen. The memorization/novelty probe a
+    curation pipeline runs before trusting an eval split: novelty ≈ 0
+    means the split leaks (near-copies straddle it), novelty ≈ 1
+    means the eval text is genuinely unseen — decontaminate() is the
+    query-vs-corpus version; this grades a whole split at once.
+
+    Scale shape: explode → per-doc DISTINCT prunes repeated trigrams
+    before any join; the train set is one distinct on the gram key;
+    membership is a single gram-keyed LEFT join (broadcastable when
+    the train vocabulary is small, shuffle-partitioned otherwise) —
+    never a per-doc loop. Eval docs shorter than n drop out (no
+    trigrams to grade), which the oracle reproduces."""
+    from ..functions.textfn import tokenize
+    from ..operators.sampling import stable_bucket
+
+    nodes, _, _ = model(spark, sf_dir)
+    toks = nodes.select(
+        "id",
+        tokenize("text").alias("t"),
+        (stable_bucket(F.col("id"), salt="novelty") < 2000).alias(
+            "is_eval"
+        ),
+    )
+    grams = (
+        toks.select(
+            "id",
+            "is_eval",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                    " i -> concat(element_at(t, i), ' ',"
+                    " element_at(t, i + 1), ' ', element_at(t, i + 2)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    train = grams.filter(~F.col("is_eval")).select("g").distinct()
+    ev = grams.filter(F.col("is_eval")).select("id", "g")
+    joined = ev.join(
+        train.withColumn("__seen", F.lit(1)), "g", "left"
+    )
+    return joined.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+    ).select(
+        "id",
+        "n_grams",
+        "n_novel",
+        (
+            F.floor(
+                F.col("n_novel") / F.col("n_grams") * F.lit(1e6) + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("novelty"),
+    )
+
+
+QUERIES["text_ngram_novelty"] = q_text_ngram_novelty
+
+ORACLES["text_ngram_novelty"] = (
+    ORACLE_PRELUDE
+    + _TOKS
+    + """,
+nsplit AS (
+  SELECT id, t,
+         (('0x' || substr(md5('novelty' || id), 1, 15))::BIGINT % 10000
+          < 2000) AS is_eval
+  FROM toks
+),
+grams0 AS (
+  SELECT id, is_eval,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM nsplit
+),
+grams AS (SELECT DISTINCT id, is_eval, g FROM grams0),
+train AS (SELECT DISTINCT g FROM grams WHERE NOT is_eval),
+ev AS (SELECT id, g FROM grams WHERE is_eval)
+SELECT ev.id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       floor(sum(CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*) * 1000000.0 + 0.5) / 1000000.0 AS novelty
+FROM ev LEFT JOIN train tr ON tr.g = ev.g
+GROUP BY ev.id"""
+)

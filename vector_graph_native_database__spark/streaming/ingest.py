@@ -378,6 +378,53 @@ def incremental_index_maintenance(
     return q
 
 
+def incremental_vector_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    vec_schema: str | StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Embedding-vector stream → per-batch latest-wins upsert of the
+    raw vector table (node_id, vector) through the transactional
+    state store — the ANN counterpart of
+    ``incremental_index_maintenance`` (which re-embeds text; this one
+    ingests externally-produced vectors, the common shape when an
+    embedding service emits updates). Per batch: keep the max-seq
+    vector per id within the batch, merge latest-wins onto the
+    persisted state, publish via the atomic versioned commit. O(batch)
+    work per trigger; vectors roundtrip parquet float32 bit-exactly,
+    so a downstream index build over the maintained state is
+    indistinguishable from one over the batch table.
+    """
+    from ..operators.crud import upsert
+
+    vecs = spark.readStream.schema(vec_schema).parquet(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        latest = batch_df.groupBy("node_id").agg(
+            F.max_by("vector", "seq").alias("vector")
+        )
+        current = read_state(spark, state_dir)
+        merged = (
+            upsert(current, latest, "node_id")
+            if current is not None
+            else latest
+        )
+        commit_state(merged, state_dir)
+
+    q = (
+        vecs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def incremental_bm25_maintenance(
     spark: SparkSession,
     source_dir: str,
