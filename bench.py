@@ -196,6 +196,8 @@ HEADLINE = CANARY + [
     "olap_important_stock",
     "olap_parts_supplier_cnt",
     "olap_excess_stock",
+    "ann_ivf_streamed_index",
+    "text_ngram_novelty",
 ]
 
 
