@@ -124,3 +124,30 @@ def test_text_ngram_novelty_bounds(spark):
     for r in rows:
         assert 0 <= r["n_novel"] <= r["n_grams"]
         assert 0.0 <= r["novelty"] <= 1.0
+
+
+def test_incremental_components_equals_recompute(spark):
+    from vector_graph_native_database__spark.operators.analytics import (
+        connected_components,
+        incremental_components,
+    )
+
+    verts = spark.createDataFrame([(str(i),) for i in range(8)], "id string")
+    base = spark.createDataFrame(
+        [("0", "1"), ("2", "3"), ("4", "5")], "src string, dst string"
+    )
+    # delta merges {0,1}+{2,3} and attaches isolated 7 to {4,5}
+    delta = spark.createDataFrame(
+        [("1", "2"), ("7", "4")], "src string, dst string"
+    )
+    stored = connected_components(verts, base)
+    inc = {
+        (r["id"], r["component"])
+        for r in incremental_components(stored, delta).collect()
+    }
+    full = {
+        (r["id"], r["component"])
+        for r in connected_components(verts, base.union(delta)).collect()
+    }
+    assert inc == full
+    assert ("3", "0") in inc and ("7", "4") in inc and ("6", "6") in inc
