@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from .common import scratch_dir
+from .common import ORACLE_PRELUDE, scratch_dir
 from ..streaming.windows import session_agg, sliding_agg, tumbling_agg
 
 
@@ -396,6 +396,78 @@ def q_ann_ivf_streamed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_state_cdc_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletes through the vector state store proven against the
+    batch definition → per surviving id (id, l2, dim, top_bucket):
+    the embeddings table replays as three CDC micro-batches — every
+    vector inserted (seq 0), a 20% md5-bucket slice DELETED (seq 1),
+    half of the deleted slice re-inserted with its true vector
+    (seq 2) — applied by ``incremental_vector_cdc_maintenance``
+    (latest-wins upsert + delete through the transactional snapshot
+    store). The maintained state is then fingerprinted (unit norm to
+    6dp, component count, argmax bucket with min-index tiebreak) and
+    the DuckDB oracle derives the same fingerprints from the PLAIN
+    parquet restricted to the survivor set — a vector that outlives
+    its delete, a lost re-insert, or a double-applied delete changes
+    the row set or a fingerprint and fails the gate. Completes the
+    write-API story for the vector index: ann_ivf_streamed_index
+    proves upserts reach serving; this proves deletes do too."""
+    import os
+
+    from ..streaming.ingest import (
+        incremental_vector_cdc_maintenance,
+        read_state,
+    )
+    from .common import model
+
+    base = scratch_dir("vector_state_cdc")
+    src = os.path.join(base, "src")
+    state = os.path.join(base, "state")
+    ckpt = os.path.join(base, "ckpt")
+    _, emb, _ = model(spark, sf_dir)
+    vecs = emb.select("node_id", "vector")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("del"), F.col("node_id"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    schema = "node_id string, vector array<float>, op string, seq long"
+    batches = [
+        vecs.select(
+            "node_id", "vector", F.lit("I").alias("op"),
+            F.lit(0).cast("long").alias("seq"),
+        ),
+        vecs.filter(b < 2).select(
+            "node_id", "vector", F.lit("D").alias("op"),
+            F.lit(1).cast("long").alias("seq"),
+        ),
+        vecs.filter(b == 0).select(
+            "node_id", "vector", F.lit("I").alias("op"),
+            F.lit(2).cast("long").alias("seq"),
+        ),
+    ]
+    for batch in batches:
+        batch.write.mode("append").parquet(src)
+        incremental_vector_cdc_maintenance(spark, src, schema, state, ckpt)
+    kept = read_state(spark, state)
+    comp = kept.select(
+        F.col("node_id").alias("id"),
+        F.posexplode("vector").alias("bucket", "val"),
+    ).withColumn("d", F.col("val").cast("double"))
+    return comp.groupBy("id").agg(
+        F.round(F.sqrt(F.sum(F.col("d") * F.col("d"))), 6).alias("l2"),
+        F.count(F.lit(1)).cast("long").alias("dim"),
+        F.max_by(
+            "bucket", F.struct(F.col("d"), -F.col("bucket"))
+        ).cast("long").alias("top_bucket"),
+    )
+
+
 def q_embed_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Twin of bm25_incremental_equiv for the EMBEDDING index: the
     corpus replays as three checkpointed micro-batches through
@@ -458,6 +530,7 @@ QUERIES = {
     "bm25_incremental_equiv": q_bm25_incremental_equiv,
     "bm25_topk_streamed_index": q_bm25_topk_streamed_index,
     "ann_ivf_streamed_index": q_ann_ivf_streamed_index,
+    "vector_state_cdc_equiv": q_vector_state_cdc_equiv,
     "embed_incremental_equiv": q_embed_incremental_equiv,
 }
 
@@ -591,6 +664,30 @@ ORDER BY round(c.score, 6) DESC, n.id ASC LIMIT 15"""
 from .pipelineq import ORACLES as _PIPE_ORACLES  # noqa: E402
 
 ORACLES["ann_ivf_streamed_index"] = _PIPE_ORACLES["ann_ivf_topk"]
+
+ORACLES["vector_state_cdc_equiv"] = ORACLE_PRELUDE + """,
+bk AS (
+  SELECT node_id, CAST(vector AS DOUBLE[]) AS v,
+         ('0x' || substr(md5('del' || node_id), 1, 15))::BIGINT % 10 AS b
+  FROM emb
+),
+keep AS (SELECT node_id, v FROM bk WHERE b >= 2 OR b = 0),
+comp AS (
+  SELECT node_id, i.i - 1 AS bucket, v[i.i] AS val
+  FROM keep, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i) i
+),
+mx AS (SELECT node_id, max(val) AS m FROM comp GROUP BY node_id),
+top AS (
+  SELECT c.node_id, min(c.bucket) AS tb
+  FROM comp c JOIN mx ON mx.node_id = c.node_id AND c.val = mx.m
+  GROUP BY c.node_id
+)
+SELECT c.node_id AS id,
+       round(sqrt(sum(c.val * c.val)), 6) AS l2,
+       CAST(count(*) AS BIGINT) AS dim,
+       CAST(min(t.tb) AS BIGINT) AS top_bucket
+FROM comp c JOIN top t ON t.node_id = c.node_id
+GROUP BY c.node_id"""
 
 # Embedding twin: the oracle is the batch hash-embedding definition
 # (same CTEs as functionsq's embed_batch) projected to the

@@ -425,6 +425,57 @@ def incremental_vector_maintenance(
     return q
 
 
+def incremental_vector_cdc_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    vec_schema: str | StructType,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Embedding-vector CDC stream (node_id, vector, op, seq; op ∈
+    {'I','D'}) → per-batch apply of upserts AND DELETES onto the
+    persisted vector state — ``incremental_vector_maintenance`` plus
+    the delete half of the reference's mutation surface
+    (``app.py:322-344``'s delete routes) so the vector index's state
+    follows the FULL write API, not just inserts. Per batch: the
+    max-seq row per id wins; a winning 'D' removes the id, anything
+    else replaces it (the changelog_apply rule, applied through the
+    transactional snapshot commit). The state side is touched only by
+    a broadcast anti-join on the batch's id set — O(batch) work."""
+    from ..operators.crud import upsert
+
+    vecs = spark.readStream.schema(vec_schema).parquet(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        winners = batch_df.groupBy("node_id").agg(
+            F.max_by(F.struct("vector", "op"), "seq").alias("w")
+        ).select("node_id", F.col("w.vector").alias("vector"),
+                 F.col("w.op").alias("op"))
+        ups = winners.filter(F.col("op") != "D").drop("op")
+        current = read_state(spark, state_dir)
+        if current is None:
+            merged = ups
+        else:
+            survivors = current.join(
+                F.broadcast(winners.select("node_id")),
+                "node_id",
+                "left_anti",
+            )
+            merged = survivors.unionByName(ups)
+        commit_state(merged, state_dir)
+
+    q = (
+        vecs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def incremental_bm25_maintenance(
     spark: SparkSession,
     source_dir: str,
