@@ -182,3 +182,23 @@ def test_vector_cdc_maintenance_applies_deletes(spark, tmp_path):
         for r in read_state(spark, state).collect()
     }
     assert got == {"b": [0.5, 0.5], "c": [2.0, 2.0]}
+
+
+def test_minhash_band_sweep_monotone(spark):
+    from vector_graph_native_database__spark.registry.qualityq import (
+        q_dedup_minhash_band_sweep,
+    )
+
+    rows = sorted(
+        q_dedup_minhash_band_sweep(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["rows_per_band"],
+    )
+    assert [r["rows_per_band"] for r in rows] == [1, 2, 4, 12]
+    # aligned divisors nest the candidate sets: stricter banding can
+    # only shrink candidates and recall
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_candidates"] >= b["n_candidates"]
+        assert a["recall"] >= b["recall"]
+        assert a["n_exact"] == b["n_exact"]  # truth is banding-free
+    for r in rows:
+        assert r["n_hits"] <= min(r["n_exact"], r["n_candidates"])

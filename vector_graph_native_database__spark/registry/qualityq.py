@@ -751,3 +751,148 @@ def _nprobe_sweep_oracle() -> str:
 
 QUERIES["ann_ivf_nprobe_sweep"] = q_ann_ivf_nprobe_sweep
 ORACLES["ann_ivf_nprobe_sweep"] = _nprobe_sweep_oracle()
+
+
+MINHASH_SWEEP_ROWS = (1, 2, 4, 12)  # rows per band over 12 perms
+
+
+def q_dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH tuning curve → one row per banding
+    (rows_per_band, n_bands, n_exact, n_candidates, n_hits, recall,
+    precision): where dedup_minhash_eval grades the ONE deployed
+    banding, this sweeps the knob an LSH deployment actually turns —
+    rows per band over the fixed 12-perm signature — against the
+    exact 2-shingle Jaccard≥0.8 truth, so an operator reads the
+    precision/recall trade per candidate volume and picks the knee
+    (the dedup twin of ann_ivf_nprobe_sweep). The chosen divisors
+    (1 | 2 | 4 | 12) give ALIGNED bands, so candidate sets are nested
+    and recall is monotone nonincreasing in rows_per_band by
+    construction — pytest-pinned.
+
+    Scale shape: shingles, signatures, and truth are each staged
+    once; every sweep point is one banded equi-join plus a
+    pair-key full-outer comparison over near-dup-sized frames."""
+    from functools import reduce
+
+    from ..operators import dedup
+    from .common import model
+
+    nodes, _, _ = model(spark, sf_dir)
+    sh = dedup.shingles(nodes, "id", "text", k=2).localCheckpoint(
+        eager=True
+    )
+    sig = dedup.minhash_signatures(sh, 12).localCheckpoint(eager=True)
+    truth = (
+        dedup.ngram_jaccard_pairs(nodes, k=2, threshold=0.8)
+        .select("id_a", "id_b", F.lit(1).alias("__ex"))
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for r in MINHASH_SWEEP_ROWS:
+        cand = dedup.lsh_candidate_pairs(sig, rows_per_band=r).select(
+            "id_a", "id_b", F.lit(1).alias("__ca")
+        )
+        j = truth.join(cand, ["id_a", "id_b"], "full_outer")
+        rows.append(
+            j.agg(
+                F.sum(F.coalesce("__ex", F.lit(0))).alias("n_exact"),
+                F.sum(F.coalesce("__ca", F.lit(0))).alias("n_candidates"),
+                F.sum(
+                    F.when(
+                        F.col("__ex").isNotNull()
+                        & F.col("__ca").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_hits"),
+            ).select(
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.lit(12 // r).cast("int").alias("n_bands"),
+                F.col("n_exact").cast("long").alias("n_exact"),
+                F.col("n_candidates").cast("long").alias("n_candidates"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                (
+                    F.floor(
+                        F.col("n_hits")
+                        / F.greatest(F.col("n_exact"), F.lit(1))
+                        * F.lit(1e6)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1e6)
+                ).alias("recall"),
+                (
+                    F.floor(
+                        F.col("n_hits")
+                        / F.greatest(F.col("n_candidates"), F.lit(1))
+                        * F.lit(1e6)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1e6)
+                ).alias("precision"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), rows)
+
+
+def _minhash_sweep_oracle() -> str:
+    from .common import ORACLE_PRELUDE
+    from .pipelineq import _H60, _TOKS, _sh_cte
+
+    base = (
+        ORACLE_PRELUDE
+        + _TOKS
+        + _sh_cte(2, "sh")
+        + f""",
+perms AS (SELECT unnest(generate_series(0, 11)) AS perm),
+mh AS (
+  SELECT s.id, p.perm,
+         min({_H60.format(x="p.perm || '|' || s.shingle")}) AS minhash
+  FROM sh s CROSS JOIN perms p GROUP BY s.id, p.perm
+),
+szs AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+intr AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+truth AS (
+  SELECT i.id_a, i.id_b FROM intr i
+  JOIN szs x ON x.id = i.id_a JOIN szs y ON y.id = i.id_b
+  WHERE i.i * 1.0 / (x.n + y.n - i.i) >= 0.8
+)"""
+    )
+    selects = []
+    for r in MINHASH_SWEEP_ROWS:
+        base += f""",
+banded{r} AS (
+  SELECT id, perm // {r} AS band,
+         string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm) AS sig
+  FROM mh GROUP BY id, perm // {r}
+),
+cand{r} AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded{r} a JOIN banded{r} b
+    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+),
+st{r} AS (
+  SELECT (SELECT count(*) FROM truth) AS n_exact,
+         (SELECT count(*) FROM cand{r}) AS n_candidates,
+         (SELECT count(*) FROM cand{r} c
+          JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_hits
+)"""
+        selects.append(
+            f"""SELECT CAST({r} AS INTEGER) AS rows_per_band,
+       CAST({12 // r} AS INTEGER) AS n_bands,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       floor(n_hits * 1.0 / greatest(n_exact, 1) * 1000000.0 + 0.5)
+         / 1000000.0 AS recall,
+       floor(n_hits * 1.0 / greatest(n_candidates, 1) * 1000000.0 + 0.5)
+         / 1000000.0 AS precision
+FROM st{r}"""
+        )
+    return base + "\n" + "\nUNION ALL\n".join(selects)
+
+
+QUERIES["dedup_minhash_band_sweep"] = q_dedup_minhash_band_sweep
+ORACLES["dedup_minhash_band_sweep"] = _minhash_sweep_oracle()
