@@ -198,6 +198,9 @@ HEADLINE = CANARY + [
     "olap_excess_stock",
     "ann_ivf_streamed_index",
     "text_ngram_novelty",
+    "graph_components_incremental",
+    "vector_state_cdc_equiv",
+    "dedup_minhash_band_sweep",
 ]
 
 
