@@ -193,7 +193,7 @@ def test_minhash_band_sweep_monotone(spark):
         q_dedup_minhash_band_sweep(spark, "/root/testdata/sf0.001").collect(),
         key=lambda r: r["rows_per_band"],
     )
-    assert [r["rows_per_band"] for r in rows] == [1, 2, 4, 12]
+    assert [r["rows_per_band"] for r in rows] == [2, 4, 12]
     # aligned divisors nest the candidate sets: stricter banding can
     # only shrink candidates and recall
     for a, b in zip(rows, rows[1:]):
@@ -202,3 +202,23 @@ def test_minhash_band_sweep_monotone(spark):
         assert a["n_exact"] == b["n_exact"]  # truth is banding-free
     for r in rows:
         assert r["n_hits"] <= min(r["n_exact"], r["n_candidates"])
+
+
+def test_ann_ivf_filtered_topk_respects_predicate(spark):
+    from vector_graph_native_database__spark.registry.pipelineq import (
+        q_ann_ivf_filtered_topk,
+    )
+    from vector_graph_native_database__spark.registry.common import model
+
+    sf = "/root/testdata/sf0.001"
+    nodes, _, _ = model(spark, sf)
+    en = {r["id"] for r in nodes.filter("lang = 'en'").select("id").collect()}
+    rows = q_ann_ivf_filtered_topk(spark, sf).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert r["id"] in en  # every hit satisfies the metadata filter
+        per_q.setdefault(r["qid"], []).append(r["rnk"])
+    for q, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= 5

@@ -296,6 +296,7 @@ def ivf_topk(
     nprobe: int = 2,
     dim: int = 64,
     round_scores: int | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k → (qid, id, cos, rnk).
 
@@ -342,6 +343,14 @@ def ivf_topk(
         .filter(F.col("id") != F.col("qid"))
         .withColumn("cos", cosine("vector", "qvec"))
     )
+    if allowed is not None:
+        # filtered ANN over the SHARED index: the metadata predicate
+        # prunes probed candidates by a semi-join on the id key —
+        # post-filter on nprobe/C of the corpus, never a per-filter
+        # index rebuild (the deployment contract of vector stores'
+        # filtered search). A highly selective filter wants larger
+        # nprobe; the entry's sweep twin quantifies that trade.
+        cand = cand.join(allowed.select("id"), "id", "left_semi")
     if round_scores is not None:
         cand = cand.withColumn("cos", F.round("cos", round_scores))
     wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))

@@ -2051,3 +2051,56 @@ SELECT ev.id,
 FROM ev LEFT JOIN train tr ON tr.g = ev.g
 GROUP BY ev.id"""
 )
+
+
+def q_ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN over the SHARED IVF index → (qid, id, cos, rnk):
+    top-5 'en'-language neighbors per query, where the metadata
+    predicate prunes the PROBED candidates by an id semi-join —
+    post-filtering nprobe/C of the corpus — rather than rebuilding an
+    index per filter value. The filtered-search contract every vector
+    store ships (and the reference serves brute-force via
+    vector_topk_filtered, app.py:529-560): one index, arbitrary
+    predicates at query time, recall governed by nprobe × filter
+    selectivity. The oracle replays the identical index build and
+    applies the same lang join inside the probed-candidate rescan."""
+    nodes, emb, _ = model(spark, sf_dir)
+    allowed = nodes.filter(F.col("lang") == "en").select("id")
+    return ann.ivf_topk(
+        emb, ANN_QUERY_IDS, k=5, n_centroids=8, iters=2, nprobe=2,
+        dim=64, round_scores=6, allowed=allowed,
+    )
+
+
+QUERIES["ann_ivf_filtered_topk"] = q_ann_ivf_filtered_topk
+
+
+def _ivf_filtered_sql(
+    n_centroids: int = 8, iters: int = 2, nprobe: int = 2, k: int = 5,
+    pred: str = "n.lang = 'en'",
+) -> str:
+    """The IVF oracle with the metadata predicate applied inside the
+    probed-candidate rescan — the SQL twin of ivf_topk(allowed=...)."""
+    final = f"""
+,cand AS (
+  SELECT p.qid, a.id,
+         round(CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb)
+               ELSE 0.0 END, 6) AS cos
+  FROM af a JOIN probes p ON p.cidx = a.cidx AND a.id <> p.qid
+  JOIN nodes n ON n.id = a.id AND {pred}
+  JOIN e ON e.id = a.id
+  CROSS JOIN LATERAL (
+    SELECT list_dot_product(e.v, p.qv) AS d,
+           sqrt(list_dot_product(e.v, e.v)) AS na,
+           sqrt(list_dot_product(p.qv, p.qv)) AS nb
+  ) t
+)
+SELECT qid, id, cos, rnk FROM (
+  SELECT qid, id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rnk
+  FROM cand
+) WHERE rnk <= {k}"""
+    return ORACLE_PRELUDE + _ivf_ctes(n_centroids, iters, nprobe) + final
+
+
+ORACLES["ann_ivf_filtered_topk"] = _ivf_filtered_sql()

@@ -753,7 +753,7 @@ QUERIES["ann_ivf_nprobe_sweep"] = q_ann_ivf_nprobe_sweep
 ORACLES["ann_ivf_nprobe_sweep"] = _nprobe_sweep_oracle()
 
 
-MINHASH_SWEEP_ROWS = (1, 2, 4, 12)  # rows per band over 12 perms
+MINHASH_SWEEP_ROWS = (2, 4, 12)  # rows per band over 12 perms
 
 
 def q_dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -765,7 +765,7 @@ def q_dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact 2-shingle Jaccard≥0.8 truth, so an operator reads the
     precision/recall trade per candidate volume and picks the knee
     (the dedup twin of ann_ivf_nprobe_sweep). The chosen divisors
-    (1 | 2 | 4 | 12) give ALIGNED bands, so candidate sets are nested
+    (2 | 4 | 12) give ALIGNED bands, so candidate sets are nested
     and recall is monotone nonincreasing in rows_per_band by
     construction — pytest-pinned.
 
