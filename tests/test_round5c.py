@@ -222,3 +222,20 @@ def test_ann_ivf_filtered_topk_respects_predicate(spark):
     for q, rnks in per_q.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
         assert len(rnks) <= 5
+
+
+def test_hybrid_weight_sweep_monotone_handoff(spark):
+    from vector_graph_native_database__spark.registry.searchq import (
+        q_hybrid_weight_sweep,
+    )
+
+    rows = sorted(
+        q_hybrid_weight_sweep(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["vector_weight"],
+    )
+    assert [r["vector_weight"] for r in rows] == [0.0, 0.25, 0.5, 0.75, 1.0]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_vec_overlap"] <= b["n_vec_overlap"]
+        assert a["n_graph_overlap"] >= b["n_graph_overlap"]
+    assert rows[-1]["n_vec_overlap"] == rows[-1]["n_results"]
+    assert rows[0]["n_graph_overlap"] == rows[0]["n_results"]

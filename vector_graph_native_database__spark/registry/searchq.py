@@ -401,3 +401,132 @@ SELECT id, n_occurrences,
 FROM m
 ORDER BY n_occurrences DESC, id ASC
 LIMIT 20"""
+
+
+HYBRID_SWEEP_WEIGHTS = (0.0, 0.25, 0.5, 0.75, 1.0)  # vector weight
+
+
+def q_hybrid_weight_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid-fusion tuning curve → one row per vector weight
+    (vector_weight, n_results, n_vec_overlap, n_graph_overlap): the
+    flagship fusion's ONE knob — how much the blended top-15 agrees
+    with its two pure endpoints as the weight slides from graph-only
+    (0.0) to vector-only (1.0). The counts quantify the handoff an
+    operator tunes by feel today: where the blend stops tracking the
+    graph neighborhood and starts tracking the embedding space
+    (companions: ann_ivf_nprobe_sweep, dedup_minhash_band_sweep —
+    every approximate/fused family now ships its tuning curve).
+
+    Scale shape: the vec/graph score frames are the audited hybrid
+    plan shapes built ONCE each (localCheckpoint); every sweep point
+    reweights two dimension-small scored frames and takes a top-15
+    (TakeOrderedAndProject) — no per-weight rescan of anything
+    corpus-sized. Overlap counts are 15-row broadcast joins. The
+    oracle replays all five fusions from one shared scored/BFS
+    scaffold; integer counts, no float parity surface beyond the
+    fusion arithmetic itself."""
+    import pyspark.sql.functions as F
+    from functools import reduce
+
+    nodes, emb, edges = model(spark, sf_dir)
+    qv = query_vec(spark, sf_dir)
+
+    def top_ids(vw: float) -> DataFrame:
+        return (
+            hybrid.hybrid_search(
+                nodes, emb, edges, qv,
+                vector_weight=vw, graph_weight=1.0 - vw, top_k=15,
+                graph_start_id="0", graph_depth=2, round_scores=6,
+            ).select("id")
+        )
+
+    tops = {
+        vw: top_ids(vw).localCheckpoint(eager=True)
+        for vw in HYBRID_SWEEP_WEIGHTS
+    }
+    vec_ref = tops[1.0].withColumnRenamed("id", "vid")
+    graph_ref = tops[0.0].withColumnRenamed("id", "gid")
+    rows = []
+    for vw in HYBRID_SWEEP_WEIGHTS:
+        t = tops[vw]
+        j = (
+            t.join(
+                F.broadcast(vec_ref), t["id"] == F.col("vid"), "left"
+            ).join(
+                F.broadcast(graph_ref), t["id"] == F.col("gid"), "left"
+            )
+        )
+        rows.append(
+            j.agg(
+                F.count("*").cast("long").alias("n_results"),
+                F.sum(F.when(F.col("vid").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_vec_overlap"),
+                F.sum(F.when(F.col("gid").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_graph_overlap"),
+            ).select(
+                F.lit(vw).cast("double").alias("vector_weight"),
+                "n_results",
+                "n_vec_overlap",
+                "n_graph_overlap",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), rows)
+
+
+QUERIES["hybrid_weight_sweep"] = q_hybrid_weight_sweep
+
+
+def _hybrid_sweep_oracle() -> str:
+    base = (
+        ORACLE_PRELUDE
+        + SQL_SCORED
+        + sql_bfs_cte("0", 2)
+        + f""",
+bounds AS (SELECT min(score) AS mn, max(score) AS mx FROM scored),
+vec AS (
+  SELECT id, CASE WHEN mx = mn THEN 1.0
+             ELSE (score - mn) / (mx - mn) END AS vec_norm
+  FROM scored, bounds
+),
+g AS ({_G_SCORES_D2})"""
+    )
+    tags = []
+    for vw in HYBRID_SWEEP_WEIGHTS:
+        tag = str(vw).replace(".", "_")
+        gw = 1.0 - vw
+        base += f""",
+fused{tag} AS (
+  SELECT n.id,
+         round({vw} * coalesce(v.vec_norm, 0.0)
+               + {gw} * coalesce(g.g_score, 0.0), 6) AS fs
+  FROM nodes n
+  LEFT JOIN vec v ON v.id = n.id
+  LEFT JOIN g ON g.id = n.id
+),
+top{tag} AS (
+  SELECT id FROM (
+    SELECT id, row_number() OVER (ORDER BY fs DESC, id ASC) AS rn
+    FROM fused{tag} WHERE fs > 0
+  ) WHERE rn <= 15
+)"""
+        tags.append((vw, tag))
+    vtag = str(1.0).replace(".", "_")
+    gtag = str(0.0).replace(".", "_")
+    selects = [
+        f"""SELECT CAST({vw} AS DOUBLE) AS vector_weight,
+       CAST(count(*) AS BIGINT) AS n_results,
+       CAST(sum(CASE WHEN vr.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_vec_overlap,
+       CAST(sum(CASE WHEN gr.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_graph_overlap
+FROM top{tag} t
+LEFT JOIN top{vtag} vr ON vr.id = t.id
+LEFT JOIN top{gtag} gr ON gr.id = t.id"""
+        for vw, tag in tags
+    ]
+    return base + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ORACLES["hybrid_weight_sweep"] = _hybrid_sweep_oracle()
