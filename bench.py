@@ -201,6 +201,8 @@ HEADLINE = CANARY + [
     "graph_components_incremental",
     "vector_state_cdc_equiv",
     "dedup_minhash_band_sweep",
+    "ann_ivf_filtered_topk",
+    "hybrid_weight_sweep",
 ]
 
 
