@@ -239,3 +239,32 @@ def test_hybrid_weight_sweep_monotone_handoff(spark):
         assert a["n_graph_overlap"] >= b["n_graph_overlap"]
     assert rows[-1]["n_vec_overlap"] == rows[-1]["n_results"]
     assert rows[0]["n_graph_overlap"] == rows[0]["n_results"]
+
+
+def test_corpus_token_budget_consistency(spark):
+    from vector_graph_native_database__spark.registry.samplingq import (
+        q_corpus_token_budget,
+    )
+
+    rows = q_corpus_token_budget(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_docs_kept"] <= r["n_docs"]
+        assert 0 <= r["tokens_out"] <= r["tokens_in"]
+        assert 0.0 <= r["retention"] <= 1.0
+
+
+def test_dedup_cluster_size_histogram_floor(spark):
+    from vector_graph_native_database__spark.registry.curationq import (
+        q_dedup_cluster_size_histogram,
+    )
+
+    rows = q_dedup_cluster_size_histogram(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        # every emitted cluster has >= 2 members (singletons not emitted)
+        assert r["min_size"] >= 2
+        assert 2 ** r["bucket"] <= r["min_size"] <= r["max_size"]
+        assert r["max_size"] < 2 ** (r["bucket"] + 1)

@@ -861,3 +861,40 @@ keyed AS (
 SELECT id, logw, key FROM keyed
 ORDER BY key DESC, id LIMIT {DSIR_KEEP}"""
 )
+
+
+def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned near-dup cluster-size histogram → (bucket,
+    n_clusters, min_size, max_size): the shape of the duplication a
+    corpus actually carries — a fat tail of giant clusters means
+    template spam (and a pointer-jumping component pass that must
+    budget for deep chains); all-pairs-size-2 means benign
+    near-copies. Read next to corpus_token_budget before signing off
+    a dedup pass: the histogram says WHERE the removed tokens went.
+    bucket = floor(log2(size)) as integer bit length — exact in both
+    engines (the graph_degree_histogram idiom). One groupBy on the
+    audited cluster assignment, then a |buckets|-sized rollup."""
+    nodes, _, _ = model(spark, sf_dir)
+    ca = curation.dedup_cluster_assign(nodes, threshold=0.8)
+    sizes = ca.groupBy("cluster").agg(F.count("*").alias("size"))
+    bucket = F.length(F.conv(F.col("size"), 10, 2)) - 1
+    return (
+        sizes.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.min("size").cast("long").alias("min_size"),
+            F.max("size").cast("long").alias("max_size"),
+        )
+    )
+
+
+QUERIES["dedup_cluster_size_histogram"] = q_dedup_cluster_size_histogram
+ORACLES["dedup_cluster_size_histogram"] = f"""
+WITH ca AS ({ORACLES["dedup_cluster_assign"]}),
+sizes AS (SELECT cluster, count(*) AS sz FROM ca GROUP BY cluster)
+SELECT CAST(length(bin(sz)) - 1 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(min(sz) AS BIGINT) AS min_size,
+       CAST(max(sz) AS BIGINT) AS max_size
+FROM sizes GROUP BY 1"""

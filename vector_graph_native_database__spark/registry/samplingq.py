@@ -507,3 +507,77 @@ def q_tmix_incremental_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["tmix_incremental_equiv"] = q_tmix_incremental_equiv
 ORACLES["tmix_incremental_equiv"] = ORACLES["sample_temperature_mix"]
+
+
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token-budget retention report → one row per lang
+    (lang, n_docs, n_docs_kept, tokens_in, tokens_out, retention):
+    what the quality-gate + exact-dedup pipeline (corpus_clean) COSTS
+    per language in documents and tokens — the table a data team
+    circulates before signing off a corpus build, and the first place
+    a biased gate shows up (one language's retention collapsing while
+    the corpus-level number looks fine). Exact integer token sums;
+    retention quantized to 6dp.
+
+    Scale shape: the kept-id set is the audited corpus_clean plan; the
+    report is one LEFT semi-ish join on the id key plus one
+    |langs|-sized aggregate — no second pass over text."""
+    nodes, _, _ = model(spark, sf_dir)
+    ntok = nodes.select(
+        "id", "lang", F.size(tokenize("text")).alias("nt")
+    )
+    kept = sampling.corpus_clean(nodes, min_quality=0.5).select(
+        "id", F.lit(1).alias("__k")
+    )
+    j = ntok.join(kept, "id", "left")
+    return j.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.coalesce("__k", F.lit(0))).cast("long").alias("n_docs_kept"),
+        F.sum("nt").cast("long").alias("tokens_in"),
+        F.sum(F.when(F.col("__k").isNotNull(), F.col("nt")).otherwise(0))
+        .cast("long")
+        .alias("tokens_out"),
+        (
+            F.floor(
+                F.sum(
+                    F.when(F.col("__k").isNotNull(), F.col("nt")).otherwise(0)
+                )
+                / F.greatest(F.sum("nt"), F.lit(1))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("retention"),
+    )
+
+
+QUERIES["corpus_token_budget"] = q_corpus_token_budget
+ORACLES["corpus_token_budget"] = (
+    ORACLE_PRELUDE
+    + _TOKS
+    + _QUALITY
+    + """,
+passing AS (
+  SELECT q.id, md5(n.text) AS th
+  FROM quality q JOIN nodes n ON n.id = q.id
+  WHERE q.quality >= 0.5
+),
+keepers AS (SELECT th, min(id) AS id FROM passing GROUP BY th),
+docs AS (SELECT p.id FROM passing p JOIN keepers k ON k.id = p.id),
+alltok AS (
+  SELECT t.id, n.lang, len(t.t) AS nt
+  FROM toks t JOIN nodes n ON n.id = t.id
+)
+SELECT a.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN d.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_kept,
+       CAST(sum(a.nt) AS BIGINT) AS tokens_in,
+       CAST(sum(CASE WHEN d.id IS NOT NULL THEN a.nt ELSE 0 END) AS BIGINT)
+         AS tokens_out,
+       floor(sum(CASE WHEN d.id IS NOT NULL THEN a.nt ELSE 0 END) * 1.0
+             / greatest(sum(a.nt), 1) * 1000000.0 + 0.5) / 1000000.0
+         AS retention
+FROM alltok a LEFT JOIN docs d ON d.id = a.id
+GROUP BY a.lang"""
+)
