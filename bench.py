@@ -203,6 +203,8 @@ HEADLINE = CANARY + [
     "dedup_minhash_band_sweep",
     "ann_ivf_filtered_topk",
     "hybrid_weight_sweep",
+    "corpus_token_budget",
+    "dedup_cluster_size_histogram",
 ]
 
 
