@@ -1,0 +1,130 @@
+"""Round-5 continuation (wave D): rank AUC, Pareto frontier,
+hourly-count autocorrelation."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from vector_graph_native_database__spark.operators.profiling import rank_auc
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rank_auc_perfect_separation(spark):
+    df = spark.createDataFrame(
+        [(float(i), i >= 50) for i in range(100)], "s double, y boolean"
+    )
+    row = rank_auc(df, "s", F.col("y")).collect()[0]
+    assert (row.n_pos, row.n_neg) == (50, 50)
+    assert row.auc == 1.0
+    rev = rank_auc(df, "s", ~F.col("y")).collect()[0]
+    assert rev.auc == 0.0
+
+
+def test_rank_auc_all_tied_is_half(spark):
+    df = spark.createDataFrame(
+        [(1.0, i % 3 == 0) for i in range(30)], "s double, y boolean"
+    )
+    assert rank_auc(df, "s", F.col("y")).collect()[0].auc == 0.5
+
+
+def test_rank_auc_matches_pairwise_definition(spark):
+    # deterministic small sample with ties; AUC = P(score_pos > score_neg)
+    # + 0.5 * P(tie), computed by brute force over all pos x neg pairs
+    rows = [(float((7 * i) % 5), (3 * i) % 4 == 0) for i in range(40)]
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p in pos
+        for n in neg
+    )
+    expected = wins / (len(pos) * len(neg))
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    got = rank_auc(df, "s", F.col("y")).collect()[0]
+    assert (got.n_pos, got.n_neg) == (len(pos), len(neg))
+    assert abs(got.auc - expected) < 1e-6
+
+
+def test_rank_auc_deterministic_across_runs(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    vals = {
+        rank_auc(ev, "value", F.col("event_type") == "purchase")
+        .collect()[0]
+        .auc
+        for _ in range(3)
+    }
+    assert len(vals) == 1
+
+
+def test_pareto_frontier_is_nondominated_and_complete(spark):
+    from vector_graph_native_database__spark.registry.olapq import (
+        q_olap_pareto_frontier,
+    )
+
+    part = [
+        (r.p_partkey, r.p_size, r.p_retailprice)
+        for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+    ]
+    got = {r.p_partkey for r in q_olap_pareto_frontier(spark, SF).collect()}
+
+    def dominated(p):
+        return any(
+            q[1] >= p[1]
+            and q[2] <= p[2]
+            and (q[1] > p[1] or q[2] < p[2])
+            for q in part
+        )
+
+    brute = {k for (k, s, pr) in part if not dominated((k, s, pr))}
+    assert got == brute and got
+
+
+def test_events_autocorr_matches_direct_formula(spark):
+    from vector_graph_native_database__spark.registry.eventsq import (
+        q_events_autocorr,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    hc = {
+        r.h: r.x
+        for r in ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.count("*").alias("x"))
+        .collect()
+    }
+    h0, h1 = min(hc), max(hc)
+    n = int((h1 - h0).total_seconds() // 3600) + 1
+    xs = [0] * n
+    for h, x in hc.items():
+        xs[int((h - h0).total_seconds() // 3600)] = x
+    mean = sum(xs) / n
+    den = sum((x - mean) ** 2 for x in xs)
+    got = {r.lag: (r.n_pairs, r.acf) for r in q_events_autocorr(spark, SF).collect()}
+    assert set(got) == {1, 2, 3, 6, 12, 24}
+    for k in got:
+        num = sum(
+            (xs[t] - mean) * (xs[t + k] - mean) for t in range(n - k)
+        )
+        expected = math.floor((num / den) * 1e6 + 0.5) / 1e6
+        assert got[k][0] == n - k
+        assert abs(got[k][1] - expected) < 2e-6
+
+
+def test_prefix_filter_lossless_and_reduces(spark):
+    from vector_graph_native_database__spark.operators.dedup import (
+        jaccard_prefix_filter_report,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    r = jaccard_prefix_filter_report(docs, k=3).collect()[0]
+    # lossless: every true match survives the prefix prune
+    assert r.n_matches == r.n_matches_prefix
+    # and the prune is a real reduction over the full posting join
+    assert r.n_pairs_prefix < r.n_pairs_full
+    assert r.n_matches <= r.n_pairs_prefix

@@ -771,3 +771,126 @@ def exact_dedup_groups_normalized(
         .agg(F.count("*").alias("cnt"), F.min("id").alias("keeper_id"))
         .filter(F.col("cnt") > 1)
     )
+
+
+def jaccard_prefix_filter_report(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """AllPairs/PPJoin prefix filtering for the θ=0.5 Jaccard
+    set-similarity join → ONE row
+    (n_pairs_full, n_pairs_prefix, n_matches, n_matches_prefix):
+    the candidate-generation economics of near-dup search, measured.
+
+    The plain posting join emits every pair sharing ANY shingle
+    (n_pairs_full — the quadratic-ish cost driver). Prefix filtering
+    orders each document's shingles by ascending global document
+    frequency (rarest first; ties by shingle — deterministic) and
+    keeps only the first p = n − ⌈θ·n⌉ + 1 of them: two sets with
+    Jaccard ≥ θ MUST collide inside their prefixes (pigeonhole on the
+    ≥ ⌈θ·n⌉ shared elements), so joining prefixes alone
+    (n_pairs_prefix) is a LOSSLESS prune — witnessed in-row by
+    n_matches = n_matches_prefix, where matches are verified with the
+    integer cross-multiplied test 2c ≥ (na + nb − c) (θ = 1/2 kept
+    rational so no float ever decides membership; ⌈n/2⌉ is the
+    integer (n+1) div 2).
+
+    Scale shape: postings → document-frequency agg (map-side
+    combinable) → per-DOC window for the frequency rank (partitioned
+    by doc id, frame = that doc's shingles, never global) → two
+    shingle-keyed equi-joins counted DISTINCT per pair. The rarest
+    shingles carry the fewest postings, which is exactly why the
+    prefix join's fan-out collapses at 100 TB — frequency-ascending
+    prefixes are the skew-avoidance built into the algorithm.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("df_", "shingle")
+            ),
+        )
+        .join(sizes, "id")
+        .withColumn(
+            "plen",
+            F.col("n")
+            - F.floor((F.col("n") + F.lit(1)) / F.lit(2))
+            + F.lit(1),
+        )
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("plen")).select(
+        "id", "shingle"
+    )
+
+    def pair_count(post: DataFrame) -> DataFrame:
+        a = post.select(F.col("id").alias("id_a"), "shingle")
+        b = post.select(F.col("id").alias("id_b"), "shingle")
+        return (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+        .join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+        )
+        .filter(
+            F.lit(2) * F.col("c") >= F.col("na") + F.col("nb") - F.col("c")
+        )
+        .select("id_a", "id_b")
+    )
+    pa = prefix.select(F.col("id").alias("id_a"), "shingle")
+    pb = prefix.select(F.col("id").alias("id_b"), "shingle")
+    cand_prefix = (
+        pa.join(pb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    matches_prefix = inter.join(cand_prefix, ["id_a", "id_b"]).agg(
+        F.count("*").alias("cnt")
+    )
+    n_matches = inter.agg(F.count("*").alias("cnt"))
+    return (
+        pair_count(sh)
+        .select(F.col("cnt").alias("n_pairs_full"))
+        .crossJoin(
+            F.broadcast(
+                cand_prefix.agg(
+                    F.count("*").alias("n_pairs_prefix")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(n_matches.select(F.col("cnt").alias("n_matches")))
+        )
+        .crossJoin(
+            F.broadcast(
+                matches_prefix.select(
+                    F.col("cnt").alias("n_matches_prefix")
+                )
+            )
+        )
+    )

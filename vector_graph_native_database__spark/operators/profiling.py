@@ -220,3 +220,103 @@ def drift_psi(
             ).alias("psi"),
         )
     )
+
+
+def rank_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: Column,
+    parts: int = 32,
+) -> DataFrame:
+    """Exact Mann-Whitney AUC of ``score_col`` ranking the binary
+    ``label_col`` → one row (n_pos, n_neg, auc) — the model-free
+    discrimination readout every scored-corpus gate wants (does the
+    quality score actually separate keep from drop?).
+
+    AUC needs global average ranks, but a single unpartitioned window
+    over the raw rows is the one shape that cannot scale. Instead:
+    (1) aggregate to the per-distinct-score grain (n, n_pos) — ties
+    collapse here, and the frame is at most |distinct scores|;
+    (2) compute the global count-below for every score with the
+    RANGE-BUCKETED PREFIX SUM idiom: DETERMINISTIC range buckets from
+    broadcast percentile_approx boundaries (a data COLUMN, ordered by
+    score and balanced by the quantile sketch — NOT
+    spark_partition_id over repartitionByRange, whose sampled
+    boundaries re-draw per DAG branch and silently desynchronize the
+    offsets join), an in-bucket running sum (window PARTITIONED by
+    bucket, never global), plus per-bucket totals offset-summed on a
+    ≤``parts``-row frame and broadcast back. Equal scores share a
+    bucket (bucket = #boundaries ≤ score is a pure function of the
+    score), so count-below is exact regardless of boundaries;
+    (3) tied ranks enter as the closed form cl + (n+1)/2, so no
+    per-row rank is ever materialized. All rank sums are exact in
+    doubles (integers and halves < 2^52); the only division is the
+    final AUC. At 100 TB the plan is two shuffles (grain agg + bucket
+    window) and two broadcasts — no global sort, no global window.
+    """
+    from pyspark.sql import Window
+
+    g = (
+        df.filter(F.col(score_col).isNotNull())
+        .select(
+            F.col(score_col).alias("v"),
+            F.when(label_col, F.lit(1)).otherwise(F.lit(0)).alias("p"),
+        )
+        .groupBy("v")
+        .agg(F.count("*").alias("n"), F.sum("p").alias("np"))
+    )
+    bnd = g.agg(
+        F.percentile_approx(
+            "v",
+            [i / parts for i in range(1, parts)],
+            10_000,
+        ).alias("bs")
+    )
+    g = g.join(F.broadcast(bnd)).withColumn(
+        "pid",
+        F.size(F.filter(F.col("bs"), lambda b: b <= F.col("v"))),
+    ).drop("bs")
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = g.withColumn("cum_in", F.coalesce(F.sum("n").over(w_in), F.lit(0)))
+    totals = g.groupBy("pid").agg(F.sum("n").alias("pt"))
+    w_off = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.withColumn(
+        "off", F.coalesce(F.sum("pt").over(w_off), F.lit(0))
+    ).select("pid", "off")
+    g = g.join(F.broadcast(offs), "pid").withColumn(
+        "cl", F.col("off") + F.col("cum_in")
+    )
+    agg = g.agg(
+        F.sum(
+            F.col("np")
+            * (F.col("cl") + (F.col("n") + F.lit(1)) / F.lit(2.0))
+        ).alias("rpos"),
+        F.sum("np").alias("n_pos"),
+        (F.sum("n") - F.sum("np")).alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.floor(
+                (
+                    (
+                        F.col("rpos")
+                        - F.col("n_pos")
+                        * (F.col("n_pos") + F.lit(1))
+                        / F.lit(2.0)
+                    )
+                    / (F.col("n_pos") * F.col("n_neg"))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("auc"),
+    )

@@ -2010,3 +2010,137 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
        count(DISTINCT CASE WHEN uday >= day - 6 THEN user_id END) AS wau,
        count(DISTINCT user_id) AS mau
 FROM j GROUP BY day"""
+
+
+AUTOCORR_LAGS = [1, 2, 3, 6, 12, 24]
+
+
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags
+    1/2/3/6/12/24 → (lag, n_pairs, acf): the seasonality probe behind
+    every anomaly detector (a strong lag-24 peak = daily rhythm; it
+    is what events_anomaly_zscore's residuals should have removed).
+
+    Integer-exact until the last division: the series is hourly
+    COUNTS on a gap-filled calendar, so Σx, Σx², Σx·x₊ₖ and the
+    head/tail sums are all BIGINTs, and the textbook centered ACF is
+    algebraised to the n²-scaled rational
+    (n²Σxy − nS₁(H+T) + (n−k)S₁²) / (n²Σx² − nS₁²) — both engines
+    divide the same two exact integers, so round6 can never straddle.
+    Scale shape: one groupBy to the hour grain, a broadcast 6-row lag
+    dimension replicating the TINY hour frame (|hours|, not
+    |events|), one equi-join on t+k, and broadcast global scalars —
+    the fact table is touched once. BIGINT headroom: n²Σx² grows as
+    (rows)², exact to ~sf100 on this calendar; beyond that the sums
+    swap to DECIMAL(38,0) unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("x")
+    )
+    bounds = hc.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    cal = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+        F.col("h0"),
+    )
+    s = (
+        cal.join(hc, "h", "left")
+        .select(
+            (
+                (F.col("h").cast("long") - F.col("h0").cast("long"))
+                / F.lit(3600)
+            )
+            .cast("long")
+            .alias("t"),
+            F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+        )
+    )
+    g = s.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    lags = spark.createDataFrame(
+        [(k,) for k in AUTOCORR_LAGS], "k long"
+    )
+    a = s.select(F.col("t"), F.col("x").alias("xa"))
+    b = s.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    pairs = (
+        a.join(F.broadcast(lags))
+        .withColumn("tk", F.col("t") + F.col("k"))
+        .join(b, F.col("tb") == F.col("tk"))
+    )
+    agg = pairs.groupBy("k").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+        F.sum("xa").alias("hs"),
+        F.sum("xb").alias("tl"),
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("sxy")
+        - F.col("n") * F.col("s1") * (F.col("hs") + F.col("tl"))
+        + (F.col("n") - F.col("k")) * F.col("s1") * F.col("s1")
+    )
+    den = (
+        F.col("n") * F.col("n") * F.col("s2")
+        - F.col("n") * F.col("s1") * F.col("s1")
+    )
+    return (
+        agg.join(F.broadcast(g))
+        .select(
+            F.col("k").alias("lag"),
+            "n_pairs",
+            (
+                F.floor(
+                    (num.cast("double") / den.cast("double"))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("acf"),
+        )
+    )
+
+
+QUERIES["events_autocorr"] = q_events_autocorr
+ORACLES["events_autocorr"] = """
+WITH hc AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hc),
+cal AS (
+  SELECT unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h,
+         b.h0 AS h0
+  FROM b
+),
+s AS (
+  SELECT CAST(date_diff('hour', c.h0, c.h) AS BIGINT) AS t,
+         coalesce(hc.x, 0) AS x
+  FROM cal c LEFT JOIN hc ON hc.h = c.h
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s1,
+         CAST(sum(x * x) AS BIGINT) AS s2
+  FROM s
+),
+L AS (SELECT CAST(unnest([1, 2, 3, 6, 12, 24]) AS BIGINT) AS k),
+pairs AS (
+  SELECT L.k, a.x AS xa, bb.x AS xb
+  FROM L CROSS JOIN s a JOIN s bb ON bb.t = a.t + L.k
+),
+agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(xa * xb) AS BIGINT) AS sxy,
+         CAST(sum(xa) AS BIGINT) AS hs,
+         CAST(sum(xb) AS BIGINT) AS tl
+  FROM pairs GROUP BY k
+)
+SELECT k AS lag, n_pairs,
+       floor((CAST(g.n * g.n * sxy - g.n * g.s1 * (hs + tl)
+                   + (g.n - k) * g.s1 * g.s1 AS DOUBLE)
+              / CAST(g.n * g.n * g.s2 - g.n * g.s1 * g.s1 AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS acf
+FROM agg CROSS JOIN g"""

@@ -3035,3 +3035,56 @@ JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
 JOIN nation n ON n.n_nationkey = s.s_nationkey
 WHERE ps.ps_availqty > 0.5 * sh.qty
 ORDER BY s.s_name"""
+
+
+def q_olap_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (2-D skyline) of part: the parts no other part
+    beats on BOTH axes — size maximized, retail price minimized →
+    (p_partkey, p_name, p_size, p_retailprice). The skyline/dominance
+    query is the classic "best trade-offs" analytics shape (cheapest
+    part at every capability level).
+
+    Scale design: never the O(n²) dominance self-join. The frontier
+    of a 2-D skyline is determined entirely by the per-size minimum
+    price — a map-side-combinable groupBy to the ≤|distinct sizes|
+    dimension frame — plus a running min over that TINY frame ordered
+    by size descending (the only window, over dozens of rows, never
+    the fact table). A part survives iff its price equals its size's
+    minimum AND that minimum strictly undercuts every larger size's
+    minimum; the frontier sizes broadcast back onto the fact scan.
+    Identical (size, price) twins both survive (a point cannot
+    dominate its copy), which the oracle's strict-inequality NOT
+    EXISTS reproduces."""
+    part = load_table(spark, sf_dir, "part")
+    msize = part.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("m")
+    )
+    w = (
+        Window.orderBy(F.desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier_sizes = (
+        msize.withColumn("bigger_min", F.min("m").over(w))
+        .filter(
+            F.col("bigger_min").isNull()
+            | (F.col("m") < F.col("bigger_min"))
+        )
+        .select("p_size", "m")
+    )
+    return (
+        part.join(F.broadcast(frontier_sizes), "p_size")
+        .filter(F.col("p_retailprice") == F.col("m"))
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+    )
+
+
+QUERIES["olap_pareto_frontier"] = q_olap_pareto_frontier
+ORACLES["olap_pareto_frontier"] = """
+SELECT p.p_partkey, p.p_name, p.p_size, p.p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_size >= p.p_size
+    AND q.p_retailprice <= p.p_retailprice
+    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)
+)"""

@@ -2104,3 +2104,66 @@ SELECT qid, id, cos, rnk FROM (
 
 
 ORACLES["ann_ivf_filtered_topk"] = _ivf_filtered_sql()
+
+
+def q_dedup_jaccard_prefix_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PPJoin-style prefix filtering for the θ=0.5 3-shingle Jaccard
+    join → one row (n_pairs_full, n_pairs_prefix, n_matches,
+    n_matches_prefix): the measured candidate-reduction of
+    frequency-ascending prefixes, with losslessness witnessed in-row
+    (n_matches = n_matches_prefix). See
+    operators/dedup.jaccard_prefix_filter_report for the pigeonhole
+    argument and the 100 TB skew analysis; this is the
+    candidate-generation economics study the banded-LSH entries
+    (dedup_minhash_band_sweep) run for signatures, done for the EXACT
+    set-similarity join."""
+    nodes, _, _ = model(spark, sf_dir)
+    return dedup.jaccard_prefix_filter_report(nodes, k=3)
+
+
+QUERIES["dedup_jaccard_prefix_filter"] = q_dedup_jaccard_prefix_filter
+ORACLES["dedup_jaccard_prefix_filter"] = (
+    ORACLE_PRELUDE
+    + _TOKS
+    + _sh_cte(3, "sh3")
+    + """,
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh3 GROUP BY id),
+freq AS (SELECT shingle, count(*) AS df_ FROM sh3 GROUP BY shingle),
+ranked AS (
+  SELECT s.id, s.shingle,
+         row_number() OVER (PARTITION BY s.id
+                            ORDER BY f.df_, s.shingle) AS rn,
+         z.n - ((z.n + 1) // 2) + 1 AS plen
+  FROM sh3 s JOIN freq f ON f.shingle = s.shingle
+  JOIN sizes z ON z.id = s.id
+),
+prefix AS (SELECT id, shingle FROM ranked WHERE rn <= plen),
+full_pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.id < b.id
+),
+cand_prefix AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.id < b.id
+),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+matches AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sizes x ON x.id = i.id_a
+  JOIN sizes y ON y.id = i.id_b
+  WHERE 2 * i.c >= x.n + y.n - i.c
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM full_pairs) AS n_pairs_full,
+  (SELECT CAST(count(*) AS BIGINT) FROM cand_prefix) AS n_pairs_prefix,
+  (SELECT CAST(count(*) AS BIGINT) FROM matches) AS n_matches,
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM matches m JOIN cand_prefix c
+     ON c.id_a = m.id_a AND c.id_b = m.id_b) AS n_matches_prefix"""
+)

@@ -896,3 +896,48 @@ FROM st{r}"""
 
 QUERIES["dedup_minhash_band_sweep"] = q_dedup_minhash_band_sweep
 ORACLES["dedup_minhash_band_sweep"] = _minhash_sweep_oracle()
+
+
+def q_eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney AUC of the event `value` ranking purchases
+    against all other event types → (n_pos, n_neg, auc): the
+    model-free discrimination gate (reference scores rank results the
+    same way — app.py's ranked endpoints — this grades how well a
+    score SEPARATES two classes, the readout every quality/curation
+    score needs before it becomes a filter threshold). Computed with
+    the range-partitioned prefix-sum idiom — per-distinct-score
+    grain, in-bucket running sums, broadcast bucket offsets — never a
+    global window over raw rows; see operators/profiling.rank_auc for
+    the 100 TB shape."""
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    from ..operators.profiling import rank_auc
+
+    return rank_auc(ev, "value", F.col("event_type") == "purchase")
+
+
+QUERIES["eval_auc_rank"] = q_eval_auc_rank
+ORACLES["eval_auc_rank"] = """
+WITH s AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+  FROM events WHERE value IS NOT NULL
+),
+g AS (SELECT v, count(*) AS n, sum(p) AS np FROM s GROUP BY v),
+r AS (
+  SELECT v, n, np,
+         coalesce(sum(n) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+  FROM g
+),
+agg AS (
+  SELECT sum(np * (cl + (n + 1) / 2.0)) AS rpos,
+         CAST(sum(np) AS BIGINT) AS n_pos,
+         CAST(sum(n) - sum(np) AS BIGINT) AS n_neg
+  FROM r
+)
+SELECT n_pos, n_neg,
+       floor(((rpos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))
+             * 1000000.0 + 0.5) / 1000000.0 AS auc
+FROM agg"""
