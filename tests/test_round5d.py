@@ -128,3 +128,100 @@ def test_prefix_filter_lossless_and_reduces(spark):
     # and the prune is a real reduction over the full posting join
     assert r.n_pairs_prefix < r.n_pairs_full
     assert r.n_matches <= r.n_pairs_prefix
+
+
+def test_blocked_er_matches_blocks_and_canon(spark):
+    from vector_graph_native_database__spark.operators.dedup import (
+        blocked_er_matches,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "cold gear"),
+            (2, "old gear"),
+            (3, "cold gear"),
+            (4, "red bolt"),
+            (5, "blue gear"),
+        ],
+        "pk long, nm string",
+    )
+    got = blocked_er_matches(
+        df,
+        id_col="pk",
+        name_col="nm",
+        block_col=F.element_at(F.split(F.col("nm"), " "), -1),
+        max_dist=2,
+    ).collect()
+    # only the cold/old gear pair matches (blue gear is 3 edits away;
+    # red bolt is in another block); duplicates collapse to the grain
+    assert len(got) == 1
+    r = got[0]
+    assert (r.name_a, r.name_b, r.lev_dist) == ("cold gear", "old gear", 1)
+    assert (r.n_a, r.n_b, r.canon_id) == (2, 1, 1)
+
+
+def test_group_holdout_zero_leak_for_grouped_split(spark):
+    from vector_graph_native_database__spark.operators.sampling import (
+        group_holdout_report,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    rows = group_holdout_report(
+        ev, unit_col="event_id", group_col="user_id"
+    ).collect()
+    by_m = {}
+    for r in rows:
+        by_m.setdefault(r.method, set()).add(r.n_leaky_groups)
+    assert by_m["group_by_key"] == {0}
+    assert all(v > 0 for v in by_m["naive_by_row"])
+    # both splits cover all events
+    tot = {}
+    for r in rows:
+        tot[r.method] = tot.get(r.method, 0) + r.n_events
+    assert len(set(tot.values())) == 1
+
+
+def test_exact_ntile_bins_matches_sql_ntile(spark):
+    from vector_graph_native_database__spark.operators.profiling import (
+        exact_ntile_bins,
+    )
+
+    # n=10007 rows, k=7 -> remainder buckets exercise the closed form
+    df = spark.range(10007).select(
+        (F.col("id") % 997).cast("double").alias("val"),
+        F.col("id").alias("pk"),
+    )
+    got = {
+        r.bin: (r.n_rows, r.lo, r.hi)
+        for r in exact_ntile_bins(df, "val", "pk", k=7).collect()
+    }
+    df.createOrReplaceTempView("t_ntile")
+    exp = {
+        r.bin: (r.n_rows, r.lo, r.hi)
+        for r in spark.sql(
+            "SELECT bin, count(*) AS n_rows, min(val) AS lo, "
+            "max(val) AS hi FROM (SELECT val, ntile(7) OVER "
+            "(ORDER BY val, pk) AS bin FROM t_ntile) GROUP BY bin"
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_table_diff_counts(spark):
+    from vector_graph_native_database__spark.operators.profiling import (
+        table_diff,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    cur = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", 3.0), (4, "X", 4.0), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    r = table_diff(base, cur, ["k"], ["s", "v"]).collect()[0]
+    assert (r.n_added, r.n_removed) == (1, 1)
+    assert (r.n_changed, r.n_unchanged) == (2, 1)
+    assert r.n_changed_s == 1  # key 4: d->X
+    assert r.n_changed_v == 1  # key 3: NULL->3.0 (null-safe)

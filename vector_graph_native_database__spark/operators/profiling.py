@@ -254,8 +254,6 @@ def rank_auc(
     final AUC. At 100 TB the plan is two shuffles (grain agg + bucket
     window) and two broadcasts — no global sort, no global window.
     """
-    from pyspark.sql import Window
-
     g = (
         df.filter(F.col(score_col).isNotNull())
         .select(
@@ -265,33 +263,7 @@ def rank_auc(
         .groupBy("v")
         .agg(F.count("*").alias("n"), F.sum("p").alias("np"))
     )
-    bnd = g.agg(
-        F.percentile_approx(
-            "v",
-            [i / parts for i in range(1, parts)],
-            10_000,
-        ).alias("bs")
-    )
-    g = g.join(F.broadcast(bnd)).withColumn(
-        "pid",
-        F.size(F.filter(F.col("bs"), lambda b: b <= F.col("v"))),
-    ).drop("bs")
-    w_in = (
-        Window.partitionBy("pid")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    g = g.withColumn("cum_in", F.coalesce(F.sum("n").over(w_in), F.lit(0)))
-    totals = g.groupBy("pid").agg(F.sum("n").alias("pt"))
-    w_off = (
-        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = totals.withColumn(
-        "off", F.coalesce(F.sum("pt").over(w_off), F.lit(0))
-    ).select("pid", "off")
-    g = g.join(F.broadcast(offs), "pid").withColumn(
-        "cl", F.col("off") + F.col("cum_in")
-    )
+    g = attach_count_below(g, parts=parts)
     agg = g.agg(
         F.sum(
             F.col("np")
@@ -320,3 +292,196 @@ def rank_auc(
             / F.lit(1e6)
         ).alias("auc"),
     )
+
+
+def attach_count_below(
+    g: DataFrame, parts: int = 32, v_col: str = "v", n_col: str = "n"
+) -> DataFrame:
+    """Attach the GLOBAL count of rows strictly below each value to a
+    value-grain frame (``v_col`` distinct, ``n_col`` = multiplicity)
+    as column ``cl`` — the distributed prefix-sum primitive behind
+    rank_auc and exact_ntile_bins.
+
+    Buckets are DETERMINISTIC: percentile_approx boundaries broadcast
+    back and counted per value (a pure function of the value — never
+    spark_partition_id over repartitionByRange, whose sampled
+    boundaries re-draw per DAG branch and desynchronize self-joins).
+    In-bucket running sums use a window PARTITIONED by bucket; bucket
+    offsets come from a ≤``parts``-row totals frame, offset-summed
+    and broadcast back. Two shuffles + two broadcasts, no global
+    sort, no global window.
+    """
+    from pyspark.sql import Window
+
+    bnd = g.agg(
+        F.percentile_approx(
+            v_col,
+            [i / parts for i in range(1, parts)],
+            10_000,
+        ).alias("__bs")
+    )
+    g = (
+        g.join(F.broadcast(bnd))
+        .withColumn(
+            "__pid",
+            F.size(
+                F.filter(F.col("__bs"), lambda b: b <= F.col(v_col))
+            ),
+        )
+        .drop("__bs")
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(v_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = g.withColumn(
+        "__cum", F.coalesce(F.sum(n_col).over(w_in), F.lit(0))
+    )
+    totals = g.groupBy("__pid").agg(F.sum(n_col).alias("__pt"))
+    w_off = (
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.withColumn(
+        "__off", F.coalesce(F.sum("__pt").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        g.join(F.broadcast(offs), "__pid")
+        .withColumn("cl", F.col("__off") + F.col("__cum"))
+        .drop("__pid", "__cum", "__off")
+    )
+
+
+def exact_ntile_bins(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 10,
+    parts: int = 32,
+) -> DataFrame:
+    """EXACT SQL ntile(k) binning without a global window →
+    (bin, n_rows, lo, hi): the quantile-discretizer every feature
+    pipeline runs, with ntile's precise remainder semantics (the
+    first n mod k buckets take the extra row) so a SQL oracle's
+    native ntile() is an independent witness.
+
+    Global rank of a row = count-below its value (the
+    attach_count_below prefix sum at the value grain) + its
+    row_number among ties (a window PARTITIONED by value ordered by
+    ``key_col`` — the deterministic tie-break ntile needs; frame =
+    one tie group, never global). The rank→bucket map is the closed
+    form with q = n div k, r = n mod k:
+      rank ≤ (q+1)·r        → bucket = (rank−1) div (q+1) + 1
+      otherwise             → bucket = r + (rank−1 − r·(q+1)) div q + 1
+    — all BIGINT div arithmetic, no float ever picks a bucket edge.
+    """
+    rows = df.select(
+        F.col(value_col).alias("v"), F.col(key_col).alias("kk")
+    )
+    g = attach_count_below(
+        rows.groupBy("v").agg(F.count("*").alias("n")), parts=parts
+    )
+    tot = g.agg(F.sum("n").alias("n_tot"))
+    from pyspark.sql import Window
+
+    ranked = (
+        rows.join(g.select("v", "cl"), "v")
+        .withColumn(
+            "rank",
+            F.col("cl")
+            + F.row_number().over(
+                Window.partitionBy("v").orderBy("kk")
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    ranked = (
+        ranked.withColumn("q", (F.col("n_tot") / k).cast("long"))
+        .withColumn("r", F.col("n_tot") % k)
+        .withColumn(
+            "bin",
+            F.when(
+                F.col("rank") <= (F.col("q") + 1) * F.col("r"),
+                (
+                    (F.col("rank") - 1) / (F.col("q") + 1)
+                ).cast("long")
+                + 1,
+            ).otherwise(
+                F.col("r")
+                + (
+                    (F.col("rank") - 1 - F.col("r") * (F.col("q") + 1))
+                    / F.col("q")
+                ).cast("long")
+                + 1
+            ),
+        )
+    )
+    return (
+        ranked.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )
+
+
+def table_diff(
+    base: DataFrame,
+    cur: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff between two versions of a keyed table → ONE row:
+    (n_added, n_removed, n_changed, n_unchanged,
+    n_changed_<col> per compared column) — the reconciliation gate
+    run after every migration/backfill/CDC apply ("did the copy
+    change exactly what it should have?").
+
+    One FULL OUTER equi-join on the key (the join co-partitions both
+    scans on the same key — ONE shuffle each side, broadcast if one
+    snapshot is small) with presence flags on each side; row classes
+    and per-column change counts are conditional sums in a single
+    map-side-combinable aggregate over the joined frame. Column
+    comparison is null-safe (a NULL→value transition counts as a
+    change, NULL→NULL does not). Only counts come out — O(1) output
+    however wide the drift — mirroring the constraint_check
+    philosophy: gates want counts, debuggers want row samples."""
+    b = base.select(
+        *keys,
+        F.lit(1).alias("__b"),
+        *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+    )
+    c = cur.select(
+        *keys,
+        F.lit(1).alias("__c"),
+        *[F.col(c).alias(f"__c_{c}") for c in compare_cols],
+    )
+    j = b.join(c, keys, "full_outer")
+    both = F.col("__b").isNotNull() & F.col("__c").isNotNull()
+    col_diff = {
+        cc: ~F.col(f"__b_{cc}").eqNullSafe(F.col(f"__c_{cc}"))
+        for cc in compare_cols
+    }
+    any_diff = None
+    for d in col_diff.values():
+        any_diff = d if any_diff is None else (any_diff | d)
+    aggs = [
+        F.sum(
+            F.when(F.col("__b").isNull(), 1).otherwise(0)
+        ).alias("n_added"),
+        F.sum(
+            F.when(F.col("__c").isNull(), 1).otherwise(0)
+        ).alias("n_removed"),
+        F.sum(F.when(both & any_diff, 1).otherwise(0)).alias("n_changed"),
+        F.sum(F.when(both & ~any_diff, 1).otherwise(0)).alias(
+            "n_unchanged"
+        ),
+    ]
+    aggs += [
+        F.sum(F.when(both & col_diff[cc], 1).otherwise(0)).alias(
+            f"n_changed_{cc}"
+        )
+        for cc in compare_cols
+    ]
+    return j.agg(*aggs)

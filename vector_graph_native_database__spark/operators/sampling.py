@@ -322,3 +322,69 @@ def balanced_downsample(
         .filter(F.col("rk") <= F.col("__min_n"))
         .drop("__min_n")
     )
+
+
+def group_holdout_report(
+    df: DataFrame,
+    unit_col: str,
+    group_col: str,
+    train_frac: float = 0.9,
+    salt: str = "gsplit",
+) -> DataFrame:
+    """Leak-proof holdout audit → (method, side, n_events, n_units,
+    n_leaky_groups): the SAME deterministic hash split run two ways —
+    naive (hash the row id) vs grouped (hash the GROUP id, e.g. user
+    or document) — with the leakage each produces measured in-frame.
+
+    A naive row-level split puts one user's history on both sides of
+    the train/eval boundary, and any model that memorizes users reads
+    the eval answer out of train (the classic leakage bug a 100 TB
+    pipeline cannot eyeball). Hashing the group key instead sends
+    EVERY row of a group to one side — a pure function of the group,
+    no coordination, no shuffle beyond the counting aggregates —
+    making n_leaky_groups 0 by construction, which this report
+    witnesses next to the naive split's nonzero count. Same
+    md5-bucket assignment as hash_sample/train_eval_split, so the
+    split this audits is the split the engine actually ships."""
+    thr = int(train_frac * BUCKETS)
+
+    def labeled(method: str, key_col: str) -> DataFrame:
+        return df.select(
+            F.lit(method).alias("method"),
+            F.when(
+                stable_bucket(F.col(key_col), salt) < thr, F.lit("train")
+            )
+            .otherwise(F.lit("eval"))
+            .alias("side"),
+            F.col(unit_col).alias("unit"),
+            F.col(group_col).alias("grp"),
+        )
+
+    lab = labeled("naive_by_row", unit_col).unionByName(
+        labeled("group_by_key", group_col)
+    )
+    per_side = lab.groupBy("method", "side").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("grp").alias("n_units"),
+    )
+    leaky = (
+        lab.select("method", "grp", "side")
+        .distinct()
+        .groupBy("method", "grp")
+        .agg(F.countDistinct("side").alias("ns"))
+        .filter(F.col("ns") == 2)
+        .groupBy("method")
+        .agg(F.count("*").alias("n_leaky_groups"))
+    )
+    return (
+        per_side.join(F.broadcast(leaky), "method", "left")
+        .select(
+            "method",
+            "side",
+            "n_events",
+            "n_units",
+            F.coalesce("n_leaky_groups", F.lit(0)).alias(
+                "n_leaky_groups"
+            ),
+        )
+    )

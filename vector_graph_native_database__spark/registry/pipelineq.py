@@ -2167,3 +2167,41 @@ SELECT
    FROM matches m JOIN cand_prefix c
      ON c.id_a = m.id_a AND c.id_b = m.id_b) AS n_matches_prefix"""
 )
+
+
+def q_er_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over part names → proposed merges
+    (name_a, name_b, lev_dist, n_a, n_b, canon_id): records collapse
+    to the distinct-name grain, candidates are BLOCKED on the product
+    noun (last name token — cross-noun pairs never generated), and
+    in-block pairs match at Levenshtein ≤ 2 ("cold gear"/"old gear").
+    canon_id is the smaller of the two sides' minimum part keys — the
+    deterministic merge target. See operators/dedup.blocked_er_matches
+    for the Σ|block|² scale argument."""
+    from ..sources import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    return dedup.blocked_er_matches(
+        part,
+        id_col="p_partkey",
+        name_col="p_name",
+        block_col=F.element_at(F.split(F.col("p_name"), " "), -1),
+        max_dist=2,
+    )
+
+
+QUERIES["er_blocked_matches"] = q_er_blocked_matches
+ORACLES["er_blocked_matches"] = """
+WITH ents AS (
+  SELECT p_name AS name,
+         string_split(p_name, ' ')[-1] AS blk,
+         CAST(count(*) AS BIGINT) AS n_recs,
+         min(p_partkey) AS min_id
+  FROM part GROUP BY p_name, string_split(p_name, ' ')[-1]
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name) AS lev_dist,
+       a.n_recs AS n_a, b.n_recs AS n_b,
+       least(a.min_id, b.min_id) AS canon_id
+FROM ents a JOIN ents b ON b.blk = a.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2"""

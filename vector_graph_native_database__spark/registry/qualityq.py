@@ -941,3 +941,110 @@ SELECT n_pos, n_neg,
        floor(((rpos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))
              * 1000000.0 + 0.5) / 1000000.0 AS auc
 FROM agg"""
+
+
+def q_feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile discretization of order totals → (bin, n_rows,
+    lo, hi): the QuantileDiscretizer/feature-binning step with
+    PRECISE SQL ntile(10) semantics (ties broken by o_orderkey, the
+    first n mod 10 buckets take the extra row) — computed WITHOUT a
+    global window via the count-below prefix sum + per-value
+    row_number + the closed-form rank→bucket map; the oracle's native
+    ntile() is the independent witness. See
+    operators/profiling.exact_ntile_bins."""
+    from ..operators.profiling import exact_ntile_bins
+    from ..sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return exact_ntile_bins(
+        orders, value_col="o_totalprice", key_col="o_orderkey", k=10
+    )
+
+
+QUERIES["feature_quantile_bins"] = q_feature_quantile_bins
+ORACLES["feature_quantile_bins"] = """
+WITH r AS (
+  SELECT o_totalprice AS v,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_rows,
+       min(v) AS lo, max(v) AS hi
+FROM r GROUP BY bin"""
+
+
+def q_dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: orders vs a deterministically mutated
+    twin (keys ≡0 mod 10 deleted, ≡1 repriced ×3 and restatused,
+    ≡2 mirrored as inserts under key+10M — the same mutation family
+    the CDC entries use) → one row of diff counts
+    (n_added/n_removed/n_changed/n_unchanged + per-column change
+    counts). The post-backfill gate: assert the migration changed
+    exactly what it should have. See operators/profiling.table_diff
+    for the single-full-outer-join shape."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    cur = (
+        orders.filter(k % 10 != 0)
+        .select(
+            "o_orderkey",
+            F.when(k % 10 == 1, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(k % 10 == 1, F.col("o_totalprice") * 3)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(k % 10 == 2).select(
+                (k + 10_000_000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    return profiling.table_diff(
+        orders,
+        cur,
+        keys=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
+QUERIES["dq_table_diff"] = q_dq_table_diff
+ORACLES["dq_table_diff"] = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+cur AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 1 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 3
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 2
+),
+j AS (
+  SELECT b.o_orderkey IS NOT NULL AS in_b,
+         c.o_orderkey IS NOT NULL AS in_c,
+         b.o_orderstatus IS DISTINCT FROM c.o_orderstatus AS ds,
+         b.o_totalprice IS DISTINCT FROM c.o_totalprice AS dp
+  FROM base b FULL OUTER JOIN cur c ON c.o_orderkey = b.o_orderkey
+)
+SELECT
+  CAST(sum(CASE WHEN NOT in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(sum(CASE WHEN NOT in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(sum(CASE WHEN in_b AND in_c AND (ds OR dp) THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_changed,
+  CAST(sum(CASE WHEN in_b AND in_c AND NOT (ds OR dp) THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_unchanged,
+  CAST(sum(CASE WHEN in_b AND in_c AND ds THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_changed_o_orderstatus,
+  CAST(sum(CASE WHEN in_b AND in_c AND dp THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_changed_o_totalprice
+FROM j"""

@@ -581,3 +581,55 @@ SELECT a.lang,
 FROM alltok a LEFT JOIN docs d ON d.id = a.id
 GROUP BY a.lang"""
 )
+
+
+def q_split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware (leak-proof) train/eval split audit over events →
+    (method, side, n_events, n_units, n_leaky_groups): the naive
+    row-hash split strands most users on BOTH sides of the boundary
+    (memorization leakage); hashing the user key instead provably
+    zeroes the leak — witnessed side by side in one frame. See
+    operators/sampling.group_holdout_report."""
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return sampling.group_holdout_report(
+        ev, unit_col="event_id", group_col="user_id", train_frac=0.9
+    )
+
+
+QUERIES["split_group_holdout"] = q_split_group_holdout
+ORACLES["split_group_holdout"] = """
+WITH lab AS (
+  SELECT 'naive_by_row' AS method,
+         CASE WHEN ('0x' || substr(md5('gsplit' ||
+                CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+              % 10000 < 9000
+         THEN 'train' ELSE 'eval' END AS side,
+         user_id AS grp
+  FROM events
+  UNION ALL
+  SELECT 'group_by_key',
+         CASE WHEN ('0x' || substr(md5('gsplit' ||
+                CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+              % 10000 < 9000
+         THEN 'train' ELSE 'eval' END,
+         user_id
+  FROM events
+),
+per_side AS (
+  SELECT method, side, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT grp) AS BIGINT) AS n_units
+  FROM lab GROUP BY method, side
+),
+leaky AS (
+  SELECT method, CAST(count(*) AS BIGINT) AS n_leaky_groups
+  FROM (
+    SELECT method, grp
+    FROM (SELECT DISTINCT method, grp, side FROM lab)
+    GROUP BY method, grp HAVING count(*) = 2
+  ) GROUP BY method
+)
+SELECT p.method, p.side, p.n_events, p.n_units,
+       coalesce(l.n_leaky_groups, 0) AS n_leaky_groups
+FROM per_side p LEFT JOIN leaky l ON l.method = p.method"""
