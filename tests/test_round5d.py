@@ -225,3 +225,37 @@ def test_table_diff_counts(spark):
     assert (r.n_changed, r.n_unchanged) == (2, 1)
     assert r.n_changed_s == 1  # key 4: d->X
     assert r.n_changed_v == 1  # key 3: NULL->3.0 (null-safe)
+
+
+def test_hyperanf_monotone_and_accurate(spark):
+    from vector_graph_native_database__spark.registry.analyticsq import (
+        q_graph_hyperanf,
+    )
+    from vector_graph_native_database__spark.registry.common import model
+
+    rows = sorted(
+        q_graph_hyperanf(spark, SF).collect(), key=lambda r: r.hop
+    )
+    assert [r.hop for r in rows] == [0, 1, 2, 3, 4]
+    n = rows[0].n_nodes
+    assert all(r.n_nodes == n for r in rows)
+    # est is nondecreasing in hop (balls only grow)
+    ests = [r.est_pairs for r in rows]
+    assert all(b >= a for a, b in zip(ests, ests[1:]))
+
+    # accuracy: within HLL error of the exact neighborhood function
+    _, _, edges = model(spark, SF)
+    adj = {}
+    for e in edges.select("src", "dst").distinct().collect():
+        adj.setdefault(e.src, set()).add(e.dst)
+    ids = [r.id for r in model(spark, SF)[0].select("id").collect()]
+    balls = {v: {v} for v in ids}
+    exact = [len(ids)]
+    for _h in range(4):
+        balls = {
+            v: b | set().union(*(adj.get(u, set()) for u in b))
+            for v, b in balls.items()
+        }
+        exact.append(sum(len(b) for b in balls.values()))
+    for est, ex in zip(ests, exact):
+        assert abs(est - ex) / ex < 0.25  # 1.04/sqrt(64) ~ 13% std err

@@ -1360,3 +1360,113 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             F.floor(r * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
         ).alias("assortativity"),
     )
+
+
+def hyperanf(
+    nodes: DataFrame,
+    edges: DataFrame,
+    hops: int = 4,
+    m: int = 64,
+    salt: str = "anf",
+) -> DataFrame:
+    """HyperANF (Boldi–Rosa–Vigna): the neighborhood function N(h) =
+    Σ_v |ball(v, h)| estimated with per-node HyperLogLog registers →
+    (hop, n_nodes, est_pairs) for h = 0..``hops``.
+
+    The exact neighborhood function needs all-pairs reachability —
+    quadratic state, the thing that cannot exist at 100 TB. HyperANF
+    replaces each vertex's reachable SET with a fixed m-register HLL
+    sketch and exploits that HLL union is element-wise register max:
+      regs_h(v) = max(regs_{h-1}(v), regs_{h-1}(w) ∀ edge v→w)
+    so one hop of ball growth is ONE edge-keyed equi-join + one
+    (node, register) max-aggregate — constant state per vertex,
+    per-round cost independent of ball size, lineage cut per round
+    with localCheckpoint like every iterative operator here. This is
+    how effective-diameter / average-distance metrics are actually
+    computed on web-scale graphs.
+
+    Determinism/parity: registers use the same md5-derived 60-bit
+    hash and binary-string ρ as operators/sketch.py (no float log2),
+    the identical Flajolet estimator with small-range linear
+    correction, and each per-vertex estimate is fixed to 6dp AS A
+    BIGINT (floor(est·1e6 + 0.5)) BEFORE the cross-vertex sum — the
+    sum of longs is order-independent, so the oracle's replay matches
+    bit-for-bit regardless of partitioning. est_pairs = that exact
+    integer sum / 1e6.
+    """
+    from .dedup import stable_hash60
+
+    w_rho = 51
+    h = stable_hash60(F.concat(F.lit(salt), F.col("grp").cast("string")))
+    regs = (
+        nodes.select(F.col("id").alias("grp"))
+        .withColumn("h", h)
+        .withColumn("reg", F.pmod("h", F.lit(m)))
+        .withColumn(
+            "r", F.pmod(F.expr(f"h div {m}"), F.lit(1 << (w_rho - 1)))
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("r") == 0, F.lit(w_rho)).otherwise(
+                F.lit(w_rho)
+                - F.length(F.conv(F.col("r").cast("string"), 10, 2))
+            ),
+        )
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("mrho"))
+        .localCheckpoint(eager=False)
+    )
+    e = edges.select(
+        F.col("src").alias("grp"), F.col("dst").alias("nbr")
+    ).distinct()
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+
+    def hop_summary(reg_frame: DataFrame, hop: int) -> DataFrame:
+        est = (
+            reg_frame.groupBy("grp")
+            .agg(
+                F.sum(F.pow(F.lit(2.0), -F.col("mrho"))).alias("s_occ"),
+                F.count("*").alias("n_occ"),
+            )
+            .withColumn("zeros", F.lit(m) - F.col("n_occ"))
+            .withColumn(
+                "s", F.col("s_occ") + F.col("zeros").cast("double")
+            )
+            .withColumn("raw", alpha * F.lit(float(m * m)) / F.col("s"))
+            .withColumn(
+                "est",
+                F.when(
+                    (F.col("raw") <= F.lit(2.5 * m))
+                    & (F.col("zeros") > 0),
+                    F.lit(float(m))
+                    * F.log(F.lit(float(m)) / F.col("zeros")),
+                ).otherwise(F.col("raw")),
+            )
+            .withColumn(
+                "est6",
+                F.floor(F.col("est") * F.lit(1e6) + F.lit(0.5)).cast(
+                    "long"
+                ),
+            )
+        )
+        return est.agg(
+            F.lit(hop).alias("hop"),
+            F.count("*").alias("n_nodes"),
+            (F.sum("est6").cast("double") / F.lit(1e6)).alias(
+                "est_pairs"
+            ),
+        )
+
+    out = hop_summary(regs, 0)
+    for hop in range(1, hops + 1):
+        prop = e.join(
+            regs.select(F.col("grp").alias("nbr"), "reg", "mrho"), "nbr"
+        ).select("grp", "reg", "mrho")
+        regs = (
+            regs.unionByName(prop)
+            .groupBy("grp", "reg")
+            .agg(F.max("mrho").alias("mrho"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(hop_summary(regs, hop))
+    return out

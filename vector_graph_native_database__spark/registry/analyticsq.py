@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.analytics import (
     connected_components,
+    hyperanf,
     incremental_components,
     jaccard_link_prediction,
     label_propagation,
@@ -987,3 +988,78 @@ reach AS (
 )
 SELECT root AS id, min(node) AS component FROM reach GROUP BY root"""
 )
+
+
+ANF_HOPS = 4
+
+
+def q_graph_hyperanf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF neighborhood function → (hop, n_nodes, est_pairs) for
+    hops 0..4: the HLL-register estimate of Σ_v |ball(v, h)| — how
+    web-scale graphs get average-distance / effective-diameter
+    numbers without all-pairs reachability. One edge join + one
+    register max-merge per hop, constant sketch state per vertex; see
+    operators/analytics.hyperanf. The oracle replays the registers
+    bit-for-bit over the EXACT hop-bounded reachability closure
+    (affordable at gate scale; the quadratic state HyperANF exists to
+    avoid), so the value check proves sketch parity against ground
+    truth reachability."""
+    nodes, _, edges = model(spark, sf_dir)
+    return hyperanf(nodes.select("id"), edges, hops=ANF_HOPS)
+
+
+QUERIES["graph_hyperanf"] = q_graph_hyperanf
+ORACLES["graph_hyperanf"] = ORACLE_PRELUDE + f""",
+e AS (SELECT DISTINCT src, dst FROM edges),
+reach AS (
+  SELECT id AS root, id AS node, 0 AS d FROM nodes
+  UNION
+  SELECT r.root, e.dst, r.d + 1 FROM reach r
+  JOIN e ON e.src = r.node
+  WHERE r.d < {ANF_HOPS}
+),
+minr AS (SELECT root, node, min(d) AS d FROM reach GROUP BY root, node),
+hops AS (SELECT unnest(generate_series(0, {ANF_HOPS})) AS hop),
+ball AS (
+  SELECT h.hop, m.root, m.node
+  FROM hops h JOIN minr m ON m.d <= h.hop
+),
+hashed AS (
+  SELECT hop, root,
+         ('0x' || substr(md5('anf' || node), 1, 15))::BIGINT AS h
+  FROM ball
+),
+ranked AS (
+  SELECT hop, root, h % 64 AS reg,
+         (h // 64) % 1125899906842624 AS r
+  FROM hashed
+),
+rho AS (
+  SELECT hop, root, reg,
+         CASE WHEN r = 0 THEN 51
+              ELSE 51 - length(ltrim(bin(r), '0')) END AS rho
+  FROM ranked
+),
+regs AS (
+  SELECT hop, root, reg, max(rho) AS mrho
+  FROM rho GROUP BY hop, root, reg
+),
+est AS (
+  SELECT hop, root,
+         sum(power(2.0, -mrho)) + (64 - count(*)) AS s,
+         64 - count(*) AS zeros
+  FROM regs GROUP BY hop, root
+),
+est6 AS (
+  SELECT hop, root,
+         CAST(floor((CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0))
+                               * 4096.0 / s <= 160.0 AND zeros > 0
+                          THEN 64.0 * ln(64.0 / zeros)
+                          ELSE (0.7213 / (1.0 + 1.079 / 64.0))
+                               * 4096.0 / s END)
+                    * 1000000.0 + 0.5) AS BIGINT) AS e6
+  FROM est
+)
+SELECT CAST(hop AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(e6) AS DOUBLE) / 1000000.0 AS est_pairs
+FROM est6 GROUP BY hop"""
