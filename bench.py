@@ -205,6 +205,19 @@ HEADLINE = CANARY + [
     "hybrid_weight_sweep",
     "corpus_token_budget",
     "dedup_cluster_size_histogram",
+    "eval_auc_rank",
+    "olap_pareto_frontier",
+    "events_autocorr",
+    "dedup_jaccard_prefix_filter",
+    "er_blocked_matches",
+    "split_group_holdout",
+    "feature_quantile_bins",
+    "dq_table_diff",
+    "graph_hyperanf",
+    "stats_boxplot",
+    "eval_ndcg_ann",
+    "pack_epoch_shuffle",
+    "events_attribution_linear",
 ]
 
 

@@ -485,3 +485,54 @@ def table_diff(
         for cc in compare_cols
     ]
     return j.agg(*aggs)
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """EXACT per-group quantiles (type-1 / lower-step definition:
+    q_p = smallest value whose cumulative count ≥ ⌈p·n⌉) →
+    (grp, n, q_<p> per prob) — the boxplot/robust-stats profile
+    computed WITHOUT collecting, sampling, or sketching.
+
+    Shape: one aggregate to the (group, distinct-value) grain, a
+    running count over that grain (window PARTITIONED by group — the
+    frame is |distinct values in the group|, already collapsed from
+    raw rows), then ONE conditional min per probability: the ⌈p·n⌉
+    targets are pure-INTEGER ((p_num·n + p_den − 1) div p_den), so no
+    float ever selects a quantile and both engines pick the identical
+    element. approx_percentile is the 100 TB default; this is the
+    exact witness you run on the slice that matters (and the oracle
+    for the sketch)."""
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
+        .groupBy("grp", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = g.withColumn("cum", F.sum("c").over(w))
+    tot = g.groupBy("grp").agg(F.sum("c").alias("n"))
+    j = g.join(tot, "grp")
+    from fractions import Fraction
+
+    aggs = [F.max("n").alias("n")]
+    for p in probs:
+        fr = Fraction(p).limit_denominator(10_000)
+        num, den = fr.numerator, fr.denominator
+        target = F.expr(f"(n * {num} + {den} - 1) div {den}")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= target, F.col("v"))).alias(
+                f"q_{str(p).replace('.', '_')}"
+            )
+        )
+    return j.groupBy("grp").agg(*aggs)

@@ -2144,3 +2144,126 @@ SELECT k AS lag, n_pairs,
               / CAST(g.n * g.n * g.s2 - g.n * g.s1 * g.s1 AS DOUBLE))
              * 1000000.0 + 0.5) / 1000000.0 AS acf
 FROM agg CROSS JOIN g"""
+
+
+def q_events_attribution_linear(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear multi-touch attribution → (channel, n_touches,
+    credit): each purchase splits one unit of credit EQUALLY across
+    every non-purchase touch in its journey (the stretch since the
+    user's previous purchase) — the multi-touch complement of
+    events_attribution's last-touch rule, and the one marketers use
+    when the first click matters as much as the last.
+
+    Journey id = running count of purchases strictly BEFORE the row
+    (user-keyed window ordered by ts,event_id — the sessionization
+    shuffle); a purchase closes journey j, its touches are the
+    journey-j non-purchase rows. Credit per touch = 1/k with k the
+    journey's touch count — each channel sums those fractions. One
+    window pass + one (user, journey) aggregate + one
+    |channels|-sized rollup; no per-conversion rescan. Journeys with
+    zero touches (purchase as first event) attribute nothing, on
+    both sides."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = ev.withColumn(
+        "journey",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ),
+    )
+    purch = (
+        j.filter(F.col("event_type") == "purchase")
+        .select("user_id", "journey")
+        .withColumn("__conv", F.lit(1))
+    )
+    touches = j.filter(F.col("event_type") != "purchase").select(
+        "user_id", "journey", F.col("event_type").alias("channel")
+    )
+    ksz = touches.groupBy("user_id", "journey").agg(
+        F.count("*").alias("k")
+    )
+    credited = (
+        touches.join(ksz, ["user_id", "journey"])
+        .join(purch, ["user_id", "journey"])
+        .select("channel", "k")
+    )
+    # exact arithmetic: fold to the (channel, k) grain, turn each
+    # c_k/k into a half-up-rounded integer picocredit ((2·c_k·1e12
+    # + k) div 2k — pure BIGINT), and sum THOSE: integer addition is
+    # order-independent, so the credit can never drift with shuffle
+    # partitioning the way a float Σ1/k could.
+    by_k = credited.groupBy("channel", "k").agg(
+        F.count("*").alias("ck")
+    )
+    term = F.expr("(2 * ck * 1000000000000 + k) div (2 * k)")
+    return (
+        by_k.withColumn("pico", term)
+        .groupBy("channel")
+        .agg(
+            F.sum("ck").alias("n_touches"),
+            F.sum("pico").alias("p"),
+        )
+        .select(
+            "channel",
+            "n_touches",
+            (
+                F.floor(
+                    F.col("p").cast("double")
+                    / F.lit(1e12)
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("credit"),
+        )
+    )
+
+
+QUERIES["events_attribution_linear"] = q_events_attribution_linear
+ORACLES["events_attribution_linear"] = """
+WITH j AS (
+  SELECT user_id, event_type,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS journey
+  FROM events
+),
+purch AS (
+  SELECT user_id, journey FROM j WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, journey, event_type AS channel
+  FROM j WHERE event_type <> 'purchase'
+),
+ksz AS (
+  SELECT user_id, journey, count(*) AS k
+  FROM touches GROUP BY user_id, journey
+),
+credited AS (
+  SELECT t.channel, ksz.k
+  FROM touches t
+  JOIN ksz ON ksz.user_id = t.user_id AND ksz.journey = t.journey
+  JOIN purch p ON p.user_id = t.user_id AND p.journey = t.journey
+),
+by_k AS (
+  SELECT channel, k, CAST(count(*) AS BIGINT) AS ck
+  FROM credited GROUP BY channel, k
+)
+SELECT channel, CAST(sum(ck) AS BIGINT) AS n_touches,
+       floor(CAST(sum((2 * ck * 1000000000000 + k) // (2 * k))
+                  AS DOUBLE) / 1000000000000.0
+             * 1000000.0 + 0.5) / 1000000.0 AS credit
+FROM by_k GROUP BY channel"""

@@ -1048,3 +1048,125 @@ SELECT
   CAST(sum(CASE WHEN in_b AND in_c AND dp THEN 1 ELSE 0 END)
        AS BIGINT) AS n_changed_o_totalprice
 FROM j"""
+
+
+def q_stats_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type quartiles of `value` → (grp, n, q_0_25,
+    q_0_5, q_0_75): the boxplot profile with type-1 quantile
+    semantics (smallest value with cumulative count ≥ ⌈p·n⌉),
+    integer-exact target ranks, no sampling. See
+    operators/profiling.group_quantiles for the
+    distinct-value-grain running-count shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return profiling.group_quantiles(
+        ev, group_col="event_type", value_col="value"
+    )
+
+
+QUERIES["stats_boxplot"] = q_stats_boxplot
+ORACLES["stats_boxplot"] = """
+WITH g AS (
+  SELECT event_type AS grp, value AS v, count(*) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, value
+),
+r AS (
+  SELECT grp, v, c,
+         sum(c) OVER (PARTITION BY grp ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM g
+),
+t AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM g GROUP BY grp)
+SELECT r.grp, t.n,
+       min(CASE WHEN cum >= (t.n * 1 + 3) // 4 THEN v END) AS q_0_25,
+       min(CASE WHEN cum >= (t.n * 1 + 1) // 2 THEN v END) AS q_0_5,
+       min(CASE WHEN cum >= (t.n * 3 + 3) // 4 THEN v END) AS q_0_75
+FROM r JOIN t ON t.grp = r.grp
+GROUP BY r.grp, t.n"""
+
+
+def q_eval_ndcg_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 of the sign-LSH ranking judged against exact brute-force
+    top-5 relevance → (qid, n_rel, dcg, ndcg): the position-weighted
+    complement of ann_recall_eval — recall says WHETHER the right
+    answers survived the index, nDCG says whether they surface at the
+    TOP (a hit at rank 1 is worth 1/log2(2), at rank 5 only
+    1/log2(6)). Binary relevance = membership in the exact top-5;
+    IDCG is the full-relevance ladder Σ 1/log2(i+1), computed
+    in-plan from the same log2 both engines use. Same composition
+    shape as ann_recall_eval: two already-oracled ≤25-row frames, one
+    broadcast join, one aggregate."""
+    from .pipelineq import q_ann_brute_topk, q_ann_lsh_topk
+
+    k = ANN_EVAL_K
+    brute = (
+        q_ann_brute_topk(spark, sf_dir)
+        .filter(F.col("rnk") <= k)
+        .select("qid", "id", F.lit(1).alias("__hit"))
+    )
+    lsh = q_ann_lsh_topk(spark, sf_dir).select("qid", "id", "rnk")
+    idcg = spark.range(1, k + 1).agg(
+        F.sum(F.lit(1.0) / F.log2(F.col("id") + 1)).alias("v")
+    )
+    dcg = (
+        lsh.join(F.broadcast(brute), ["qid", "id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_rel"),
+            F.sum(
+                F.when(
+                    F.col("__hit").isNotNull(),
+                    F.lit(1.0) / F.log2(F.col("rnk") + 1),
+                ).otherwise(F.lit(0.0))
+            ).alias("d"),
+        )
+    )
+    qids = brute.select("qid").distinct()
+    return (
+        qids.join(dcg, "qid", "left")
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            "qid",
+            F.coalesce("n_rel", F.lit(0)).cast("long").alias("n_rel"),
+            stable_round6(F.coalesce("d", F.lit(0.0))).alias("dcg"),
+            stable_round6(
+                F.coalesce("d", F.lit(0.0)) / F.col("v")
+            ).alias("ndcg"),
+        )
+    )
+
+
+def _ndcg_oracle() -> str:
+    from .pipelineq import ORACLES as PIPE_ORACLES
+
+    brute = PIPE_ORACLES["ann_brute_topk"]
+    lsh = PIPE_ORACLES["ann_lsh_topk"]
+    k = ANN_EVAL_K
+    return f"""
+WITH bt AS MATERIALIZED (
+  SELECT qid, id FROM ({brute}) __b WHERE rnk <= {k}
+),
+ls AS MATERIALIZED (SELECT qid, id, rnk FROM ({lsh}) __l),
+idcg AS (
+  SELECT sum(1.0 / log2(i + 1)) AS v
+  FROM (SELECT unnest(generate_series(1, {k})) AS i)
+),
+dcg AS (
+  SELECT l.qid,
+         CAST(count(b.id) AS BIGINT) AS n_rel,
+         sum(CASE WHEN b.id IS NOT NULL
+                  THEN 1.0 / log2(l.rnk + 1) ELSE 0.0 END) AS d
+  FROM ls l LEFT JOIN bt b ON b.qid = l.qid AND b.id = l.id
+  GROUP BY l.qid
+)
+SELECT q.qid, coalesce(dcg.n_rel, 0) AS n_rel,
+       floor(coalesce(dcg.d, 0.0) * 1000000.0 + 0.5) / 1000000.0 AS dcg,
+       floor(coalesce(dcg.d, 0.0) / idcg.v * 1000000.0 + 0.5)
+         / 1000000.0 AS ndcg
+FROM (SELECT DISTINCT qid FROM bt) q
+LEFT JOIN dcg ON dcg.qid = q.qid
+CROSS JOIN idcg"""
+
+
+QUERIES["eval_ndcg_ann"] = q_eval_ndcg_ann
+ORACLES["eval_ndcg_ann"] = _ndcg_oracle()

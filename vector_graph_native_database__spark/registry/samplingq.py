@@ -633,3 +633,51 @@ leaky AS (
 SELECT p.method, p.side, p.n_events, p.n_units,
        coalesce(l.n_leaky_groups, 0) AS n_leaky_groups
 FROM per_side p LEFT JOIN leaky l ON l.method = p.method"""
+
+
+EPOCH_SHARDS = 16
+
+
+def q_pack_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle shard manifest → (shard, n_docs,
+    n_chars, first_doc, last_doc): the global training-order shuffle
+    done the 100 TB way — no random(), no global sort. Each document
+    draws a 60-bit md5 key from (epoch salt, id); shard = key mod 16
+    and the WITHIN-shard read order is the key itself, so the
+    epoch's permutation is a pure function of (epoch, id):
+    reproducible across runs/engines/partitionings, re-drawn by
+    changing the salt ('ep1' → 'ep2' reshuffles every boundary).
+    The manifest is one map-side-combinable aggregate; first/last doc
+    per shard (min_by/max_by on the order key) pin the realized order
+    for the gate. A trainer seeks by (shard, order_key) — the shuffle
+    itself never materializes."""
+    nodes, _, _ = model(spark, sf_dir)
+    from ..operators.dedup import stable_hash60
+
+    keyed = nodes.select(
+        "id",
+        "n_chars",
+        stable_hash60(
+            F.concat(F.lit("ep1"), F.col("id").cast("string"))
+        ).alias("okey"),
+    ).withColumn("shard", F.pmod("okey", F.lit(EPOCH_SHARDS)))
+    return keyed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.min_by("id", "okey").alias("first_doc"),
+        F.max_by("id", "okey").alias("last_doc"),
+    )
+
+
+QUERIES["pack_epoch_shuffle"] = q_pack_epoch_shuffle
+ORACLES["pack_epoch_shuffle"] = ORACLE_PRELUDE + """,
+keyed AS (
+  SELECT id, n_chars,
+         ('0x' || substr(md5('ep1' || id), 1, 15))::BIGINT AS okey
+  FROM nodes
+)
+SELECT okey % 16 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       min_by(id, okey) AS first_doc,
+       max_by(id, okey) AS last_doc
+FROM keyed GROUP BY okey % 16"""
