@@ -218,6 +218,9 @@ HEADLINE = CANARY + [
     "eval_ndcg_ann",
     "pack_epoch_shuffle",
     "events_attribution_linear",
+    "graph_walk_counts",
+    "text_jsd_by_source",
+    "events_backtest_seasonal",
 ]
 
 

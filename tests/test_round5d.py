@@ -359,3 +359,47 @@ def test_linear_attribution_credit_sums_to_conversions(spark):
     # assert credit within rounding of an integer conversion count
     assert abs(total_credit - round(total_credit)) < 1e-3
     assert total_credit > 0
+
+
+def test_walk_counts_path_graph(spark):
+    from vector_graph_native_database__spark.operators.analytics import (
+        walk_counts,
+    )
+
+    # path 1->2->3->4->5: walks of length h = max(0, 5-h) starts
+    nodes = spark.createDataFrame([(str(i),) for i in range(1, 6)], "id string")
+    edges = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(1, 5)], "src string, dst string"
+    )
+    got = {
+        r.hop: (r.n_active, r.total_walks)
+        for r in walk_counts(nodes, edges, hops=4).collect()
+    }
+    assert got == {1: (4, 4), 2: (3, 3), 3: (2, 2), 4: (1, 1)}
+
+
+def test_jsd_bounds_symmetric_grid(spark):
+    import math
+
+    from vector_graph_native_database__spark.registry.pipelineq import (
+        q_text_jsd_by_source,
+    )
+
+    rows = q_text_jsd_by_source(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0.0 <= r.jsd <= math.log(2) + 1e-9
+
+
+def test_backtest_seasonal_exactness(spark):
+    from vector_graph_native_database__spark.registry.eventsq import (
+        q_events_backtest_seasonal,
+    )
+
+    rows = q_events_backtest_seasonal(spark, SF).collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert r.n_train_days == 23
+        assert r.n_test_days == 7
+        assert r.mae >= 0.0 and r.forecast >= 0.0

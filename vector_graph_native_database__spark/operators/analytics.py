@@ -1470,3 +1470,45 @@ def hyperanf(
         )
         out = out.unionByName(hop_summary(regs, hop))
     return out
+
+
+def walk_counts(
+    nodes: DataFrame, edges: DataFrame, hops: int = 4
+) -> DataFrame:
+    """Exact walk counting: w_h(v) = number of length-h directed
+    walks starting at v → (hop, n_active, total_walks) for h =
+    1..``hops``. The integer sparse-matrix-vector (SpMV) chain —
+    w_h = A·w_{h-1} as one edge-keyed equi-join + one sum aggregate
+    per hop, the primitive under reachability counting, Katz-style
+    centralities, and message-passing feature counts.
+
+    All-BIGINT arithmetic (walk counts are integers; the oracle's
+    unrolled joins produce the identical integers — no float, no
+    rounding anywhere). The walk vector SHRINKS as h grows (only
+    nodes with at least one length-h walk keep rows), so per-round
+    cost is bounded by the live frontier; counts grow at most
+    (max out-degree)^h — BIGINT-safe on bounded-degree graphs, and
+    the overflow point is a property of the graph, not the engine
+    (swap to DECIMAL(38,0) for dense graphs at large h)."""
+    e = edges.select("src", "dst").distinct()
+    w = nodes.select(
+        F.col("id"), F.lit(1).cast("long").alias("w")
+    )
+    out = None
+    for h in range(1, hops + 1):
+        w = (
+            e.join(
+                w.select(F.col("id").alias("dst"), "w"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.sum("w").alias("w"))
+            .select(F.col("src").alias("id"), "w")
+            .localCheckpoint(eager=False)
+        )
+        s = w.agg(
+            F.lit(h).alias("hop"),
+            F.count("*").alias("n_active"),
+            F.sum("w").alias("total_walks"),
+        )
+        out = s if out is None else out.unionByName(s)
+    return out

@@ -1063,3 +1063,44 @@ est6 AS (
 SELECT CAST(hop AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes,
        CAST(sum(e6) AS DOUBLE) / 1000000.0 AS est_pairs
 FROM est6 GROUP BY hop"""
+
+
+WALK_HOPS = 4
+
+
+def q_graph_walk_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact directed-walk counts per length → (hop, n_active,
+    total_walks) for hops 1..4: the all-BIGINT SpMV chain (one edge
+    join + one sum per hop), value-checked against the oracle's
+    unrolled join ladder. See operators/analytics.walk_counts."""
+    from ..operators.analytics import walk_counts
+
+    nodes, _, edges = model(spark, sf_dir)
+    return walk_counts(nodes.select("id"), edges, hops=WALK_HOPS)
+
+
+def _walk_counts_oracle() -> str:
+    ctes = [",\ne AS (SELECT DISTINCT src, dst FROM edges)"]
+    ctes.append(
+        ",\nw1 AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS w"
+        " FROM e GROUP BY src)"
+    )
+    for h in range(2, WALK_HOPS + 1):
+        ctes.append(
+            f""",
+w{h} AS (
+  SELECT e.src AS id, CAST(sum(p.w) AS BIGINT) AS w
+  FROM e JOIN w{h - 1} p ON p.id = e.dst
+  GROUP BY e.src
+)"""
+        )
+    sels = [
+        f"SELECT {h} AS hop, CAST(count(*) AS BIGINT) AS n_active,"
+        f" CAST(sum(w) AS BIGINT) AS total_walks FROM w{h}"
+        for h in range(1, WALK_HOPS + 1)
+    ]
+    return ORACLE_PRELUDE + "".join(ctes) + "\n" + "\nUNION ALL ".join(sels)
+
+
+QUERIES["graph_walk_counts"] = q_graph_walk_counts
+ORACLES["graph_walk_counts"] = _walk_counts_oracle()

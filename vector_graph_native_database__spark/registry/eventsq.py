@@ -2267,3 +2267,120 @@ SELECT channel, CAST(sum(ck) AS BIGINT) AS n_touches,
                   AS DOUBLE) / 1000000000000.0
              * 1000000.0 + 0.5) / 1000000.0 AS credit
 FROM by_k GROUP BY channel"""
+
+
+BACKTEST_TRAIN_DAYS = 23
+
+
+def q_events_backtest_seasonal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive forecast backtest → (hod, n_train_days,
+    n_test_days, forecast, mae): train the hour-of-day profile on the
+    first 23 days of hourly counts (gap-filled calendar), forecast
+    each test hour as its hour-of-day train mean, and score MAE over
+    the final week — the honest evaluate-before-you-alert harness
+    behind events_anomaly_zscore/ewma (a detector is only as good as
+    the baseline it residualizes against).
+
+    Integer-exact to the last division: hourly counts are BIGINTs on
+    a zero-filled calendar, so every hour-of-day has EXACTLY 23 train
+    observations; forecast = S_h/23 and
+    MAE = Σ_test |23·x − S_h| / (23·n_test) are single divisions of
+    exact integers — bit-identical on both engines, no float sum
+    ordering anywhere. One fact-table pass to the hour grain; train
+    profile and test scoring are 24-row/168-row dimension frames."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("x")
+    )
+    bounds = hc.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    cal = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+        F.col("h0"),
+    )
+    s = cal.join(hc, "h", "left").select(
+        F.datediff(F.to_date("h"), F.to_date("h0")).alias("day_idx"),
+        F.hour("h").alias("hod"),
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+    )
+    train = (
+        s.filter(F.col("day_idx") < BACKTEST_TRAIN_DAYS)
+        .groupBy("hod")
+        .agg(F.sum("x").alias("sh"), F.count("*").alias("n_train_days"))
+    )
+    test = s.filter(F.col("day_idx") >= BACKTEST_TRAIN_DAYS)
+    scored = test.join(F.broadcast(train), "hod").groupBy(
+        "hod", "sh", "n_train_days"
+    ).agg(
+        F.count("*").alias("n_test_days"),
+        F.sum(
+            F.abs(
+                F.col("x") * F.lit(BACKTEST_TRAIN_DAYS) - F.col("sh")
+            )
+        ).alias("mae_num"),
+    )
+    d = float(BACKTEST_TRAIN_DAYS)
+    return scored.select(
+        "hod",
+        "n_train_days",
+        "n_test_days",
+        (
+            F.floor(
+                F.col("sh").cast("double") / F.lit(d) * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("forecast"),
+        (
+            F.floor(
+                F.col("mae_num").cast("double")
+                / (F.lit(d) * F.col("n_test_days"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("mae"),
+    )
+
+
+QUERIES["events_backtest_seasonal"] = q_events_backtest_seasonal
+ORACLES["events_backtest_seasonal"] = """
+WITH hc AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hc),
+cal AS (
+  SELECT unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h,
+         b.h0 AS h0
+  FROM b
+),
+s AS (
+  SELECT date_diff('day', CAST(c.h0 AS DATE), CAST(c.h AS DATE))
+           AS day_idx,
+         CAST(extract(hour FROM c.h) AS INT) AS hod,
+         coalesce(hc.x, 0) AS x
+  FROM cal c LEFT JOIN hc ON hc.h = c.h
+),
+train AS (
+  SELECT hod, CAST(sum(x) AS BIGINT) AS sh,
+         CAST(count(*) AS BIGINT) AS n_train_days
+  FROM s WHERE day_idx < 23 GROUP BY hod
+),
+scored AS (
+  SELECT t.hod, t.sh, t.n_train_days,
+         CAST(count(*) AS BIGINT) AS n_test_days,
+         CAST(sum(abs(s.x * 23 - t.sh)) AS BIGINT) AS mae_num
+  FROM s JOIN train t ON t.hod = s.hod
+  WHERE s.day_idx >= 23
+  GROUP BY t.hod, t.sh, t.n_train_days
+)
+SELECT hod, n_train_days, n_test_days,
+       floor(CAST(sh AS DOUBLE) / 23.0 * 1000000.0 + 0.5)
+         / 1000000.0 AS forecast,
+       floor(CAST(mae_num AS DOUBLE) / (23.0 * n_test_days)
+             * 1000000.0 + 0.5) / 1000000.0 AS mae
+FROM scored"""

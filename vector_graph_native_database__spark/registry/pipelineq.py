@@ -2205,3 +2205,141 @@ SELECT a.name AS name_a, b.name AS name_b,
        least(a.min_id, b.min_id) AS canon_id
 FROM ents a JOIN ents b ON b.blk = a.blk AND a.name < b.name
 WHERE levenshtein(a.name, b.name) <= 2"""
+
+
+
+def q_text_jsd_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of sources'
+    unigram distributions → (src_a, src_b, n_a, n_b, jsd): the
+    corpus-drift / mixture-design readout (JSD is symmetric, bounded
+    by ln 2, 0 iff the token distributions match — the principled
+    "how different are these two slices" number behind mixture
+    weighting and cross-dump dedup decisions).
+
+    Shape: ONE token-count aggregate at the (source, token) grain —
+    the only fact-table pass — then a tiny source-totals frame and a
+    per-pair FULL OUTER merge on token over the |sources|²·|vocab|
+    grid, all dimension-sized at any corpus scale. Probabilities are
+    exact integer counts over engine-identical doubles; a token
+    absent on one side contributes only the present side's
+    p·ln(p/m) term (the 0·ln 0 = 0 convention). Output in nats,
+    6dp."""
+    nodes, _, _ = model(spark, sf_dir)
+    toks = nodes.select(
+        F.col("source"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    tc = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    tot = tc.groupBy("source").agg(F.sum("c").alias("n"))
+    pairs = (
+        tot.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+        .join(
+            F.broadcast(
+                tot.select(
+                    F.col("source").alias("src_b"),
+                    F.col("n").alias("n_b"),
+                )
+            )
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    pa = pairs.join(
+        tc.select(
+            F.col("source").alias("src_a"), "tok", F.col("c").alias("ca")
+        ),
+        "src_a",
+    ).select("src_a", "src_b", "n_a", "n_b", "tok", "ca")
+    pb = pairs.join(
+        tc.select(
+            F.col("source").alias("src_b"), "tok", F.col("c").alias("cb")
+        ),
+        "src_b",
+    ).select("src_a", "src_b", "n_a", "n_b", "tok", "cb")
+    grid = pa.join(
+        pb.select("src_a", "src_b", "tok", "cb"),
+        ["src_a", "src_b", "tok"],
+        "full_outer",
+    ).join(
+        F.broadcast(
+            pairs.select(
+                F.col("src_a").alias("__sa"),
+                F.col("src_b").alias("__sb"),
+                F.col("n_a").alias("na"),
+                F.col("n_b").alias("nb"),
+            )
+        ),
+        (F.col("src_a") == F.col("__sa"))
+        & (F.col("src_b") == F.col("__sb")),
+    )
+    p_a = F.coalesce("ca", F.lit(0)).cast("double") / F.col("na")
+    p_b = F.coalesce("cb", F.lit(0)).cast("double") / F.col("nb")
+    m = (p_a + p_b) / F.lit(2.0)
+    term = F.when(
+        F.col("ca").isNotNull(), F.lit(0.5) * p_a * F.log(p_a / m)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("cb").isNotNull(), F.lit(0.5) * p_b * F.log(p_b / m)
+    ).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        grid.groupBy("src_a", "src_b", "na", "nb")
+        .agg(F.sum(term).alias("j"))
+        .select(
+            "src_a",
+            "src_b",
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            (F.floor(F.col("j") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("jsd"),
+        )
+    )
+
+
+QUERIES["text_jsd_by_source"] = q_text_jsd_by_source
+ORACLES["text_jsd_by_source"] = (
+    ORACLE_PRELUDE
+    + _TOKS
+    + """,
+tok1 AS (SELECT n.source, unnest(t.t) AS tok
+         FROM toks t JOIN nodes n ON n.id = t.id),
+tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+       FROM tok1 GROUP BY source, tok),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        FROM tc GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b
+  FROM tot a JOIN tot b ON a.source < b.source
+),
+univ AS (
+  SELECT DISTINCT p.src_a, p.src_b, p.n_a, p.n_b, t.tok
+  FROM pairs p
+  JOIN (SELECT DISTINCT source, tok FROM tc) t
+    ON t.source = p.src_a OR t.source = p.src_b
+),
+grid AS (
+  SELECT u.src_a, u.src_b, u.n_a, u.n_b, u.tok, x.c AS ca, y.c AS cb
+  FROM univ u
+  LEFT JOIN tc x ON x.source = u.src_a AND x.tok = u.tok
+  LEFT JOIN tc y ON y.source = u.src_b AND y.tok = u.tok
+),
+terms AS (
+  SELECT src_a, src_b, n_a, n_b,
+         coalesce(ca, 0) * 1.0 / n_a AS pa,
+         coalesce(cb, 0) * 1.0 / n_b AS pb,
+         ca IS NOT NULL AS ha, cb IS NOT NULL AS hb
+  FROM grid
+)
+SELECT src_a, src_b, n_a, n_b,
+       floor(sum(
+         (CASE WHEN ha THEN 0.5 * pa * ln(pa / ((pa + pb) / 2.0))
+               ELSE 0.0 END)
+         + (CASE WHEN hb THEN 0.5 * pb * ln(pb / ((pa + pb) / 2.0))
+                 ELSE 0.0 END)
+       ) * 1000000.0 + 0.5) / 1000000.0 AS jsd
+FROM terms GROUP BY src_a, src_b, n_a, n_b"""
+)
