@@ -221,6 +221,7 @@ HEADLINE = CANARY + [
     "graph_walk_counts",
     "text_jsd_by_source",
     "events_backtest_seasonal",
+    "olap_copurchase_topk",
 ]
 
 

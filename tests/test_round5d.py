@@ -403,3 +403,23 @@ def test_backtest_seasonal_exactness(spark):
         assert r.n_train_days == 23
         assert r.n_test_days == 7
         assert r.mae >= 0.0 and r.forecast >= 0.0
+
+
+def test_copurchase_topk_properties(spark):
+    from vector_graph_native_database__spark.registry.olapq import (
+        q_olap_copurchase_topk,
+    )
+
+    rows = q_olap_copurchase_topk(spark, SF).collect()
+    assert rows
+    by_a = {}
+    for r in rows:
+        by_a.setdefault(r.p_a, []).append(r)
+        assert 0.0 < r.cos <= 1.0 and r.p_a != r.p_b
+    for a, rs in by_a.items():
+        rs = sorted(rs, key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        # ranks follow (cos desc, p_b asc)
+        keys = [(-r.cos, r.p_b) for r in rs]
+        assert keys == sorted(keys)

@@ -3088,3 +3088,99 @@ WHERE NOT EXISTS (
     AND q.p_retailprice <= p.p_retailprice
     AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)
 )"""
+
+
+COPURCHASE_TOPK = 3
+
+
+def q_olap_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering → top-3 "customers also
+    bought" per part: (p_a, p_b, n_ab, cos, rnk). Co-occurrence
+    counts come from the basket self-join (lineitem parts within one
+    order), similarity is the cosine n_ab/√(n_a·n_b) that normalizes
+    away bestseller bias — the batch half of every recsys serving
+    stack, next to olap_market_basket's lift.
+
+    Scale shape: baskets dedupe to the (order, part) grain first
+    (tiny per-order item lists bound the self-join fan-out to
+    Σ_orders |basket|²); per-item totals broadcast back; ranking is a
+    window PARTITIONED by item (frame = that item's candidates, never
+    global) with the (cos DESC, p_b) total order; cosine compares on
+    exact integer counts so the 6dp rank key is engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bask = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    item_n = bask.groupBy("pk").agg(F.count("*").alias("n"))
+    a = bask.select("ok", F.col("pk").alias("p_a"))
+    b = bask.select("ok", F.col("pk").alias("p_b"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("p_a") != F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    co = (
+        co.join(
+            F.broadcast(
+                item_n.select(
+                    F.col("pk").alias("p_a"), F.col("n").alias("na")
+                )
+            ),
+            "p_a",
+        )
+        .join(
+            F.broadcast(
+                item_n.select(
+                    F.col("pk").alias("p_b"), F.col("n").alias("nb")
+                )
+            ),
+            "p_b",
+        )
+        .withColumn(
+            "cos",
+            F.floor(
+                F.col("n_ab")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6),
+        )
+    )
+    w = Window.partitionBy("p_a").orderBy(
+        F.desc("cos"), F.asc("p_b")
+    )
+    return (
+        co.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= COPURCHASE_TOPK)
+        .select("p_a", "p_b", "n_ab", "cos", "rnk")
+    )
+
+
+QUERIES["olap_copurchase_topk"] = q_olap_copurchase_topk
+ORACLES["olap_copurchase_topk"] = f"""
+WITH bask AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+item_n AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM bask GROUP BY pk),
+co AS (
+  SELECT a.pk AS p_a, b.pk AS p_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM bask a JOIN bask b ON b.ok = a.ok AND a.pk <> b.pk
+  GROUP BY a.pk, b.pk
+),
+scored AS (
+  SELECT co.p_a, co.p_b, co.n_ab,
+         floor(co.n_ab / sqrt(CAST(x.n AS DOUBLE) * y.n)
+               * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM co JOIN item_n x ON x.pk = co.p_a
+  JOIN item_n y ON y.pk = co.p_b
+),
+ranked AS (
+  SELECT p_a, p_b, n_ab, cos,
+         row_number() OVER (PARTITION BY p_a
+                            ORDER BY cos DESC, p_b) AS rnk
+  FROM scored
+)
+SELECT p_a, p_b, n_ab, cos, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {COPURCHASE_TOPK}"""
