@@ -222,6 +222,8 @@ HEADLINE = CANARY + [
     "text_jsd_by_source",
     "events_backtest_seasonal",
     "olap_copurchase_topk",
+    "graph_katz_bounded",
+    "olap_ship_delay_quartiles",
 ]
 
 

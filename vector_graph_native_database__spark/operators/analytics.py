@@ -1512,3 +1512,50 @@ def walk_counts(
         )
         out = s if out is None else out.unionByName(s)
     return out
+
+
+def katz_bounded(
+    nodes: DataFrame, edges: DataFrame, hops: int = 4
+) -> DataFrame:
+    """Hop-bounded Katz centrality with β = 1/10 → (id, katz):
+    katz(v) = Σ_{h=1..hops} β^h · (walks of length h ENDING at v) —
+    the influence score that counts long paths at geometrically
+    discounted weight, truncated at ``hops`` (the standard practical
+    Katz; the full series needs spectral radius knowledge anyway).
+
+    EXACT arithmetic: β = 1/10 makes β^h·w_h a decimal with ≤ 4
+    digits, so the whole score is the INTEGER Σ w_h·10^(hops−h)
+    divided once by 10^hops — walk counts come from the same
+    all-BIGINT SpMV chain as walk_counts, run on REVERSED edges
+    (in-walks measure received influence, matching Katz's A^T
+    convention). One edge join + one sum per hop; the per-hop
+    vectors join back on id at the end (hops tiny frames)."""
+    e = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).distinct()
+    w = nodes.select(F.col("id"), F.lit(1).cast("long").alias("w"))
+    acc = nodes.select("id", F.lit(0).cast("long").alias("num"))
+    for h in range(1, hops + 1):
+        w = (
+            e.join(w.select(F.col("id").alias("dst"), "w"), "dst")
+            .groupBy("src")
+            .agg(F.sum("w").alias("w"))
+            .select(F.col("src").alias("id"), "w")
+            .localCheckpoint(eager=False)
+        )
+        scale = 10 ** (hops - h)
+        acc = (
+            acc.join(
+                w.select("id", (F.col("w") * F.lit(scale)).alias("__a")),
+                "id",
+                "left",
+            )
+            .select(
+                "id",
+                (F.col("num") + F.coalesce("__a", F.lit(0))).alias("num"),
+            )
+        )
+    den = float(10 ** hops)
+    return acc.select(
+        "id", (F.col("num").cast("double") / F.lit(den)).alias("katz")
+    )

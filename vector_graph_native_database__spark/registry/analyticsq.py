@@ -1104,3 +1104,53 @@ w{h} AS (
 
 QUERIES["graph_walk_counts"] = q_graph_walk_counts
 ORACLES["graph_walk_counts"] = _walk_counts_oracle()
+
+
+def q_graph_katz_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded Katz centrality (β=0.1, 4 hops, A^T convention) →
+    (id, katz): geometrically discounted in-walk counts as ONE exact
+    integer per node divided once — no float accumulates anywhere.
+    See operators/analytics.katz_bounded; the oracle unrolls the
+    reversed-edge walk ladder."""
+    from ..operators.analytics import katz_bounded
+
+    nodes, _, edges = model(spark, sf_dir)
+    return katz_bounded(nodes.select("id"), edges, hops=WALK_HOPS)
+
+
+def _katz_oracle() -> str:
+    ctes = [
+        ",\nre AS (SELECT DISTINCT dst AS src, src AS dst FROM edges)"
+    ]
+    ctes.append(
+        ",\nkw1 AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS w"
+        " FROM re GROUP BY src)"
+    )
+    for h in range(2, WALK_HOPS + 1):
+        ctes.append(
+            f""",
+kw{h} AS (
+  SELECT re.src AS id, CAST(sum(p.w) AS BIGINT) AS w
+  FROM re JOIN kw{h - 1} p ON p.id = re.dst
+  GROUP BY re.src
+)"""
+        )
+    joins = "".join(
+        f"\nLEFT JOIN kw{h} ON kw{h}.id = n.id"
+        for h in range(1, WALK_HOPS + 1)
+    )
+    num = " + ".join(
+        f"coalesce(kw{h}.w, 0) * {10 ** (WALK_HOPS - h)}"
+        for h in range(1, WALK_HOPS + 1)
+    )
+    return (
+        ORACLE_PRELUDE
+        + "".join(ctes)
+        + f"""
+SELECT n.id, CAST(({num}) AS DOUBLE) / {float(10 ** WALK_HOPS)} AS katz
+FROM nodes n{joins}"""
+    )
+
+
+QUERIES["graph_katz_bounded"] = q_graph_katz_bounded
+ORACLES["graph_katz_bounded"] = _katz_oracle()

@@ -3184,3 +3184,58 @@ ranked AS (
 )
 SELECT p_a, p_b, n_ab, cos, CAST(rnk AS BIGINT) AS rnk
 FROM ranked WHERE rnk <= {COPURCHASE_TOPK}"""
+
+
+def q_olap_ship_delay_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact order-to-ship delay quartiles per order priority →
+    (grp, n, q_0_25, q_0_5, q_0_75): the fulfilment-SLA profile.
+    Delay = whole days from o_orderdate to l_shipdate (an exact
+    integer measure), quantiles are type-1 with integer target ranks
+    via operators/profiling.group_quantiles — the same no-sampling
+    distributed-quantile primitive as stats_boxplot, here fed by the
+    orders⋈lineitem join (shuffle on the FK; the group dimension is
+    |priorities|)."""
+    from ..operators.profiling import group_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_shipdate"
+    ).join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+           "o_orderkey")
+    d = j.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("delay"),
+    )
+    return group_quantiles(d, group_col="prio", value_col="delay")
+
+
+QUERIES["olap_ship_delay_quartiles"] = q_olap_ship_delay_quartiles
+ORACLES["olap_ship_delay_quartiles"] = """
+WITH d AS (
+  SELECT o.o_orderpriority AS grp,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS v
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+g AS (
+  SELECT grp, v, count(*) AS c FROM d WHERE v IS NOT NULL
+  GROUP BY grp, v
+),
+r AS (
+  SELECT grp, v, c,
+         sum(c) OVER (PARTITION BY grp ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM g
+),
+t AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM g GROUP BY grp)
+SELECT r.grp, t.n,
+       min(CASE WHEN cum >= (t.n * 1 + 3) // 4 THEN v END) AS q_0_25,
+       min(CASE WHEN cum >= (t.n * 1 + 1) // 2 THEN v END) AS q_0_5,
+       min(CASE WHEN cum >= (t.n * 3 + 3) // 4 THEN v END) AS q_0_75
+FROM r JOIN t ON t.grp = r.grp
+GROUP BY r.grp, t.n"""
