@@ -224,6 +224,7 @@ HEADLINE = CANARY + [
     "olap_copurchase_topk",
     "graph_katz_bounded",
     "olap_ship_delay_quartiles",
+    "events_time_to_convert",
 ]
 
 

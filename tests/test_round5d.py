@@ -457,3 +457,14 @@ def test_ship_delay_quartiles_ordered(spark):
     for r in rows:
         assert r.q_0_25 <= r.q_0_5 <= r.q_0_75
         assert r.n > 0
+
+
+def test_time_to_convert_quartiles(spark):
+    from vector_graph_native_database__spark.registry.eventsq import (
+        q_events_time_to_convert,
+    )
+
+    rows = q_events_time_to_convert(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n > 0 and 0 <= r.q_0_25 <= r.q_0_5 <= r.q_0_75

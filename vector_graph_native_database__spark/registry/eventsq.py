@@ -2384,3 +2384,68 @@ SELECT hod, n_train_days, n_test_days,
        floor(CAST(mae_num AS DOUBLE) / (23.0 * n_test_days)
              * 1000000.0 + 0.5) / 1000000.0 AS mae
 FROM scored"""
+
+
+def q_events_time_to_convert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversion-latency profile → (grp, n, q_0_25, q_0_5, q_0_75):
+    exact quartiles of the seconds between a user's FIRST view and
+    their first purchase strictly after it — the time-to-convert
+    number product teams watch, with the no-sampling distributed
+    quantile primitive (integer microsecond deltas, type-1 ranks)
+    doing the statistics. Two conditional-min aggregates (first view
+    per user; first qualifying purchase via one filtered join) — no
+    window over raw events."""
+    from ..operators.profiling import group_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("fv_us"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("p_us"))
+        .join(fv, "user_id")
+        .filter(F.col("p_us") > F.col("fv_us"))
+        .groupBy("user_id", "fv_us")
+        .agg(F.min("p_us").alias("fp_us"))
+    )
+    d = fp.select(
+        F.lit("all").alias("g"),
+        F.expr("(fp_us - fv_us) div 1000000").alias("delay_s"),
+    )
+    return group_quantiles(d, group_col="g", value_col="delay_s")
+
+
+QUERIES["events_time_to_convert"] = q_events_time_to_convert
+ORACLES["events_time_to_convert"] = """
+WITH fv AS (
+  SELECT user_id, min(epoch_us(ts)) AS fv_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+fp AS (
+  SELECT e.user_id, fv.fv_us, min(epoch_us(e.ts)) AS fp_us
+  FROM events e JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.fv_us
+  GROUP BY e.user_id, fv.fv_us
+),
+d AS (
+  SELECT 'all' AS grp, (fp_us - fv_us) // 1000000 AS v FROM fp
+),
+g AS (SELECT grp, v, count(*) AS c FROM d GROUP BY grp, v),
+r AS (
+  SELECT grp, v, c,
+         sum(c) OVER (PARTITION BY grp ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM g
+),
+t AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM g GROUP BY grp)
+SELECT r.grp, t.n,
+       min(CASE WHEN cum >= (t.n * 1 + 3) // 4 THEN v END) AS q_0_25,
+       min(CASE WHEN cum >= (t.n * 1 + 1) // 2 THEN v END) AS q_0_5,
+       min(CASE WHEN cum >= (t.n * 3 + 3) // 4 THEN v END) AS q_0_75
+FROM r JOIN t ON t.grp = r.grp
+GROUP BY r.grp, t.n"""
