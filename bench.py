@@ -225,6 +225,8 @@ HEADLINE = CANARY + [
     "graph_katz_bounded",
     "olap_ship_delay_quartiles",
     "events_time_to_convert",
+    "events_watermark_lateness",
+    "olap_revenue_gini",
 ]
 
 

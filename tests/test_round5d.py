@@ -468,3 +468,40 @@ def test_time_to_convert_quartiles(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r.n > 0 and 0 <= r.q_0_25 <= r.q_0_5 <= r.q_0_75
+
+
+def test_watermark_lateness_monotone(spark):
+    from vector_graph_native_database__spark.registry.eventsq import (
+        q_events_watermark_lateness,
+    )
+
+    rows = sorted(
+        q_events_watermark_lateness(spark, SF).collect(),
+        key=lambda r: r.watermark_s,
+    )
+    assert [r.watermark_s for r in rows] == [60, 300, 900, 3600]
+    lates = [r.n_late for r in rows]
+    # a bigger watermark can only tolerate more lateness
+    assert all(b <= a for a, b in zip(lates, lates[1:]))
+    assert all(0.0 <= r.frac <= 1.0 for r in rows)
+
+
+def test_revenue_gini_matches_sorted_formula(spark):
+    from vector_graph_native_database__spark.registry.olapq import (
+        q_olap_revenue_gini,
+    )
+
+    r = q_olap_revenue_gini(spark, SF).collect()[0]
+    xs = sorted(
+        int(row.o_totalprice * 100 + 0.5)
+        for row in spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_totalprice")
+        .collect()
+    )
+    n = len(xs)
+    s = sum((i + 1) * x for i, x in enumerate(xs))
+    t = sum(xs)
+    expected = (2 * s - (n + 1) * t) / (n * t)
+    assert r.n == n and r.total_cents == t
+    assert abs(r.gini - expected) < 2e-6
+    assert 0.0 <= r.gini < 1.0

@@ -2449,3 +2449,128 @@ SELECT r.grp, t.n,
        min(CASE WHEN cum >= (t.n * 3 + 3) // 4 THEN v END) AS q_0_75
 FROM r JOIN t ON t.grp = r.grp
 GROUP BY r.grp, t.n"""
+
+
+WATERMARK_GRID = [60, 300, 900, 3600]
+
+
+def q_events_watermark_lateness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark sizing report → (watermark_s, n_late, frac): for
+    each candidate watermark, how many events arrive LATER than the
+    watermark would tolerate (event-time ts vs the running maximum
+    ts over earlier arrivals, arrival order = event_id) — the number
+    you read BEFORE setting withWatermark(), because every late row
+    beyond it is silently dropped state.
+
+    The running max is a global prefix aggregation, computed with the
+    same deterministic range-bucket idiom as the count-below prefix
+    sum (operators/profiling.attach_count_below), instantiated for
+    MAX: percentile_approx buckets on the arrival key (broadcast, a
+    pure function of the key), an in-bucket exclusive running max,
+    and per-bucket maxima prefix-combined on a ≤32-row frame — no
+    global window over raw events. Lateness is exact integer
+    microseconds; the grid join is a broadcast 4-row dimension;
+    frac = n_late/n is a ratio of exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        F.col("event_id").alias("k"), F.unix_micros("ts").alias("tsu")
+    )
+    parts = 32
+    bnd = o.agg(
+        F.percentile_approx(
+            "k", [i / parts for i in range(1, parts)], 10_000
+        ).alias("bs")
+    )
+    o = (
+        o.join(F.broadcast(bnd))
+        .withColumn(
+            "pid",
+            F.size(F.filter(F.col("bs"), lambda b: b <= F.col("k"))),
+        )
+        .drop("bs")
+    )
+    from pyspark.sql.window import Window
+
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = o.withColumn("inmax", F.max("tsu").over(w_in))
+    btot = o.groupBy("pid").agg(F.max("tsu").alias("bm"))
+    w_off = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = btot.withColumn("om", F.max("bm").over(w_off)).select(
+        "pid", "om"
+    )
+    o = (
+        o.join(F.broadcast(offs), "pid")
+        .withColumn("pm", F.greatest(F.col("inmax"), F.col("om")))
+        .withColumn(
+            "late_us",
+            F.when(
+                F.col("pm") > F.col("tsu"), F.col("pm") - F.col("tsu")
+            ).otherwise(F.lit(0)),
+        )
+    )
+    grid = spark.createDataFrame(
+        [(w,) for w in WATERMARK_GRID], "watermark_s long"
+    )
+    tot = o.agg(F.count("*").alias("n"))
+    return (
+        grid.crossJoin(o.select("late_us"))
+        .groupBy("watermark_s")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("late_us")
+                    > F.col("watermark_s") * F.lit(1_000_000),
+                    1,
+                ).otherwise(0)
+            ).alias("n_late")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "watermark_s",
+            "n_late",
+            (
+                F.floor(
+                    F.col("n_late")
+                    / F.col("n").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("frac"),
+        )
+    )
+
+
+QUERIES["events_watermark_lateness"] = q_events_watermark_lateness
+ORACLES["events_watermark_lateness"] = """
+WITH o AS (SELECT event_id AS k, epoch_us(ts) AS tsu FROM events),
+r AS (
+  SELECT tsu,
+         max(tsu) OVER (ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM o
+),
+l AS (
+  SELECT CASE WHEN pm > tsu THEN pm - tsu ELSE 0 END AS late_us
+  FROM r
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM l),
+w AS (SELECT CAST(unnest([60, 300, 900, 3600]) AS BIGINT)
+        AS watermark_s)
+SELECT w.watermark_s,
+       CAST(sum(CASE WHEN l.late_us > w.watermark_s * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       floor(sum(CASE WHEN l.late_us > w.watermark_s * 1000000
+                      THEN 1 ELSE 0 END)
+             / CAST(t.n AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS frac
+FROM w CROSS JOIN l CROSS JOIN t
+GROUP BY w.watermark_s, t.n"""

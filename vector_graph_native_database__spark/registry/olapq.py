@@ -3239,3 +3239,92 @@ SELECT r.grp, t.n,
        min(CASE WHEN cum >= (t.n * 3 + 3) // 4 THEN v END) AS q_0_75
 FROM r JOIN t ON t.grp = r.grp
 GROUP BY r.grp, t.n"""
+
+
+def q_olap_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value → (n, total_cents, gini): the
+    revenue-concentration readout ("do 20% of orders carry 80% of
+    revenue?"), exact and collect-free.
+
+    Prices fix to integer cents (floor(x·100+0.5) — engine-identical)
+    and the rank-weighted sum S = Σᵢ rank·xᵢ folds at the TIE GRAIN:
+    a tie group (same cents, multiplicity n_g, count-below cl) always
+    contributes cents·(n_g·cl + n_g(n_g+1)/2) — tied rows share one
+    value, so no per-row rank order matters and no tie-break is ever
+    needed. Count-below comes from the deterministic bucketed prefix
+    sum (attach_count_below); the per-group contributions and totals
+    accumulate as DECIMAL(38,0) (BIGINT-safe far past sf10), and
+    G = (2S − (n+1)T)/(n·T) is one division of exact integers."""
+    from ..operators.profiling import attach_count_below
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("v")
+    )
+    g = attach_count_below(
+        cents.groupBy("v").agg(F.count("*").alias("n"))
+    )
+    dec = "decimal(38,0)"
+    contrib = (
+        F.col("v").cast(dec)
+        * (
+            F.col("n").cast(dec) * F.col("cl").cast(dec)
+            + (
+                F.col("n").cast(dec)
+                * (F.col("n") + F.lit(1)).cast(dec)
+            )
+            / F.lit(2).cast(dec)
+        )
+    )
+    agg = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.col("v").cast(dec) * F.col("n").cast(dec)).alias("t"),
+        F.sum(contrib).alias("s"),
+    )
+    return agg.select(
+        F.col("nn").alias("n"),
+        F.col("t").cast("long").alias("total_cents"),
+        (
+            F.floor(
+                (
+                    (
+                        F.lit(2).cast(dec) * F.col("s")
+                        - (F.col("nn") + F.lit(1)).cast(dec) * F.col("t")
+                    ).cast("double")
+                    / (F.col("nn").cast(dec) * F.col("t")).cast("double")
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("gini"),
+    )
+
+
+QUERIES["olap_revenue_gini"] = q_olap_revenue_gini
+ORACLES["olap_revenue_gini"] = """
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+  FROM orders
+),
+g AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM cents GROUP BY v),
+r AS (
+  SELECT v, n,
+         coalesce(sum(n) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cl
+  FROM g
+),
+agg AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         sum(CAST(v AS HUGEINT) * n) AS t,
+         sum(CAST(v AS HUGEINT)
+             * (n * CAST(cl AS HUGEINT) + n * (n + 1) / 2)) AS s
+  FROM r
+)
+SELECT nn AS n, CAST(t AS BIGINT) AS total_cents,
+       floor(CAST(2 * s - (nn + 1) * t AS DOUBLE)
+             / CAST(nn * t AS DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS gini
+FROM agg"""
