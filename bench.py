@@ -227,6 +227,7 @@ HEADLINE = CANARY + [
     "events_time_to_convert",
     "events_watermark_lateness",
     "olap_revenue_gini",
+    "approx_quantile_histogram",
 ]
 
 

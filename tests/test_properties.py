@@ -203,3 +203,35 @@ def test_salted_join_equals_plain_join(spark, rows, dim, threshold):
         (f"k{k}", p, dmap[f"k{k}"]) for k, p in rows if f"k{k}" in dmap
     )
     assert got == want
+
+
+# -- exact group quantiles ---------------------------------------------------
+
+vals_strategy = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(-50, 50)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=vals_strategy)
+@settings(**SETTINGS)
+def test_group_quantiles_match_type1_reference(spark, rows):
+    from vector_graph_native_database__spark.operators.profiling import (
+        group_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g string, v double"
+    )
+    got = {r.grp: r for r in group_quantiles(df, "g", "v").collect()}
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, xs in by_g.items():
+        xs = sorted(xs)
+        n = len(xs)
+        assert got[g].n == n
+        for p, col in ((0.25, "q_0_25"), (0.5, "q_0_5"), (0.75, "q_0_75")):
+            target = math.ceil(p * n)
+            assert getattr(got[g], col) == xs[target - 1]

@@ -505,3 +505,38 @@ def test_revenue_gini_matches_sorted_formula(spark):
     assert r.n == n and r.total_cents == t
     assert abs(r.gini - expected) < 2e-6
     assert 0.0 <= r.gini < 1.0
+
+
+def test_histogram_quantiles_merge_law_and_error_bound(spark):
+    from vector_graph_native_database__spark.operators.sketch import (
+        histogram_quantiles,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    whole = {
+        r.grp: r for r in histogram_quantiles(ev, "event_type", "value").collect()
+    }
+    # mergeability: computing over the union of two halves = whole
+    # (bin counts are a sum sketch; same global bounds by construction)
+    halves = ev.filter(F.col("event_id") % 2 == 0).unionByName(
+        ev.filter(F.col("event_id") % 2 == 1)
+    )
+    merged = {
+        r.grp: r
+        for r in histogram_quantiles(halves, "event_type", "value").collect()
+    }
+    assert {g: (r.n, r.est_q_0_5) for g, r in whole.items()} == {
+        g: (r.n, r.est_q_0_5) for g, r in merged.items()
+    }
+    # error bound: estimate (lower bin edge) within one bin width
+    # below the exact quantile
+    vb = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).collect()[0]
+    bw = (vb.hi - vb.lo) / 128.0
+    for r in whole.values():
+        for tag in ("0_5", "0_9", "0_99"):
+            est = getattr(r, f"est_q_{tag}")
+            exact = getattr(r, f"exact_q_{tag}")
+            assert est <= exact + 1e-9
+            assert exact - est <= bw + 1e-9

@@ -571,3 +571,98 @@ def cms_estimate_heavy_hitters(
         .agg(F.min("cnt").alias("est_cnt"))
         .select("tok", "exact_cnt", "est_cnt")
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bins: int = 128,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable fixed-bin histogram quantiles → (grp, n, plus one
+    est_q_<p> and exact_q_<p> pair per prob): the STREAMABLE sibling
+    of profiling.group_quantiles. Bin counts over global fixed edges
+    are a pure sum sketch — per-partition (or per-micro-batch)
+    histograms merge by addition, the property exact rank statistics
+    can never have — at the cost of a ≤ bin-width answer.
+
+    Determinism/parity: edges come from the global min/max (one
+    broadcast bounds frame), bin assignment is the same least/floor
+    arithmetic as drift_psi, and the estimate returns the LOWER EDGE
+    of the bin where the ⌈p·n⌉-th row falls (edge = vmin + b·(vmax −
+    vmin)/bins with integer b — no interpolation, so both engines
+    compute the identical double). exact_q_* audit columns ride along
+    from the exact path, exposing the realized sketch error the same
+    way hll_distinct_union carries exact_distinct."""
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp").cast("string"),
+        F.col(value_col).alias("v").cast("double"),
+    )
+    bounds = base.agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    w = F.col("vmax") - F.col("vmin")
+    binned = base.crossJoin(F.broadcast(bounds)).select(
+        "grp",
+        "v",
+        F.when(
+            w > 0,
+            F.least(
+                F.lit(bins - 1),
+                F.floor((F.col("v") - F.col("vmin")) / w * bins),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("b"),
+    )
+    h = binned.groupBy("grp", "b").agg(F.count("*").alias("c"))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    h = h.withColumn("cum", F.sum("c").over(wcum))
+    tot = h.groupBy("grp").agg(F.sum("c").alias("n"))
+    j = h.join(tot, "grp").crossJoin(F.broadcast(bounds))
+    exact = binned.groupBy("grp", "v").agg(F.count("*").alias("c"))
+    wex = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    exact = exact.withColumn("cum", F.sum("c").over(wex)).join(
+        tot, "grp"
+    )
+    aggs = [F.max("n").alias("n")]
+    eaggs = []
+    for p in probs:
+        fr = Fraction(p).limit_denominator(10_000)
+        target = F.expr(
+            f"(n * {fr.numerator} + {fr.denominator} - 1)"
+            f" div {fr.denominator}"
+        )
+        tag = str(p).replace(".", "_")
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= target,
+                    F.col("vmin")
+                    + F.col("b")
+                    * (F.col("vmax") - F.col("vmin"))
+                    / F.lit(float(bins)),
+                )
+            ).alias(f"est_q_{tag}")
+        )
+        eaggs.append(
+            F.min(F.when(F.col("cum") >= target, F.col("v"))).alias(
+                f"exact_q_{tag}"
+            )
+        )
+    est = j.groupBy("grp").agg(*aggs)
+    ex = exact.groupBy("grp").agg(*eaggs)
+    return est.join(ex, "grp")

@@ -3328,3 +3328,81 @@ SELECT nn AS n, CAST(t AS BIGINT) AS total_cents,
              / CAST(nn * t AS DOUBLE) * 1000000.0 + 0.5)
          / 1000000.0 AS gini
 FROM agg"""
+
+
+def q_approx_quantile_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable histogram quantiles of event value per type →
+    (grp, n, est_q_0_5/0_9/0_99, exact_q_0_5/0_9/0_99): the
+    STREAMABLE quantile path — 128 fixed-edge bin counts are a pure
+    sum sketch (per-batch histograms merge by addition; pytest pins
+    the merge law), estimates answer from the bin cumulative at the
+    same integer ⌈p·n⌉ targets as the exact path, and the exact
+    quantiles ride along as the realized-error audit, the
+    hll_distinct_union pattern applied to quantiles. See
+    operators/sketch.histogram_quantiles."""
+    from ..operators.sketch import histogram_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_quantiles(ev, "event_type", "value")
+
+
+QUERIES["approx_quantile_histogram"] = q_approx_quantile_histogram
+ORACLES["approx_quantile_histogram"] = """
+WITH base AS (
+  SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+bounds AS (SELECT min(v) AS vmin, max(v) AS vmax FROM base),
+binned AS (
+  SELECT grp, v,
+         CASE WHEN b.vmax > b.vmin
+              THEN least(127, CAST(floor((v - b.vmin)
+                     / (b.vmax - b.vmin) * 128) AS BIGINT))
+              ELSE 0 END AS bin
+  FROM base CROSS JOIN bounds b
+),
+h AS (SELECT grp, bin, count(*) AS c FROM binned GROUP BY grp, bin),
+hc AS (
+  SELECT grp, bin, c,
+         sum(c) OVER (PARTITION BY grp ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM h
+),
+tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY grp),
+est AS (
+  SELECT hc.grp, t.n,
+         min(CASE WHEN cum >= (t.n * 1 + 1) // 2
+             THEN b.vmin + bin * (b.vmax - b.vmin) / 128.0 END)
+           AS est_q_0_5,
+         min(CASE WHEN cum >= (t.n * 9 + 9) // 10
+             THEN b.vmin + bin * (b.vmax - b.vmin) / 128.0 END)
+           AS est_q_0_9,
+         min(CASE WHEN cum >= (t.n * 99 + 99) // 100
+             THEN b.vmin + bin * (b.vmax - b.vmin) / 128.0 END)
+           AS est_q_0_99
+  FROM hc JOIN tot t ON t.grp = hc.grp CROSS JOIN bounds b
+  GROUP BY hc.grp, t.n
+),
+vg AS (SELECT grp, v, count(*) AS c FROM base GROUP BY grp, v),
+vc AS (
+  SELECT grp, v, c,
+         sum(c) OVER (PARTITION BY grp ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM vg
+),
+ex AS (
+  SELECT vc.grp,
+         min(CASE WHEN cum >= (t.n * 1 + 1) // 2 THEN v END)
+           AS exact_q_0_5,
+         min(CASE WHEN cum >= (t.n * 9 + 9) // 10 THEN v END)
+           AS exact_q_0_9,
+         min(CASE WHEN cum >= (t.n * 99 + 99) // 100 THEN v END)
+           AS exact_q_0_99
+  FROM vc JOIN tot t ON t.grp = vc.grp
+  GROUP BY vc.grp
+)
+SELECT est.grp, est.n, est.est_q_0_5, est.est_q_0_9, est.est_q_0_99,
+       ex.exact_q_0_5, ex.exact_q_0_9, ex.exact_q_0_99
+FROM est JOIN ex ON ex.grp = est.grp"""
