@@ -228,6 +228,7 @@ HEADLINE = CANARY + [
     "events_watermark_lateness",
     "olap_revenue_gini",
     "approx_quantile_histogram",
+    "graph_effective_diameter",
 ]
 
 

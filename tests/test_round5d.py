@@ -540,3 +540,13 @@ def test_histogram_quantiles_merge_law_and_error_bound(spark):
             exact = getattr(r, f"exact_q_{tag}")
             assert est <= exact + 1e-9
             assert exact - est <= bw + 1e-9
+
+
+def test_effective_diameter_within_hops(spark):
+    from vector_graph_native_database__spark.registry.analyticsq import (
+        q_graph_effective_diameter,
+    )
+
+    r = q_graph_effective_diameter(spark, SF).collect()[0]
+    assert 0 <= r.eff_diameter_09 <= r.hops_computed == 4
+    assert r.est_pairs_max > 0

@@ -1154,3 +1154,39 @@ FROM nodes n{joins}"""
 
 QUERIES["graph_katz_bounded"] = q_graph_katz_bounded
 ORACLES["graph_katz_bounded"] = _katz_oracle()
+
+
+def q_graph_effective_diameter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Effective diameter from the HyperANF neighborhood function →
+    one row (eff_diameter_09, hops_computed, est_pairs_max): the
+    smallest hop count whose estimated reachable-pair mass covers 90%
+    of the deepest computed ball — the single number web-graph papers
+    quote, composed from graph_hyperanf's already-oracled per-hop
+    frame (a ≤(hops+1)-row reduction; the integer-exact per-hop
+    estimates make the 0.9 threshold comparison engine-identical)."""
+    nf = q_graph_hyperanf(spark, sf_dir)
+    mx = nf.agg(
+        F.max("est_pairs").alias("mx"), F.max("hop").alias("hops")
+    )
+    return (
+        nf.crossJoin(F.broadcast(mx))
+        .filter(F.col("est_pairs") >= F.lit(0.9) * F.col("mx"))
+        .agg(
+            F.min("hop").alias("eff_diameter_09"),
+            F.max("hops").alias("hops_computed"),
+            F.max("mx").alias("est_pairs_max"),
+        )
+    )
+
+
+QUERIES["graph_effective_diameter"] = q_graph_effective_diameter
+ORACLES["graph_effective_diameter"] = f"""
+WITH nf AS ({ORACLES["graph_hyperanf"]}),
+mx AS (SELECT max(est_pairs) AS mx, max(hop) AS hops FROM nf)
+SELECT CAST(min(nf.hop) AS INT) AS eff_diameter_09,
+       CAST(max(mx.hops) AS INT) AS hops_computed,
+       max(mx.mx) AS est_pairs_max
+FROM nf CROSS JOIN mx
+WHERE nf.est_pairs >= 0.9 * mx.mx"""
