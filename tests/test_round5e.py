@@ -1,0 +1,197 @@
+"""Round-5 continuation (wave E): square count, survival curve,
+CUSUM change-point, Mann-Whitney rank test, within-doc repetition."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+from pyspark.sql import functions as F
+
+from vector_graph_native_database__spark.operators.analytics import (
+    square_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, "t", 1.0, f"e-{a}-{b}") for a, b in pairs],
+        "src string, dst string, type string, weight double, id string",
+    )
+
+
+def test_square_count_c4_is_one(spark):
+    # A plain 4-cycle has exactly one square.
+    df = _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    assert square_count(df).collect()[0].n_squares == 1
+
+
+def test_square_count_k4_is_three(spark):
+    # K4 contains 3 distinct 4-cycles (one per perfect matching of
+    # diagonals); chords do not disqualify a cycle.
+    nodes = ["a", "b", "c", "d"]
+    df = _edges_df(spark, list(itertools.combinations(nodes, 2)))
+    assert square_count(df).collect()[0].n_squares == 3
+
+
+def test_square_count_triangle_and_path_have_none(spark):
+    tri = _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    assert square_count(tri).collect()[0].n_squares == 0
+    path = _edges_df(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert square_count(path).collect()[0].n_squares == 0
+
+
+def test_square_count_ignores_direction_dupes_loops(spark):
+    # Same C4 with reversed duplicates and a self-loop: still one.
+    df = _edges_df(
+        spark,
+        [
+            ("a", "b"),
+            ("b", "a"),
+            ("b", "c"),
+            ("c", "d"),
+            ("d", "a"),
+            ("a", "a"),
+        ],
+    )
+    assert square_count(df).collect()[0].n_squares == 1
+
+
+def test_survival_curve_monotone_and_anchored(spark):
+    from vector_graph_native_database__spark.registry.eventsq import (
+        q_events_survival_curve,
+    )
+
+    rows = q_events_survival_curve(spark, SF).orderBy("day_d").collect()
+    assert rows[0].day_d == 0 and rows[0].frac == 1.0
+    fracs = [r.frac for r in rows]
+    assert all(a >= b for a, b in zip(fracs, fracs[1:]))
+    assert all(r.n_surviving >= 0 for r in rows)
+
+
+def test_cusum_changepoint_sums_to_zero_and_flags_peak(spark):
+    from vector_graph_native_database__spark.registry.eventsq import (
+        q_events_cusum_changepoint,
+    )
+
+    rows = q_events_cusum_changepoint(spark, SF).orderBy("d").collect()
+    # CUSUM of deviations from the mean telescopes to ~0 on the last day.
+    assert abs(rows[-1].cusum) < 1e-6
+    peaks = [r for r in rows if r.is_peak]
+    assert peaks
+    mx = max(abs(r.cusum) for r in rows)
+    assert all(abs(p.cusum) == mx for p in peaks)
+
+
+def test_mannwhitney_matches_brute_force(spark):
+    # Tiny deterministic two-sample set with ties; z from the
+    # textbook tie-corrected normal approximation.
+    a = [1.0, 2.0, 2.0, 5.0]
+    b = [2.0, 3.0, 4.0, 4.0, 6.0]
+    vals = sorted(a + b)
+    ranks = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        r = (i + 1 + j) / 2.0
+        ranks[vals[i]] = r
+        i = j
+    ra = sum(ranks[x] for x in a)
+    na, nb = len(a), len(b)
+    n = na + nb
+    u = ra - na * (na + 1) / 2.0
+    ties = 0
+    for v in set(vals):
+        t = vals.count(v)
+        ties += t**3 - t
+    var = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u - na * nb / 2.0) / math.sqrt(var)
+
+    # Engine path over a synthetic events frame through the same
+    # operator algebra the registry entry uses (parity via value split).
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(0, x) for x in a] + [(1, x) for x in b], "v int, x double"
+    )
+    g = df.groupBy("x").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    r = g.withColumn("cum", F.sum("c").over(w))
+    s = r.agg(
+        F.sum(
+            F.col("ca")
+            * (
+                F.lit(2) * (F.col("cum") - F.col("c"))
+                + F.col("c")
+                + F.lit(1)
+            )
+        ).alias("r2a")
+    ).collect()[0]
+    u_engine = s.r2a / 2.0 - na * (na + 1) / 2.0
+    assert u_engine == u
+
+    from vector_graph_native_database__spark.registry.eventsq import (
+        q_events_ab_mannwhitney,
+    )
+
+    rows = q_events_ab_mannwhitney(spark, SF).collect()
+    assert rows
+    for row in rows:
+        assert row.n_a > 0 and row.n_b > 0
+        # U is bounded by n_a * n_b.
+        assert 0.0 <= row.u_a <= row.n_a * row.n_b
+        assert row.significant == (abs(row.z_stat) > 1.96) or (
+            abs(abs(row.z_stat) - 1.96) < 1e-5
+        )
+    assert abs(z) < 100  # sanity on the brute-force reference itself
+
+
+def test_repetition_score_bounds_and_known_doc(spark):
+    from vector_graph_native_database__spark.registry.pipelineq import (
+        q_text_repetition_score,
+    )
+
+    rows = q_text_repetition_score(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.dup_frac < 1.0
+        assert 0.0 < r.top_gram_frac <= 1.0
+        # top gram accounts for at least one occurrence
+        assert r.top_gram_frac >= 1.0 / r.n_grams - 1e-6
+
+
+def test_repetition_score_hand_example(spark):
+    # Hand-checked doc: "a b a b a b a b" has trigrams
+    # [aba, bab, aba, bab, aba, bab] -> counts {aba: 3, bab: 3}.
+    from vector_graph_native_database__spark.functions.textfn import tokenize
+
+    df = spark.createDataFrame(
+        [("d1", "a b a b a b a b")], "id string, text string"
+    )
+    per_gram = (
+        df.select("id", tokenize("text").alias("t"))
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                    " i -> concat(element_at(t, i), ' ',"
+                    " element_at(t, i + 1), ' ', element_at(t, i + 2)))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("id", "g")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    counts = sorted((r.g, r.c) for r in per_gram)
+    assert counts == [("a b a", 3), ("b a b", 3)]

@@ -269,6 +269,52 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def square_count(edges: DataFrame) -> DataFrame:
+    """Global 4-cycle (square) count over the undirected simple graph
+    → (n_squares).
+
+    Uses the codegree identity: every square u-v-w-x is determined by
+    its two diagonal pairs {u,w} and {v,x}, so
+
+        n_squares = (1/2) * sum over unordered pairs {a,b}
+                            of C(codeg(a,b), 2)
+
+    where codeg is the number of common neighbors. One wedge
+    self-join on the shared center enumerates ordered endpoint pairs
+    with a < b (each wedge once), a groupBy counts codegrees, and a
+    single integer aggregate finishes — the same shuffle shape (and
+    the same worst case, sum of deg^2 wedges) as triangle counting.
+    Counting stays in BIGINT the whole way: the pair sum is provably
+    even, so the final halving is exact integer division. At scale
+    the wedge join is the skew point — a hub of degree d emits
+    C(d,2) wedge rows — and the mitigation is the same degree-cap /
+    salt used for triangles, not a different algorithm.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # Symmetrize so each wedge center sees all its neighbors.
+    sym = canon.union(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    w1 = sym.select(F.col("a").alias("c"), F.col("b").alias("u"))
+    w2 = sym.select(F.col("a").alias("c2"), F.col("b").alias("v"))
+    codeg = (
+        w1.join(w2, (F.col("c") == F.col("c2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cd"))
+    )
+    # sum(cd*(cd-1)) counts each square 4x (2 diagonals x 2 ordered
+    # picks) — keep everything BIGINT and divide once at the end.
+    return codeg.agg(
+        F.expr("sum(cd * (cd - 1)) div 4").cast("bigint").alias("n_squares")
+    )
+
+
 def sssp_k(
     edges: DataFrame,
     start_id: str,

@@ -25,6 +25,7 @@ from ..operators.analytics import (
     kcore_peel,
     neighbor_embedding_agg,
     pagerank,
+    square_count,
     sssp_k,
     triangle_count,
 )
@@ -1190,3 +1191,34 @@ SELECT CAST(min(nf.hop) AS INT) AS eff_diameter_09,
        max(mx.mx) AS est_pairs_max
 FROM nf CROSS JOIN mx
 WHERE nf.est_pairs >= 0.9 * mx.mx"""
+
+
+def q_graph_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 4-cycle count → one row (n_squares): the square-motif
+    census that complements graph_triangles (reference surface: the
+    traversal stack of app.py:560-640 exposes counts; motif counts
+    are the batch-analytics extension). Codegree identity — one wedge
+    self-join, one groupBy, BIGINT-exact halving — same shuffle shape
+    as triangle counting; see operators.analytics.square_count."""
+    _, _, edges = model(spark, sf_dir)
+    return square_count(edges)
+
+
+QUERIES["graph_square_count"] = q_graph_square_count
+ORACLES["graph_square_count"] = (
+    ORACLE_PRELUDE
+    + """,
+canon AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+sym AS (
+  SELECT a, b FROM canon UNION ALL SELECT b AS a, a AS b FROM canon
+),
+codeg AS (
+  SELECT w1.b AS u, w2.b AS v, count(*) AS cd
+  FROM sym w1 JOIN sym w2 ON w2.a = w1.a AND w1.b < w2.b
+  GROUP BY 1, 2
+)
+SELECT CAST(sum(cd * (cd - 1)) // 4 AS BIGINT) AS n_squares FROM codeg"""
+)

@@ -2574,3 +2574,299 @@ SELECT w.watermark_s,
          / 1000000.0 AS frac
 FROM w CROSS JOIN l CROSS JOIN t
 GROUP BY w.watermark_s, t.n"""
+
+
+SURVIVAL_GRID = [0, 1, 2, 3, 5, 7, 10, 14, 21, 28]
+
+
+def q_events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifetime survival curve → (day_d, n_surviving, frac):
+    for each horizon d in a fixed grid, the fraction of users whose
+    observed lifetime (days between first and last event) is >= d —
+    the retention-decay curve growth teams plot next to the cohort
+    triangle (events_cohort_retention gives the cohort x week grid;
+    this is the marginal curve).
+
+    Shape: one groupBy(user) min/max — the only full-data shuffle —
+    then a 10-row broadcast grid joined against the per-LIFETIME
+    count frame (at most #distinct-lifetimes rows, bounded by the
+    observation span in days, not by users). Fractions are exact
+    integer ratios rounded at 6dp, so the oracle matches bit-for-bit
+    at any scale."""
+    ev = _events(spark, sf_dir)
+    life = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.to_date("ts")), F.min(F.to_date("ts"))
+        ).alias("lifetime_d")
+    )
+    lc = life.groupBy("lifetime_d").agg(F.count("*").alias("c"))
+    grid = spark.range(len(SURVIVAL_GRID)).select(
+        F.element_at(
+            F.array(*[F.lit(d) for d in SURVIVAL_GRID]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("day_d")
+    )
+    tot = life.agg(F.count("*").alias("n_users"))
+    return (
+        lc.join(F.broadcast(grid), F.col("lifetime_d") >= F.col("day_d"))
+        .groupBy("day_d")
+        .agg(F.sum("c").alias("n_surviving"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day_d",
+            "n_surviving",
+            (
+                F.floor(
+                    F.col("n_surviving").cast("double")
+                    / F.col("n_users").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("frac"),
+        )
+    )
+
+
+QUERIES["events_survival_curve"] = q_events_survival_curve
+ORACLES["events_survival_curve"] = f"""
+WITH life AS (
+  SELECT user_id,
+         date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+           AS lifetime_d
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT unnest(ARRAY{SURVIVAL_GRID}) AS day_d
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM life)
+SELECT g.day_d AS day_d,
+       CAST(count(*) AS BIGINT) AS n_surviving,
+       floor(CAST(count(*) AS DOUBLE) / CAST(t.n_users AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS frac
+FROM grid g JOIN life l ON l.lifetime_d >= g.day_d
+CROSS JOIN t
+GROUP BY g.day_d, t.n_users"""
+
+
+def q_events_cusum_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSUM change-point scan over the daily event-count series →
+    (d, x, cusum, is_peak): cumulative sum of (count - global mean)
+    per day, flagging the day(s) where |CUSUM| peaks — the classic
+    level-shift detector ops teams run over error rates.
+
+    Float discipline: the running statistic is kept as the INTEGER
+    n*CUSUM_d = n*cum_x_d - d_idx*total (BIGINT-exact in both
+    engines; n = #days, total = #events), so the peak argmax is an
+    integer comparison with no accumulated-double ambiguity; the
+    reported cusum divides once at the end and rounds at 6dp. Shape:
+    one date groupBy (#days rows), then window cumsum + one broadcast
+    total — everything after the first shuffle is driver-tiny."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("x")
+    )
+    tot = daily.agg(
+        F.sum("x").alias("total"), F.count("*").alias("n_days")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("cum_x", F.sum("x").over(w))
+        .withColumn(
+            "d_idx",
+            F.row_number().over(Window.orderBy("d")).cast("long"),
+        )
+        .withColumn(
+            "cusum_n",
+            F.col("n_days") * F.col("cum_x")
+            - F.col("d_idx") * F.col("total"),
+        )
+    )
+    mx = cum.agg(F.max(F.abs("cusum_n")).alias("mx"))
+    return (
+        cum.crossJoin(F.broadcast(mx))
+        .select(
+            "d",
+            "x",
+            (
+                F.floor(
+                    F.col("cusum_n").cast("double")
+                    / F.col("n_days").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("cusum"),
+            (F.abs("cusum_n") == F.col("mx")).alias("is_peak"),
+        )
+    )
+
+
+QUERIES["events_cusum_changepoint"] = q_events_cusum_changepoint
+ORACLES["events_cusum_changepoint"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT CAST(sum(x) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM daily
+),
+cum AS (
+  SELECT d, x,
+         sum(x) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_x,
+         row_number() OVER (ORDER BY d) AS d_idx,
+         t.total, t.n_days
+  FROM daily CROSS JOIN t
+),
+s AS (
+  SELECT d, x, n_days * cum_x - d_idx * total AS cusum_n, n_days
+  FROM cum
+),
+mx AS (SELECT max(abs(cusum_n)) AS mx FROM s)
+SELECT s.d AS d, s.x AS x,
+       floor(CAST(cusum_n AS DOUBLE) / CAST(n_days AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS cusum,
+       abs(cusum_n) = mx.mx AS is_peak
+FROM s CROSS JOIN mx"""
+
+
+def q_events_ab_mannwhitney(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test per event type over the same
+    deterministic md5(user_id)-parity A/B split as events_ab_ttest →
+    (event_type, n_a, n_b, u_a, z_stat, significant): the
+    NONPARAMETRIC experiment readout — the one analysts reach for
+    when value distributions are skewed and the t-test's normality
+    assumption is off.
+
+    Integer-exact ranking: values are 6dp-quantized, grouped per
+    (event_type, value), and the tie-averaged rank-sum is accumulated
+    as the INTEGER 2*R_A = sum ca*(2*cum_before + c + 1) via one
+    cumulative window over the per-VALUE frame (bounded by #distinct
+    values, not #events) — so U and the tie-correction term
+    sum(c^3 - c) are BIGINT-exact in both engines and only the final
+    z divides in double. Normal approximation with tie-corrected
+    variance; |z| > 1.96 flags ~95% significance. At 100 TB: one
+    shuffle keyed (event_type, value), then a #distinct-value-sized
+    window per type."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab"), F.col("user_id"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    vq = (
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    ).cast("decimal(18,6)")
+    base = ev.select(
+        F.col("event_type").alias("grp"), variant.alias("v"), vq.alias("x")
+    )
+    g = base.groupBy("grp", "x").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+    )
+    w = Window.partitionBy("grp").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = g.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "r2a_part",
+        F.col("ca")
+        * (F.lit(2) * (F.col("cum") - F.col("c")) + F.col("c") + F.lit(1)),
+    )
+    s = r.groupBy("grp").agg(
+        F.sum("ca").alias("n_a"),
+        F.sum(F.col("c") - F.col("ca")).alias("n_b"),
+        F.sum("r2a_part").alias("r2a"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("ties"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nn = na + nb
+    u2 = F.col("r2a") - F.col("n_a") * (F.col("n_a") + F.lit(1))
+    var_u = (
+        na
+        * nb
+        / F.lit(12.0)
+        * (
+            (nn + F.lit(1.0))
+            - F.col("ties").cast("double") / (nn * (nn - F.lit(1.0)))
+        )
+    )
+    z = (u2.cast("double") - na * nb) / (F.lit(2.0) * F.sqrt(var_u))
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return s.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        F.col("grp").alias("event_type"),
+        "n_a",
+        "n_b",
+        (u2 / F.lit(2)).cast("double").alias("u_a"),
+        r6(z).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+QUERIES["events_ab_mannwhitney"] = q_events_ab_mannwhitney
+ORACLES["events_ab_mannwhitney"] = """
+WITH base AS (
+  SELECT event_type AS grp,
+         ('0x' || substr(md5('ab' || user_id), 1, 15))::BIGINT % 2 AS v,
+         CAST(floor(value * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(18,6)) AS x
+  FROM events
+),
+g AS (
+  SELECT grp, x, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca
+  FROM base GROUP BY grp, x
+),
+r AS (
+  SELECT grp, c, ca,
+         sum(c) OVER (PARTITION BY grp ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM g
+),
+s AS (
+  SELECT grp,
+         CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(c - ca) AS BIGINT) AS n_b,
+         CAST(sum(ca * (2 * (cum - c) + c + 1)) AS BIGINT) AS r2a,
+         CAST(sum(c * c * c - c) AS BIGINT) AS ties
+  FROM r GROUP BY grp
+),
+f AS (
+  SELECT grp, n_a, n_b,
+         r2a - n_a * (n_a + 1) AS u2,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         CAST(n_a + n_b AS DOUBLE) AS nn,
+         CAST(ties AS DOUBLE) AS td
+  FROM s WHERE n_a > 0 AND n_b > 0
+),
+zc AS (
+  SELECT grp, n_a, n_b, u2,
+         (CAST(u2 AS DOUBLE) - na * nb)
+           / (2.0 * sqrt(na * nb / 12.0
+               * ((nn + 1.0) - td / (nn * (nn - 1.0))))) AS z
+  FROM f
+)
+SELECT grp AS event_type, n_a, n_b,
+       CAST(u2 AS DOUBLE) / 2.0 AS u_a,
+       floor(z * 1000000.0 + 0.5) / 1000000.0 AS z_stat,
+       abs(z) > 1.96 AS significant
+FROM zc"""

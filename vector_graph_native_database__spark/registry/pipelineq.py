@@ -2343,3 +2343,81 @@ SELECT src_a, src_b, n_a, n_b,
        ) * 1000000.0 + 0.5) / 1000000.0 AS jsd
 FROM terms GROUP BY src_a, src_b, n_a, n_b"""
 )
+
+
+def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile → (id, n_grams, dup_frac,
+    top_gram_frac) for every doc with ≥1 word trigram: the
+    Gopher-rule repetition signal (duplicated n-gram mass inside ONE
+    document — templated spam, keyword stuffing, decode loops) that
+    complements the CROSS-document dedup family. dup_frac is the
+    fraction of trigram occurrences beyond each gram's first
+    (1 - distinct/total); top_gram_frac is the most-repeated gram's
+    share of all occurrences. Both are exact integer ratios rounded
+    at 6dp, so the DuckDB twin matches bit-for-bit.
+
+    Scale shape: explode → ONE shuffle keyed (id, gram) → per-doc
+    re-agg keyed id; no joins, no windows, map-side combinable at
+    both levels — the cheapest possible profile over 100 TB of text."""
+    from ..functions.textfn import tokenize
+
+    nodes, _, _ = model(spark, sf_dir)
+    grams = nodes.select("id", tokenize("text").alias("t")).select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                " i -> concat(element_at(t, i), ' ',"
+                " element_at(t, i + 1), ' ', element_at(t, i + 2)))"
+            )
+        ).alias("g"),
+    )
+    per_gram = grams.groupBy("id", "g").agg(F.count("*").alias("c"))
+    agg = per_gram.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("mx"),
+    )
+    r6i = lambda num, den: (  # noqa: E731
+        F.floor(
+            num.cast("double") / den.cast("double") * F.lit(1e6) + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    return agg.select(
+        "id",
+        "n_grams",
+        r6i(F.col("n_grams") - F.col("n_distinct"), F.col("n_grams")).alias(
+            "dup_frac"
+        ),
+        r6i(F.col("mx"), F.col("n_grams")).alias("top_gram_frac"),
+    )
+
+
+QUERIES["text_repetition_score"] = q_text_repetition_score
+ORACLES["text_repetition_score"] = (
+    ORACLE_PRELUDE
+    + _TOKS
+    + """,
+rgrams AS (
+  SELECT id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM toks
+),
+pg AS (
+  SELECT id, g, CAST(count(*) AS BIGINT) AS c FROM rgrams GROUP BY id, g
+),
+ag AS (
+  SELECT id, CAST(sum(c) AS BIGINT) AS n_grams,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS mx
+  FROM pg GROUP BY id
+)
+SELECT id, n_grams,
+       floor(CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS dup_frac,
+       floor(CAST(mx AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS top_gram_frac
+FROM ag"""
+)
