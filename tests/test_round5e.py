@@ -195,3 +195,65 @@ def test_repetition_score_hand_example(spark):
     )
     counts = sorted((r.g, r.c) for r in per_gram)
     assert counts == [("a b a", 3), ("b a b", 3)]
+
+
+def test_stream_outer_join_superset_of_inner(spark):
+    """The left-outer stream join must contain every inner pair and
+    additionally one orphan row per unmatched purchase (below the
+    deterministic cutoff)."""
+    from vector_graph_native_database__spark.registry.eventsq import (
+        q_events_stream_outer_join,
+    )
+
+    rows = q_events_stream_outer_join(spark, SF).collect()
+    assert rows
+    # purchases are partitioned into attributed pairs and orphans
+    for r in rows:
+        assert r.n_pairs >= 0 and r.n_orphans >= 0
+        assert r.n_pairs + r.n_orphans > 0
+
+    # batch twin: the same interval join as a plain DataFrame left join
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select("user_id", F.col("event_id").alias("lid"), F.col("ts").alias("lts"))
+    c = ev.filter(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select(
+        F.col("user_id").alias("ru"),
+        F.col("event_id").alias("rid"),
+        F.col("ts").alias("rts"),
+    )
+    cut = (
+        ev.filter(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("user_id").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .agg((F.min("mx") - F.expr("INTERVAL 2 HOURS")).alias("cutoff"))
+        .collect()[0]
+        .cutoff
+    )
+    j = p.filter(F.col("lts") <= F.lit(cut)).join(
+        c,
+        (F.col("user_id") == F.col("ru"))
+        & (F.col("rts") <= F.col("lts"))
+        & (F.col("rts") >= F.col("lts") - F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    batch = {
+        (r.user_id, r.n_pairs, r.n_orphans)
+        for r in j.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("rid").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pairs"),
+            F.sum(F.when(F.col("rid").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+        .collect()
+    }
+    got = {(r.user_id, r.n_pairs, r.n_orphans) for r in rows}
+    assert got == batch

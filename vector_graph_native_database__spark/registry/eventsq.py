@@ -2870,3 +2870,111 @@ SELECT grp AS event_type, n_a, n_b,
        floor(z * 1000000.0 + 0.5) / 1000000.0 AS z_stat,
        abs(z) > 1.96 AS significant
 FROM zc"""
+
+
+def q_events_stream_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream–stream LEFT-OUTER interval join through the
+    real streaming engine → (user_id, n_pairs, n_orphans): purchases
+    joined to the same user's clicks in the preceding hour, PLUS a
+    null-click row for purchases with no attribution — the rows the
+    inner join (events_stream_join) silently drops, and exactly what
+    a conversion pipeline needs to count un-attributed revenue.
+
+    Determinism contract: the engine emits an unmatched left only
+    after the global watermark (min over both sides of max event time
+    minus the 1h delay) passes it, so rows near the end of the replay
+    would be emission-undefined. Both the engine result AND the
+    DuckDB twin therefore cut at ``left_ts <= cutoff`` where cutoff =
+    min(max purchase ts, max click ts) - 2 hours — strictly below any
+    possible final watermark (1h delay + 1h margin), making the
+    output a pure function of the data at every scale. State stays
+    bounded (lookback + watermark per side); the post-aggregate is
+    one keyed groupBy."""
+    import os
+
+    from ..streaming.ingest import EVENTS_SCHEMA
+    from ..streaming.windows import stream_interval_join_outer
+
+    base = scratch_dir("events_stream_outer_join")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        stream_interval_join_outer(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ev = _events(spark, sf_dir)
+    cutoff = (
+        ev.filter(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("user_id").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .agg(
+            (F.min("mx") - F.expr("INTERVAL 2 HOURS")).alias("cutoff")
+        )
+    )
+    return (
+        spark.read.parquet(sink)
+        .crossJoin(F.broadcast(cutoff))
+        .filter(F.col("left_ts") <= F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("right_id").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pairs"),
+            F.sum(F.when(F.col("right_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+    )
+
+
+QUERIES["events_stream_outer_join"] = q_events_stream_outer_join
+ORACLES["events_stream_outer_join"] = """
+WITH cut AS (
+  SELECT min(mx) - INTERVAL 2 HOUR AS cutoff
+  FROM (
+    SELECT event_type, max(ts) AS mx FROM events
+    WHERE event_type IN ('purchase', 'click') AND user_id IS NOT NULL
+    GROUP BY event_type
+  )
+),
+p AS (
+  SELECT user_id, event_id AS left_id, ts AS left_ts
+  FROM events CROSS JOIN cut
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    AND ts <= cut.cutoff
+),
+c AS (
+  SELECT user_id, event_id AS right_id, ts AS right_ts
+  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+),
+j AS (
+  SELECT p.user_id, p.left_id, c.right_id
+  FROM p LEFT JOIN c
+    ON c.user_id = p.user_id
+   AND c.right_ts <= p.left_ts
+   AND c.right_ts >= p.left_ts - INTERVAL 1 HOUR
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN right_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN right_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_orphans
+FROM j GROUP BY user_id"""

@@ -137,3 +137,60 @@ def stream_interval_join(
             >= F.col("left_ts") - F.expr(f"INTERVAL {lookback}")
         ),
     ).select("user_id", "left_id", "right_id", "left_ts", "right_ts")
+
+
+def stream_interval_join_outer(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    lookback: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT-OUTER watermarked stream–stream interval join: every
+    ``left_type`` event paired with the same user's preceding
+    ``right_type`` events, plus one null-right row for lefts with NO
+    match — the attribution join that also surfaces the un-attributed
+    conversions, which the inner variant silently drops.
+
+    Unmatched lefts are emitted by the engine only once the global
+    watermark (min over both sides of max-event-time - delay) passes
+    them, so callers that need a replay-deterministic result must cut
+    the output at a timestamp safely below the final watermark — the
+    registry entry does exactly that and documents why. State stays
+    bounded to ``lookback + watermark`` per side, same as the inner
+    join.
+    """
+    left = (
+        events.filter(
+            (F.col("event_type") == left_type)
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    right = (
+        events.filter(
+            (F.col("event_type") == right_type)
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    return left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("right_ts") <= F.col("left_ts"))
+        & (
+            F.col("right_ts")
+            >= F.col("left_ts") - F.expr(f"INTERVAL {lookback}")
+        ),
+        "leftOuter",
+    ).select("user_id", "left_id", "right_id", "left_ts", "right_ts")
