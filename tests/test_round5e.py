@@ -257,3 +257,41 @@ def test_stream_outer_join_superset_of_inner(spark):
     }
     got = {(r.user_id, r.n_pairs, r.n_orphans) for r in rows}
     assert got == batch
+
+
+def test_calibration_bins_are_valid_probability_buckets(spark):
+    from vector_graph_native_database__spark.registry.qualityq import (
+        q_eval_calibration_bins,
+    )
+
+    rows = q_eval_calibration_bins(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert r.n > 0
+        assert 0.0 <= r.mean_pred <= 1.0
+        assert 0.0 <= r.frac_pos <= 1.0
+        # mean prediction must fall inside (or at the edge of) its bin
+        assert r.bin / 10.0 - 1e-6 <= r.mean_pred
+        assert r.mean_pred <= (r.bin + 1) / 10.0 + 1e-6 or r.bin == 9
+        assert abs(r.abs_gap - abs(r.mean_pred - r.frac_pos)) < 2e-6
+
+
+def test_rich_club_phi_bounds_and_monotone_membership(spark):
+    from vector_graph_native_database__spark.registry.analyticsq import (
+        q_graph_rich_club,
+    )
+
+    rows = sorted(
+        q_graph_rich_club(spark, SF).collect(), key=lambda r: r.k
+    )
+    assert rows
+    for r in rows:
+        assert r.n_k > 0 and r.e_k >= 0
+        if r.phi is not None:
+            assert 0.0 <= r.phi <= 1.0
+        # edges among the club can't exceed the club's possible pairs
+        assert 2 * r.e_k <= r.n_k * (r.n_k - 1)
+    # club membership shrinks as k rises
+    ns = [r.n_k for r in rows]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))

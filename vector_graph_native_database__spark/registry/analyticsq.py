@@ -1222,3 +1222,123 @@ codeg AS (
 )
 SELECT CAST(sum(cd * (cd - 1)) // 4 AS BIGINT) AS n_squares FROM codeg"""
 )
+
+
+RICH_CLUB_GRID = [1, 2, 3, 5]
+
+
+def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) for a fixed degree grid →
+    (k, n_k, e_k, phi): among nodes of undirected degree > k, the
+    realized fraction of possible connections — the do-the-hubs-
+    stick-together readout network papers report next to
+    assortativity (graph_assortativity gives the correlation; this
+    gives the density curve).
+
+    Shape: undirected degree frame once (one groupBy on the
+    canonicalized edge set), degrees joined onto each edge endpoint
+    (two broadcast-or-shuffle equi-joins on node id), then ONE
+    4-row broadcast grid with conditional filters — no per-k rescan
+    of the edge set. φ is an exact integer ratio 2·E_k/(N_k·(N_k-1))
+    rounded at 6dp."""
+    _, _, edges = model(spark, sf_dir)
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .union(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    grid = spark.range(len(RICH_CLUB_GRID)).select(
+        F.element_at(
+            F.array(*[F.lit(k) for k in RICH_CLUB_GRID]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("k")
+    )
+    nk = (
+        deg.crossJoin(F.broadcast(grid))
+        .filter(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_k"))
+    )
+    ewd = (
+        canon.join(deg.withColumnRenamed("id", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.withColumnRenamed("id", "b").withColumnRenamed(
+                "deg", "deg_b"
+            ),
+            "b",
+        )
+    )
+    ek = (
+        ewd.crossJoin(F.broadcast(grid))
+        .filter(
+            (F.col("deg_a") > F.col("k")) & (F.col("deg_b") > F.col("k"))
+        )
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("e_k"))
+    )
+    out = nk.join(ek, "k", "left").select(
+        "k",
+        "n_k",
+        F.coalesce("e_k", F.lit(0)).alias("e_k"),
+        F.when(
+            F.col("n_k") > 1,
+            F.floor(
+                F.lit(2.0)
+                * F.coalesce("e_k", F.lit(0)).cast("double")
+                / (
+                    F.col("n_k").cast("double")
+                    * (F.col("n_k").cast("double") - F.lit(1.0))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6),
+        ).alias("phi"),
+    )
+    return out
+
+
+QUERIES["graph_rich_club"] = q_graph_rich_club
+ORACLES["graph_rich_club"] = (
+    ORACLE_PRELUDE
+    + f""",
+canon AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+deg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS id FROM canon UNION ALL SELECT b AS id FROM canon
+  ) GROUP BY id
+),
+grid AS (SELECT unnest(ARRAY{RICH_CLUB_GRID}) AS k),
+nk AS (
+  SELECT g.k, CAST(count(*) AS BIGINT) AS n_k
+  FROM deg d JOIN grid g ON d.deg > g.k GROUP BY g.k
+),
+ek AS (
+  SELECT g.k, CAST(count(*) AS BIGINT) AS e_k
+  FROM canon c
+  JOIN deg da ON da.id = c.a
+  JOIN deg db ON db.id = c.b
+  JOIN grid g ON da.deg > g.k AND db.deg > g.k
+  GROUP BY g.k
+)
+SELECT nk.k, nk.n_k, coalesce(ek.e_k, 0) AS e_k,
+       CASE WHEN nk.n_k > 1 THEN
+         floor(2.0 * coalesce(ek.e_k, 0)
+               / (CAST(nk.n_k AS DOUBLE) * (nk.n_k - 1.0))
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS phi
+FROM nk LEFT JOIN ek ON ek.k = nk.k"""
+)

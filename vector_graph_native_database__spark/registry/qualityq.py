@@ -1170,3 +1170,120 @@ CROSS JOIN idcg"""
 
 QUERIES["eval_ndcg_ann"] = q_eval_ndcg_ann
 ORACLES["eval_ndcg_ann"] = _ndcg_oracle()
+
+
+def q_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for a probabilistic score → (bin, n,
+    mean_pred, frac_pos, abs_gap): the per-user purchase RATE learned
+    on the first 23 days predicts P(purchase) for that user's
+    later events; test events land in 10 fixed-width probability
+    bins and each bin reports predicted-vs-empirical rate — the
+    calibration readout (and the per-bin terms of ECE) every
+    score-as-filter pipeline checks before trusting thresholds.
+
+    Float discipline: the prediction is 6dp-quantized to DECIMAL at
+    the per-user grain, so the per-bin sum is exact decimal
+    accumulation (no float summation-order drift) and only the final
+    per-bin means divide in double. Shape: one user-keyed train
+    aggregate, one broadcast-free user join onto test events, one
+    bin-keyed aggregate — map-side combinable end to end."""
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    day0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    base = ev.crossJoin(F.broadcast(day0)).withColumn(
+        "day_idx", F.datediff(F.to_date("ts"), F.col("d0"))
+    )
+    train = (
+        base.filter(F.col("day_idx") < 23)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("nt"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("np"),
+        )
+        .withColumn(
+            "pred",
+            (
+                F.floor(
+                    F.col("np").cast("double")
+                    / F.col("nt").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).cast("decimal(18,6)"),
+        )
+    )
+    test = base.filter(F.col("day_idx") >= 23).select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    scored = test.join(train.select("user_id", "pred"), "user_id")
+    binned = scored.withColumn(
+        "bin",
+        F.least(
+            F.floor(F.col("pred").cast("double") * F.lit(10)).cast("int"),
+            F.lit(9),
+        ),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pred").alias("sp"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    mean_pred = F.col("sp").cast("double") / F.col("n").cast("double")
+    frac_pos = F.col("pos").cast("double") / F.col("n").cast("double")
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return agg.select(
+        "bin",
+        "n",
+        r6(mean_pred).alias("mean_pred"),
+        r6(frac_pos).alias("frac_pos"),
+        r6(F.abs(mean_pred - frac_pos)).alias("abs_gap"),
+    )
+
+
+QUERIES["eval_calibration_bins"] = q_eval_calibration_bins
+ORACLES["eval_calibration_bins"] = """
+WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+base AS (
+  SELECT user_id, event_type,
+         date_diff('day', d0.d0, CAST(ts AS DATE)) AS day_idx
+  FROM events CROSS JOIN d0
+),
+train AS (
+  SELECT user_id,
+         CAST(floor(sum(CASE WHEN event_type = 'purchase' THEN 1
+                         ELSE 0 END) * 1.0 / count(*)
+               * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS pred
+  FROM base WHERE day_idx < 23 GROUP BY user_id
+),
+test AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM base WHERE day_idx >= 23
+),
+scored AS (
+  SELECT least(CAST(floor(CAST(t.pred AS DOUBLE) * 10) AS INT), 9)
+           AS bin,
+         t.pred, te.y
+  FROM test te JOIN train t ON t.user_id = te.user_id
+),
+agg AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, sum(pred) AS sp,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM scored GROUP BY bin
+)
+SELECT bin, n,
+       floor(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS mean_pred,
+       floor(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS frac_pos,
+       floor(abs(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS abs_gap
+FROM agg"""
