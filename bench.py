@@ -229,6 +229,18 @@ HEADLINE = CANARY + [
     "olap_revenue_gini",
     "approx_quantile_histogram",
     "graph_effective_diameter",
+    # round-5 wave E: motif census, survival/CUSUM/Mann-Whitney
+    # experiment readouts, within-doc repetition, outer stream join,
+    # calibration bins, rich club
+    "graph_square_count",
+    "events_survival_curve",
+    "events_cusum_changepoint",
+    "events_ab_mannwhitney",
+    "text_repetition_score",
+    "events_stream_outer_join",
+    "eval_calibration_bins",
+    "graph_rich_club",
+    "dedup_cross_source_matrix",
 ]
 
 

@@ -295,3 +295,40 @@ def test_rich_club_phi_bounds_and_monotone_membership(spark):
     # club membership shrinks as k rises
     ns = [r.n_k for r in rows]
     assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+def test_cross_source_matrix_pair_algebra(spark):
+    """Block pair counts must close over per-(key, source) counts:
+    total pairs per key == C(block_size, 2)."""
+    from vector_graph_native_database__spark.registry.pipelineq import (
+        q_dedup_cross_source_matrix,
+    )
+    from vector_graph_native_database__spark.functions.textfn import tokenize
+
+    out = q_dedup_cross_source_matrix(spark, SF).collect()
+    assert out
+    for r in out:
+        assert r.source_a <= r.source_b
+        assert r.n_pairs > 0
+    total = sum(r.n_pairs for r in out)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("id"), "text", "source"
+    )
+    blocks = (
+        docs.select("source", tokenize("text").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            F.concat_ws(
+                " ",
+                F.element_at("t", 1),
+                F.element_at("t", 2),
+                F.element_at("t", 3),
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    expected = sum(b.n * (b.n - 1) // 2 for b in blocks)
+    assert total == expected

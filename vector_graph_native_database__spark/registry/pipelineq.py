@@ -2421,3 +2421,88 @@ SELECT id, n_grams,
              * 1000000.0 + 0.5) / 1000000.0 AS top_gram_frac
 FROM ag"""
 )
+
+
+def q_dedup_cross_source_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source duplicate-CANDIDATE contamination matrix →
+    (source_a, source_b, n_pairs): for every unordered source pair,
+    how many blocking-key collisions straddle it, keyed on the
+    3-token prefix fingerprint (the cheap blocking key an ER/dedup
+    pipeline uses before any expensive comparison). The
+    which-feeds-overlap-with-which readout a corpus owner checks
+    before weighting sources — a hot off-diagonal cell says two feeds
+    share templated openings, a hot diagonal cell says one feed
+    repeats itself.
+
+    Never enumerates pairs row-by-row: one key groupBy to per-
+    (key, source) counts, one self-join keyed ONLY on the key
+    (block-size-bounded fan-out, the standard blocking contract),
+    and the pair counts close over the counts — ca*cb across
+    sources, C(ca,2) within. BIGINT-exact; docs shorter than 3
+    tokens drop out on both sides."""
+    from ..functions.textfn import tokenize
+
+    nodes, _, _ = model(spark, sf_dir)
+    hs = (
+        nodes.select("source", tokenize("text").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "source",
+            F.concat_ws(
+                " ",
+                F.element_at("t", 1),
+                F.element_at("t", 2),
+                F.element_at("t", 3),
+            ).alias("h"),
+        )
+        .groupBy("h", "source")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    a = hs.select("h", F.col("source").alias("source_a"), F.col("c").alias("ca"))
+    b = hs.select("h", F.col("source").alias("source_b"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                F.expr("ca * (ca - 1) div 2"),
+            )
+            .otherwise(F.col("ca") * F.col("cb"))
+            .cast("long")
+            .alias("np"),
+        )
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.sum("np").cast("long").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+    )
+
+
+QUERIES["dedup_cross_source_matrix"] = q_dedup_cross_source_matrix
+ORACLES["dedup_cross_source_matrix"] = (
+    ORACLE_PRELUDE
+    + _TOKS
+    + """,
+hs AS (
+  SELECT t[1] || ' ' || t[2] || ' ' || t[3] AS h, n.source,
+         CAST(count(*) AS BIGINT) AS c
+  FROM toks tk JOIN nodes n ON n.id = tk.id
+  WHERE len(t) >= 3
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+              ELSE a.c * b.c END AS np
+  FROM hs a JOIN hs b ON b.h = a.h AND a.source <= b.source
+)
+SELECT source_a, source_b, CAST(sum(np) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY source_a, source_b
+HAVING sum(np) > 0"""
+)
