@@ -241,6 +241,7 @@ HEADLINE = CANARY + [
     "eval_calibration_bins",
     "graph_rich_club",
     "dedup_cross_source_matrix",
+    "text_perplexity_buckets",
 ]
 
 

@@ -332,3 +332,26 @@ def test_cross_source_matrix_pair_algebra(spark):
     )
     expected = sum(b.n * (b.n - 1) // 2 for b in blocks)
     assert total == expected
+
+
+def test_perplexity_buckets_partition_the_corpus(spark):
+    from vector_graph_native_database__spark.registry.curationq import (
+        q_text_perplexity_buckets,
+    )
+    from vector_graph_native_database__spark.operators.curation import (
+        unigram_logprob,
+    )
+
+    rows = {r.bucket: r for r in q_text_perplexity_buckets(spark, SF).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    n = unigram_logprob(docs).count()
+    assert sum(r.n_docs for r in rows.values()) == n
+    # tertiles: each bucket holds roughly a third
+    for r in rows.values():
+        assert abs(r.n_docs - n / 3) <= 2
+    # ordering: tail scores <= middle scores <= head scores
+    assert rows["tail"].lp_max <= rows["middle"].lp_min + 1e-9
+    assert rows["middle"].lp_max <= rows["head"].lp_min + 1e-9

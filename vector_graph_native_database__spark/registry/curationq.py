@@ -898,3 +898,91 @@ SELECT CAST(length(bin(sz)) - 1 AS INT) AS bucket,
        CAST(min(sz) AS BIGINT) AS min_size,
        CAST(max(sz) AS BIGINT) AS max_size
 FROM sizes GROUP BY 1"""
+
+
+def q_text_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style perplexity bucketing → (bucket, n_docs, lp_min,
+    lp_max): every document scored by its mean corpus-unigram
+    log-probability (the cheap perplexity proxy text_unigram_logprob
+    computes), then split into head / middle / tail at the corpus
+    TERTILES — the quality partition CCNet feeds to training mixes
+    (head = most-fluent third, tail = rare-token-heavy third).
+
+    Determinism: per-doc scores are 6dp-rounded BEFORE ranking, the
+    tertiles are exact type-1 order statistics over those rounded
+    values (integer ⌈p·n⌉ targets via the group-quantile primitive),
+    and bucket assignment compares identical quantized doubles — so
+    both engines cut the corpus at the same documents. Shape: the LM
+    join (vocab-sized, broadcast-eligible), one value-grain quantile
+    pass, one broadcast 1-row tertile frame, one bucket groupBy."""
+    from ..operators.curation import unigram_logprob
+    from ..operators.profiling import group_quantiles
+
+    nodes, _, _ = model(spark, sf_dir)
+    lp = unigram_logprob(nodes)
+    d = lp.select(F.lit("all").alias("g"), F.col("avg_logprob").alias("v"))
+    qcols = group_quantiles(d, "g", "v", probs=(1 / 3, 2 / 3))
+    t1_name = [c for c in qcols.columns if c.startswith("q_0_3")][0]
+    t2_name = [c for c in qcols.columns if c.startswith("q_0_6")][0]
+    ts = qcols.select(
+        F.col(t1_name).alias("t1"), F.col(t2_name).alias("t2")
+    )
+    b = lp.crossJoin(F.broadcast(ts)).select(
+        F.when(F.col("avg_logprob") <= F.col("t1"), F.lit("tail"))
+        .when(F.col("avg_logprob") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+        "avg_logprob",
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("avg_logprob").alias("lp_min"),
+        F.max("avg_logprob").alias("lp_max"),
+    )
+
+
+QUERIES["text_perplexity_buckets"] = q_text_perplexity_buckets
+ORACLES["text_perplexity_buckets"] = (
+    ORACLE_PRELUDE
+    + _TOKS
+    + f""",
+tokh AS (
+  SELECT id, {_H60.format(x="tok")} AS h
+  FROM (SELECT id, unnest(t) AS tok FROM toks)
+),
+vocab AS (SELECT h, count(*) AS cnt FROM tokh GROUP BY h),
+tot AS (SELECT sum(cnt) AS n_total FROM vocab),
+lp AS (
+  SELECT t.id,
+         {sql_stable_round6("avg(ln(v.cnt * 1.0 / tot.n_total))")}
+           AS avg_logprob
+  FROM tokh t JOIN vocab v ON v.h = t.h CROSS JOIN tot
+  GROUP BY t.id
+),
+vg AS (SELECT avg_logprob AS v, count(*) AS c FROM lp GROUP BY 1),
+vr AS (
+  SELECT v, c,
+         sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM vg
+),
+nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vg),
+tq AS (
+  SELECT
+    min(CASE WHEN cum >= (nn.n * 1 + 2) // 3 THEN v END) AS t1,
+    min(CASE WHEN cum >= (nn.n * 2 + 2) // 3 THEN v END) AS t2
+  FROM vr CROSS JOIN nn GROUP BY nn.n
+),
+bk AS (
+  SELECT CASE WHEN lp.avg_logprob <= tq.t1 THEN 'tail'
+              WHEN lp.avg_logprob <= tq.t2 THEN 'middle'
+              ELSE 'head' END AS bucket,
+         lp.avg_logprob
+  FROM lp CROSS JOIN tq
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       min(avg_logprob) AS lp_min, max(avg_logprob) AS lp_max
+FROM bk GROUP BY bucket"""
+)
