@@ -242,6 +242,9 @@ HEADLINE = CANARY + [
     "graph_rich_club",
     "dedup_cross_source_matrix",
     "text_perplexity_buckets",
+    "olap_top_parts_per_nation",
+    "events_new_vs_returning",
+    "events_slo_burn_rate",
 ]
 
 

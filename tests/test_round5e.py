@@ -355,3 +355,64 @@ def test_perplexity_buckets_partition_the_corpus(spark):
     # ordering: tail scores <= middle scores <= head scores
     assert rows["tail"].lp_max <= rows["middle"].lp_min + 1e-9
     assert rows["middle"].lp_max <= rows["head"].lp_min + 1e-9
+
+
+def test_new_vs_returning_accounting_identity(spark):
+    from vector_graph_native_database__spark.registry.eventsq import (
+        q_events_new_vs_returning,
+    )
+
+    rows = sorted(
+        q_events_new_vs_returning(spark, SF).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    # dau decomposes exactly; day 1 is all-new; new-user totals equal
+    # the distinct user count
+    for r in rows:
+        assert r.dau == r.n_new + r.n_returning
+    assert rows[0].n_returning == 0
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_users = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_new for r in rows) == n_users
+
+
+def test_slo_burn_rate_flags_match_integer_rule(spark):
+    from vector_graph_native_database__spark.registry.eventsq import (
+        q_events_slo_burn_rate,
+    )
+
+    rows = q_events_slo_burn_rate(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # trailing window contains the current hour
+        assert r.n_6h >= r.n_1h and r.e_6h >= r.e_1h
+        want = 1 if (r.e_1h * 4 > r.n_1h and r.e_6h * 4 > r.n_6h) else 0
+        assert r.page == want
+        # burn rates are consistent with the integer flag at the boundary
+        if r.page:
+            assert r.burn_1h > 1.0 - 1e-6 and r.burn_6h > 1.0 - 1e-6
+
+
+def test_top_parts_per_nation_rank_contract(spark):
+    from vector_graph_native_database__spark.registry.olapq import (
+        q_olap_top_parts_per_nation,
+    )
+
+    rows = q_olap_top_parts_per_nation(spark, SF).collect()
+    assert rows
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.n_name, []).append(r)
+    for nation, rs in by_nation.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        # revenue non-increasing down the ranks
+        revs = [r.revenue for r in rs]
+        assert all(a >= b for a, b in zip(revs, revs[1:]))

@@ -2978,3 +2978,146 @@ SELECT user_id,
        CAST(sum(CASE WHEN right_id IS NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_orphans
 FROM j GROUP BY user_id"""
+
+
+def q_events_new_vs_returning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily active users split into new vs returning →
+    (day, dau, n_new, n_returning): a user is NEW on the day of
+    their first-ever event and RETURNING on every later active day —
+    the growth-accounting decomposition (acquisition vs retention)
+    product teams read before any ratio metric.
+
+    Shape: one distinct to the (user, day) active grain, one
+    user-keyed min aggregate for first-seen, one equi-join keyed by
+    user, one day-keyed count — all map-side combinable; nothing is
+    windowed over raw events. Counts are exact longs; dau =
+    n_new + n_returning by construction, which the pytest pins."""
+    ev = _events(spark, sf_dir)
+    active = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    first_seen = active.groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("dau"),
+            F.sum(
+                (F.col("day") == F.col("first_day")).cast("long")
+            ).alias("n_new"),
+            F.sum(
+                (F.col("day") > F.col("first_day")).cast("long")
+            ).alias("n_returning"),
+        )
+    )
+
+
+QUERIES["events_new_vs_returning"] = q_events_new_vs_returning
+ORACLES["events_new_vs_returning"] = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE user_id IS NOT NULL
+),
+fs AS (SELECT user_id, min(day) AS first_day FROM active GROUP BY user_id)
+SELECT a.day,
+       CAST(count(*) AS BIGINT) AS dau,
+       CAST(sum(CASE WHEN a.day = fs.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN a.day > fs.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returning
+FROM active a JOIN fs ON fs.user_id = a.user_id
+GROUP BY a.day"""
+
+
+def q_events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alert → (window_start, n_1h, e_1h,
+    n_6h, e_6h, burn_1h, burn_6h, page): the SRE alerting rule — the
+    error-budget burn rate (observed error share / 25% budget) over a
+    fast 1h window AND a slow trailing 6h window, paging only when
+    BOTH exceed 1× (the standard multiwindow guard against paging on
+    a noisy single hour). events_error_rate_sli is the dashboard;
+    this is the alert that wakes someone.
+
+    Float discipline: the page flag compares INTEGERS (4·errors >
+    total on both windows) so alerting never hinges on a rounded
+    double; the reported burn rates divide exact longs and round at
+    6dp. Shape: one hour-keyed conditional aggregate, then a RANGE
+    window (5 trailing hours, keyed on epoch-hour seconds so calendar
+    gaps are handled) over the HOURLY grain — 720 rows/month/SLI, not
+    raw events."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hsec")
+    ).agg(
+        F.count("*").alias("n_1h"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("e_1h"),
+    )
+    w = (
+        Window.orderBy("hsec")
+        .rangeBetween(-5 * 3600, Window.currentRow)
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    out = (
+        hourly.withColumn("n_6h", F.sum("n_1h").over(w))
+        .withColumn("e_6h", F.sum("e_1h").over(w))
+        .select(
+            F.date_format(
+                F.to_timestamp(F.col("hsec")), "yyyy-MM-dd HH:00:00"
+            ).alias("window_start"),
+            "n_1h",
+            "e_1h",
+            "n_6h",
+            "e_6h",
+            r6(
+                F.col("e_1h") * F.lit(4.0) / F.col("n_1h").cast("double")
+            ).alias("burn_1h"),
+            r6(
+                F.col("e_6h") * F.lit(4.0) / F.col("n_6h").cast("double")
+            ).alias("burn_6h"),
+            (
+                (F.col("e_1h") * 4 > F.col("n_1h"))
+                & (F.col("e_6h") * 4 > F.col("n_6h"))
+            )
+            .cast("int")
+            .alias("page"),
+        )
+    )
+    return out
+
+
+QUERIES["events_slo_burn_rate"] = q_events_slo_burn_rate
+ORACLES["events_slo_burn_rate"] = """
+WITH hourly AS (
+  SELECT epoch(date_trunc('hour', ts)) AS hsec,
+         CAST(count(*) AS BIGINT) AS n_1h,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS e_1h
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT hsec, n_1h, e_1h,
+         sum(n_1h) OVER (ORDER BY hsec
+           RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW) AS n_6h,
+         sum(e_1h) OVER (ORDER BY hsec
+           RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW) AS e_6h
+  FROM hourly
+)
+SELECT strftime(to_timestamp(hsec), '%Y-%m-%d %H:00:00')
+         AS window_start,
+       n_1h, e_1h,
+       CAST(n_6h AS BIGINT) AS n_6h, CAST(e_6h AS BIGINT) AS e_6h,
+       floor(e_1h * 4.0 / n_1h * 1000000.0 + 0.5) / 1000000.0
+         AS burn_1h,
+       floor(e_6h * 4.0 / n_6h * 1000000.0 + 0.5) / 1000000.0
+         AS burn_6h,
+       CAST(CASE WHEN e_1h * 4 > n_1h AND e_6h * 4 > n_6h
+                 THEN 1 ELSE 0 END AS INT) AS page
+FROM win"""

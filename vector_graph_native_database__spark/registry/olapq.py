@@ -3406,3 +3406,73 @@ ex AS (
 SELECT est.grp, est.n, est.est_q_0_5, est.est_q_0_9, est.est_q_0_99,
        ex.exact_q_0_5, ex.exact_q_0_9, ex.exact_q_0_99
 FROM est JOIN ex ON ex.grp = est.grp"""
+
+
+def q_olap_top_parts_per_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-3 parts per supplier nation by lineitem revenue →
+    (n_name, l_partkey, revenue, rnk): the canonical top-N-per-group
+    report shape (every BI tool's "best sellers by region") that the
+    OLAP family was still missing — rank over a grouped aggregate,
+    ties broken deterministically by part key.
+
+    Scale shape: one decimal-exact groupBy at the (nation, part)
+    grain (the only big shuffle), then a rank window PARTITIONED by
+    nation over the already-aggregated frame (25-nation-bounded
+    partitions, never raw rows); supplier and nation dims broadcast.
+    Revenue accumulates as decimal(30,10) and rounds once at
+    output — no float tie ambiguity in the ranking."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = (
+        li.join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum(rev.cast(_DEC)).alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("rev"), F.asc("l_partkey")
+    )
+    return (
+        per.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "n_name",
+            "l_partkey",
+            F.round("rev", 2).cast("double").alias("revenue"),
+            "rnk",
+        )
+    )
+
+
+QUERIES["olap_top_parts_per_nation"] = q_olap_top_parts_per_nation
+ORACLES["olap_top_parts_per_nation"] = """
+WITH per AS (
+  SELECT n.n_name, l.l_partkey,
+         sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+             AS DECIMAL(30,10))) AS rev
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY n.n_name, l.l_partkey
+),
+r AS (
+  SELECT n_name, l_partkey, rev,
+         row_number() OVER (PARTITION BY n_name
+           ORDER BY rev DESC, l_partkey ASC) AS rnk
+  FROM per
+)
+SELECT n_name, l_partkey,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue, rnk
+FROM r WHERE rnk <= 3"""
