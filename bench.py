@@ -245,6 +245,8 @@ HEADLINE = CANARY + [
     "olap_top_parts_per_nation",
     "events_new_vs_returning",
     "events_slo_burn_rate",
+    "events_retention_dn",
+    "events_session_duration_quartiles",
 ]
 
 

@@ -416,3 +416,37 @@ def test_top_parts_per_nation_rank_contract(spark):
         # revenue non-increasing down the ranks
         revs = [r.revenue for r in rs]
         assert all(a >= b for a, b in zip(revs, revs[1:]))
+
+
+def test_retention_dn_bounds(spark):
+    from vector_graph_native_database__spark.registry.eventsq import (
+        q_events_retention_dn,
+    )
+
+    rows = q_events_retention_dn(spark, SF).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_users = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_cohort for r in rows) == n_users
+    for r in rows:
+        for n in (1, 7, 14, 28):
+            d, rr = getattr(r, f"d{n}"), getattr(r, f"r{n}")
+            assert 0 <= d <= r.n_cohort
+            assert abs(rr - d / r.n_cohort) < 2e-6
+
+
+def test_session_duration_quartiles_contract(spark):
+    from vector_graph_native_database__spark.registry.eventsq import (
+        q_events_session_duration_quartiles,
+    )
+
+    row = q_events_session_duration_quartiles(spark, SF).collect()[0]
+    # a gap-10min session always spans at least the trailing gap
+    assert row.q_0_25 >= 600
+    assert row.q_0_25 <= row.q_0_5 <= row.q_0_75
+    assert row.n > 0

@@ -3121,3 +3121,149 @@ SELECT strftime(to_timestamp(hsec), '%Y-%m-%d %H:00:00')
        CAST(CASE WHEN e_1h * 4 > n_1h AND e_6h * 4 > n_6h
                  THEN 1 ELSE 0 END AS INT) AS page
 FROM win"""
+
+
+RETENTION_DN = [1, 7, 14, 28]
+
+
+def q_events_retention_dn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic dN retention by signup cohort → (cohort_day, n_cohort,
+    d1, d7, d14, d28, r1, r7, r14, r28): for users whose FIRST event
+    lands on cohort_day, how many were active again exactly N days
+    later — the D1/D7/D30-style bounce table growth teams quote
+    (events_cohort_retention is the week-grid triangle; this is the
+    fixed-horizon industry metric).
+
+    Shape: the (user, day) distinct grain once, a user-keyed min for
+    the cohort day, then ONE equi-join back on user with the day
+    offset checked per horizon as conditional aggregates — never one
+    join per horizon. Rates are exact integer ratios rounded at
+    6dp."""
+    ev = _events(spark, sf_dir)
+    active = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    cohort = active.groupBy("user_id").agg(F.min("day").alias("c_day"))
+    j = active.join(cohort, "user_id").withColumn(
+        "off", F.datediff("day", "c_day")
+    )
+    aggs = [
+        F.countDistinct("user_id").cast("long").alias("n_cohort")
+    ]
+    for n in RETENTION_DN:
+        aggs.append(
+            F.sum((F.col("off") == n).cast("long")).alias(f"d{n}")
+        )
+    g = j.groupBy(F.col("c_day").alias("cohort_day")).agg(*aggs)
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    out_cols = ["cohort_day", "n_cohort"] + [f"d{n}" for n in RETENTION_DN]
+    sel = [F.col(c) for c in out_cols] + [
+        r6(
+            F.col(f"d{n}").cast("double") / F.col("n_cohort").cast("double")
+        ).alias(f"r{n}")
+        for n in RETENTION_DN
+    ]
+    return g.select(*sel)
+
+
+QUERIES["events_retention_dn"] = q_events_retention_dn
+ORACLES["events_retention_dn"] = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE user_id IS NOT NULL
+),
+cohort AS (SELECT user_id, min(day) AS c_day FROM active GROUP BY user_id),
+j AS (
+  SELECT a.user_id, c.c_day, date_diff('day', c.c_day, a.day) AS off
+  FROM active a JOIN cohort c ON c.user_id = a.user_id
+),
+g AS (
+  SELECT c_day AS cohort_day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort,
+         CAST(sum(CASE WHEN off = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(sum(CASE WHEN off = 7 THEN 1 ELSE 0 END) AS BIGINT) AS d7,
+         CAST(sum(CASE WHEN off = 14 THEN 1 ELSE 0 END) AS BIGINT) AS d14,
+         CAST(sum(CASE WHEN off = 28 THEN 1 ELSE 0 END) AS BIGINT) AS d28
+  FROM j GROUP BY c_day
+)
+SELECT cohort_day, n_cohort, d1, d7, d14, d28,
+       floor(CAST(d1 AS DOUBLE) / n_cohort * 1000000.0 + 0.5)
+         / 1000000.0 AS r1,
+       floor(CAST(d7 AS DOUBLE) / n_cohort * 1000000.0 + 0.5)
+         / 1000000.0 AS r7,
+       floor(CAST(d14 AS DOUBLE) / n_cohort * 1000000.0 + 0.5)
+         / 1000000.0 AS r14,
+       floor(CAST(d28 AS DOUBLE) / n_cohort * 1000000.0 + 0.5)
+         / 1000000.0 AS r28
+FROM g"""
+
+
+def q_events_session_duration_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-duration distribution → (grp, n, q_0_25, q_0_5,
+    q_0_75): exact quartiles of gap-based (10-minute) session lengths
+    in seconds — the engagement-depth readout next to the session
+    COUNT the session-window entries report. Sessions are the same
+    session_window grain events_stream_session maintains under
+    streaming; durations are integer second deltas, so the
+    distributed exact-quantile primitive (type-1 ranks over the
+    value grain) matches the oracle bit-for-bit."""
+    from ..operators.profiling import group_quantiles
+    from ..streaming.windows import session_agg
+
+    ev = _events(spark, sf_dir)
+    s = ev.filter(F.col("user_id").isNotNull()).groupBy(
+        F.session_window("ts", "10 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    d = s.select(
+        F.lit("all").alias("g"),
+        (
+            F.unix_timestamp(F.col("w.end"))
+            - F.unix_timestamp(F.col("w.start"))
+        ).alias("dur_s"),
+    )
+    return group_quantiles(d, group_col="g", value_col="dur_s")
+
+
+QUERIES["events_session_duration_quartiles"] = (
+    q_events_session_duration_quartiles
+)
+ORACLES["events_session_duration_quartiles"] = """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts))
+                OVER (PARTITION BY user_id ORDER BY ts) >= 600
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE user_id IS NOT NULL
+),
+sid AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM e
+),
+sess AS (
+  SELECT user_id, s,
+         epoch(max(ts)) - epoch(min(ts)) + 600 AS dur_s
+  FROM sid GROUP BY user_id, s
+),
+d AS (SELECT 'all' AS grp, CAST(dur_s AS BIGINT) AS v FROM sess),
+g AS (SELECT grp, v, count(*) AS c FROM d GROUP BY grp, v),
+r AS (
+  SELECT grp, v, c,
+         sum(c) OVER (PARTITION BY grp ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM g
+),
+t AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM g GROUP BY grp)
+SELECT r.grp, t.n,
+       min(CASE WHEN cum >= (t.n * 1 + 3) // 4 THEN v END) AS q_0_25,
+       min(CASE WHEN cum >= (t.n * 1 + 1) // 2 THEN v END) AS q_0_5,
+       min(CASE WHEN cum >= (t.n * 3 + 3) // 4 THEN v END) AS q_0_75
+FROM r JOIN t ON t.grp = r.grp
+GROUP BY r.grp, t.n"""
