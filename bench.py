@@ -247,6 +247,8 @@ HEADLINE = CANARY + [
     "events_slo_burn_rate",
     "events_retention_dn",
     "events_session_duration_quartiles",
+    "approx_intersection_kmv",
+    "hybrid_search_multi",
 ]
 
 

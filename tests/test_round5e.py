@@ -450,3 +450,78 @@ def test_session_duration_quartiles_contract(spark):
     assert row.q_0_25 >= 600
     assert row.q_0_25 <= row.q_0_5 <= row.q_0_75
     assert row.n > 0
+
+
+def test_kmv_intersection_unsaturated_is_exact(spark):
+    from vector_graph_native_database__spark.operators.sketch import (
+        kmv_intersection,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(30)] + [("b", i) for i in range(15, 50)],
+        "g string, v int",
+    )
+    rows = kmv_intersection(df, "g", "v", k=64).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # both sides under k: theta == 1, estimate equals exact overlap
+    assert r.theta == 1.0
+    assert r.exact_intersection == 15
+    assert r.est_intersection == 15.0
+
+
+def test_kmv_intersection_saturated_is_close(spark):
+    from vector_graph_native_database__spark.operators.sketch import (
+        kmv_intersection,
+    )
+
+    n = 2000
+    ov = 1000
+    df = spark.createDataFrame(
+        [("a", i) for i in range(n)]
+        + [("b", i) for i in range(n - ov, 2 * n - ov)],
+        "g string, v int",
+    )
+    r = kmv_intersection(df, "g", "v", k=256).collect()[0]
+    assert r.exact_intersection == ov
+    # theta sketch with k=256 should land within ~35% here
+    assert abs(r.est_intersection - ov) / ov < 0.35
+
+
+def test_hybrid_multi_equals_single_queries(spark):
+    from vector_graph_native_database__spark.registry.common import (
+        model,
+        query_vec,
+    )
+    from vector_graph_native_database__spark.operators import hybrid
+    from vector_graph_native_database__spark.registry.searchq import (
+        HYBRID_MULTI_QIDS,
+        q_hybrid_search_multi,
+    )
+
+    multi = {
+        (r.qid, r.id): (r.vector_score, r.graph_score, r.final_score)
+        for r in q_hybrid_search_multi(spark, SF).collect()
+    }
+    nodes, emb, edges = model(spark, SF)
+    single = {}
+    for qid in HYBRID_MULTI_QIDS:
+        rows = hybrid.hybrid_search(
+            nodes,
+            emb,
+            edges,
+            query_vec(spark, SF, qid),
+            vector_weight=0.7,
+            graph_weight=0.3,
+            top_k=10,
+            graph_start_id=qid,
+            graph_depth=2,
+            round_scores=6,
+        ).collect()
+        for r in rows:
+            single[(qid, r.id)] = (
+                r.vector_score,
+                r.graph_score,
+                r.final_score,
+            )
+    assert multi == single

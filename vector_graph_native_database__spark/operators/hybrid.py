@@ -175,3 +175,111 @@ def rrf_hybrid(
         .orderBy(F.desc("rrf_score"), F.asc("id"))
         .limit(top_k)
     )
+
+
+def hybrid_search_multi(
+    nodes: DataFrame,
+    embeddings: DataFrame,
+    edges: DataFrame,
+    query_ids: list[str],
+    vector_weight: float = 0.5,
+    graph_weight: float = 0.5,
+    top_k: int = 10,
+    graph_depth: int = 2,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Batched hybrid serving → (qid, id, text, vector_score,
+    graph_score, final_score): Q hybrid_search calls answered in ONE
+    plan, with per-query semantics identical to the single-query
+    operator (same min-max normalization per query, same final>0
+    drop, same (score desc, id asc) order) — pytest-pinned equal to
+    Q separate calls.
+
+    The amortization is structural, not just JVM reuse: the vector
+    side scores ALL queries in one pass over the embeddings scan
+    (|Q|-row broadcast of query vectors, per-qid min-max from one
+    grouped aggregate), and the graph side runs ONE multi-source BFS
+    (graph_bfs_multi — Q traversals for the shuffle count of one).
+    Per-query top-k is a rank window over the fused frame. The
+    BM25 twin of this shape is bm25_topk_multi; this completes the
+    batched-serving story for the §2.5 flagship."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vectorfn import dot
+    from .graph import graph_bfs_multi
+
+    qs = embeddings.filter(F.col("node_id").isin(query_ids)).select(
+        F.col("node_id").alias("qid"), F.col("vector").alias("qvec")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(qs))
+        .filter(F.size("vector") == F.size("qvec"))
+        .select(
+            "qid",
+            F.col("node_id").alias("id"),
+            dot("vector", "qvec").alias("score"),
+        )
+    )
+    bounds = scored.groupBy("qid").agg(
+        F.min("score").alias("mn"), F.max("score").alias("mx")
+    )
+    vec = scored.join(F.broadcast(bounds), "qid").select(
+        "qid",
+        "id",
+        F.when(F.col("mx") == F.col("mn"), F.lit(1.0))
+        .otherwise(
+            (F.col("score") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+        )
+        .alias("vec_norm"),
+    )
+
+    bfs = graph_bfs_multi(edges, query_ids, graph_depth, edge_type=None)
+    max_w = bfs.groupBy("qid").agg(F.max("path_weight").alias("__max_w"))
+    base = (F.lit(graph_depth) - F.col("distance") + 1) / F.lit(
+        float(graph_depth + 1)
+    )
+    w_norm = F.when(
+        F.col("__max_w") > 0, F.col("path_weight") / F.col("__max_w")
+    ).otherwise(F.lit(0.0))
+    g = (
+        bfs.join(F.broadcast(max_w), "qid")
+        .withColumn(
+            "g_score",
+            F.when(F.col("distance") == 0, F.lit(1.0)).otherwise(
+                base * (F.lit(0.5) + F.lit(0.5) * w_norm)
+            ),
+        )
+        .select("qid", "id", "g_score")
+    )
+
+    qgrid = qs.select("qid")
+    fused = (
+        nodes.select("id", "text")
+        .crossJoin(F.broadcast(qgrid))
+        .join(vec, ["qid", "id"], "left_outer")
+        .join(g, ["qid", "id"], "left_outer")
+        .select(
+            "qid",
+            "id",
+            "text",
+            F.coalesce("vec_norm", F.lit(0.0)).alias("vector_score"),
+            F.coalesce("g_score", F.lit(0.0)).alias("graph_score"),
+        )
+        .withColumn(
+            "final_score",
+            F.lit(vector_weight) * F.col("vector_score")
+            + F.lit(graph_weight) * F.col("graph_score"),
+        )
+    )
+    if round_scores is not None:
+        for c in ("vector_score", "graph_score", "final_score"):
+            fused = fused.withColumn(c, F.round(c, round_scores))
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("final_score"), F.asc("id")
+    )
+    return (
+        fused.filter(F.col("final_score") > 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .drop("rn")
+    )

@@ -666,3 +666,99 @@ def histogram_quantiles(
     est = j.groupBy("grp").agg(*aggs)
     ex = exact.groupBy("grp").agg(*eaggs)
     return est.join(ex, "grp")
+
+
+def kmv_intersection(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Theta-sketch set intersection from KMV states → one row per
+    unordered group pair (seg_a, seg_b, theta, est_intersection,
+    exact_intersection).
+
+    The KMV state doubles as a theta sketch: per group, theta is the
+    k-th smallest hash when saturated (else 1.0, i.e. the state IS
+    the set); for a pair the intersection estimate is |{u in A cap B
+    : u < min(theta_a, theta_b)}| / min(theta_a, theta_b) — the
+    standard theta-intersection rule, exact when both sides are
+    unsaturated. Everything is md5-deterministic, so the DuckDB twin
+    replays the sketch bit-for-bit (the same mergeability contract
+    as kmv_state: audience-overlap between daily segments WITHOUT
+    rescanning raw data — the sketch states are all you ship).
+
+    Shape: one KMV state per group (k rows each), a hash-keyed
+    equi-join between k-row states, and a G²-row grid — nothing here
+    scales with the raw data after the state is built. The exact
+    column (for the realized-error audit) is the only raw-data pair
+    join, and it is keyed by value."""
+    st = kmv_state(df, group_col, value_col, k=k, salt=salt)
+    th = (
+        st.groupBy(group_col)
+        .agg(F.count("*").alias("nk"), F.max("u").alias("uk"))
+        .select(
+            group_col,
+            F.when(F.col("nk") < k, F.lit(1.0))
+            .otherwise(F.col("uk"))
+            .alias("theta"),
+        )
+    )
+    ta = th.select(
+        F.col(group_col).alias("seg_a"), F.col("theta").alias("th_a")
+    )
+    tb = th.select(
+        F.col(group_col).alias("seg_b"), F.col("theta").alias("th_b")
+    )
+    grid = (
+        ta.crossJoin(F.broadcast(tb))
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .withColumn("theta", F.least("th_a", "th_b"))
+        .select("seg_a", "seg_b", "theta")
+    )
+    sa = st.select(F.col(group_col).alias("seg_a"), "u")
+    sb = st.select(F.col(group_col).alias("seg_b"), "u")
+    common = (
+        sa.join(sb, "u")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .join(F.broadcast(grid), ["seg_a", "seg_b"])
+        .filter(F.col("u") < F.col("theta"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = df.select(group_col, value_col).distinct()
+    pa = pairs.select(
+        F.col(group_col).alias("seg_a"), F.col(value_col).alias("v")
+    )
+    pb = pairs.select(
+        F.col(group_col).alias("seg_b"), F.col(value_col).alias("v")
+    )
+    exact = (
+        pa.join(pb, "v")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    return (
+        grid.join(common, ["seg_a", "seg_b"], "left")
+        .join(exact, ["seg_a", "seg_b"], "left")
+        .select(
+            "seg_a",
+            "seg_b",
+            (
+                F.floor(F.col("theta") * F.lit(1e6) + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("theta"),
+            (
+                F.floor(
+                    F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                    / F.col("theta")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("est_intersection"),
+            F.coalesce(F.col("x"), F.lit(0)).alias("exact_intersection"),
+        )
+    )

@@ -3476,3 +3476,73 @@ r AS (
 SELECT n_name, l_partkey,
        CAST(round(rev, 2) AS DOUBLE) AS revenue, rnk
 FROM r WHERE rnk <= 3"""
+
+
+def q_approx_intersection_kmv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theta-sketch audience overlap → one row per event-type pair
+    (seg_a, seg_b, theta, est_intersection, exact_intersection):
+    |users(a) ∩ users(b)| estimated purely from the two segments'
+    64-hash KMV states via the theta-intersection rule — the
+    set-OPERATION completion of the sketch family (KMV/HLL/CMS give
+    counts; this gives overlaps, the audience-overlap question every
+    ads/growth dashboard asks), answerable from shipped sketch
+    states with NO raw-data rescan. md5-deterministic end to end;
+    the exact column rides along as the realized-error audit."""
+    from ..operators.sketch import kmv_intersection
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_intersection(ev, "event_type", "user_id", k=64)
+
+
+QUERIES["approx_intersection_kmv"] = q_approx_intersection_kmv
+ORACLES["approx_intersection_kmv"] = """
+WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5('kmv' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           / 1152921504606846976.0 AS u
+  FROM pairs
+),
+kept AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+  FROM hashed
+),
+st AS (SELECT event_type, u FROM kept WHERE rn <= 64),
+th AS (
+  SELECT event_type,
+         CASE WHEN count(*) < 64 THEN 1.0 ELSE max(u) END AS theta
+  FROM st GROUP BY event_type
+),
+grid AS (
+  SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+         least(a.theta, b.theta) AS theta
+  FROM th a JOIN th b ON a.event_type < b.event_type
+),
+common AS (
+  SELECT sa.event_type AS seg_a, sb.event_type AS seg_b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM st sa
+  JOIN st sb ON sb.u = sa.u AND sa.event_type < sb.event_type
+  JOIN grid g ON g.seg_a = sa.event_type AND g.seg_b = sb.event_type
+  WHERE sa.u < g.theta
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+         CAST(count(*) AS BIGINT) AS x
+  FROM pairs a
+  JOIN pairs b ON b.user_id = a.user_id
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT g.seg_a, g.seg_b,
+       floor(g.theta * 1000000.0 + 0.5) / 1000000.0 AS theta,
+       floor(coalesce(c.c, 0) / g.theta * 1000000.0 + 0.5) / 1000000.0
+         AS est_intersection,
+       coalesce(e.x, 0) AS exact_intersection
+FROM grid g
+LEFT JOIN common c ON c.seg_a = g.seg_a AND c.seg_b = g.seg_b
+LEFT JOIN exact e ON e.seg_a = g.seg_a AND e.seg_b = g.seg_b"""

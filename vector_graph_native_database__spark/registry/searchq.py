@@ -530,3 +530,84 @@ LEFT JOIN top{gtag} gr ON gr.id = t.id"""
 
 
 ORACLES["hybrid_weight_sweep"] = _hybrid_sweep_oracle()
+
+
+HYBRID_MULTI_QIDS = ["0", "100", "200"]
+
+
+def q_hybrid_search_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched hybrid serving: 3 queries (each seeding both the
+    vector side and the graph traversal from its own node) answered
+    in ONE plan — one embeddings pass scores all query vectors, one
+    multi-source BFS covers all traversals (Q traversals for the
+    shuffle count of one; see operators/hybrid.hybrid_search_multi
+    and operators/graph.graph_bfs_multi). Per-query semantics are
+    byte-identical to hybrid_search (reference app.py:657-736
+    including the final>0 drop); the oracle replays each query's
+    full single-query SQL and unions them."""
+    nodes, emb, edges = model(spark, sf_dir)
+    return hybrid.hybrid_search_multi(
+        nodes,
+        emb,
+        edges,
+        HYBRID_MULTI_QIDS,
+        vector_weight=0.7,
+        graph_weight=0.3,
+        top_k=10,
+        graph_depth=2,
+        round_scores=6,
+    )
+
+
+def _hybrid_multi_sql(k: int = 10, vw: float = 0.7, gw: float = 0.3) -> str:
+    from .common import sql_bfs_cte
+
+    branches = []
+    for qid in HYBRID_MULTI_QIDS:
+        bfs_body = sql_bfs_cte(qid, 2).lstrip(",\n")
+        branches.append(
+            f"""
+SELECT '{qid}' AS qid, f.* FROM (
+  WITH RECURSIVE
+  q AS (SELECT vector AS qvec FROM emb WHERE node_id = '{qid}'),
+  scored AS (
+    SELECT e.node_id AS id,
+           list_dot_product(CAST(e.vector AS DOUBLE[]),
+                            CAST(q.qvec AS DOUBLE[])) AS score
+    FROM emb e, q WHERE len(e.vector) = len(q.qvec)
+  ),
+  bounds AS (SELECT min(score) AS mn, max(score) AS mx FROM scored),
+  vec AS (
+    SELECT id, CASE WHEN mx = mn THEN 1.0
+               ELSE (score - mn) / (mx - mn) END AS vec_norm
+    FROM scored, bounds
+  ),
+  {bfs_body},
+  g AS (
+    SELECT b.id,
+           CASE WHEN b.id = '{qid}' THEN 1.0
+           ELSE ((2 - b.distance + 1) / 3.0)
+                * (0.5 + 0.5 * CASE WHEN m.mw > 0
+                               THEN b.path_weight / m.mw ELSE 0.0 END)
+           END AS g_score
+    FROM bfsr b, (SELECT max(path_weight) AS mw FROM bfsr) m
+  ),
+  fused AS (
+    SELECT n.id, n.text,
+           round(coalesce(v.vec_norm, 0.0), 6) AS vector_score,
+           round(coalesce(g.g_score, 0.0), 6) AS graph_score,
+           round({vw} * coalesce(v.vec_norm, 0.0)
+                 + {gw} * coalesce(g.g_score, 0.0), 6) AS final_score
+    FROM nodes n
+    LEFT JOIN vec v ON v.id = n.id
+    LEFT JOIN g ON g.id = n.id
+  )
+  SELECT * FROM fused WHERE final_score > 0
+  ORDER BY final_score DESC, id ASC LIMIT {k}
+) f"""
+        )
+    return ORACLE_PRELUDE + "\n" + "\nUNION ALL\n".join(branches)
+
+
+QUERIES["hybrid_search_multi"] = q_hybrid_search_multi
+ORACLES["hybrid_search_multi"] = _hybrid_multi_sql()
