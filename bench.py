@@ -249,6 +249,8 @@ HEADLINE = CANARY + [
     "events_session_duration_quartiles",
     "approx_intersection_kmv",
     "hybrid_search_multi",
+    "vector_topk_multi",
+    "graph_bfs_multi",
 ]
 
 

@@ -80,3 +80,44 @@ def vector_topk(
         .orderBy(F.desc("score"), F.asc("id"))
         .limit(top_k)
     )
+
+
+def vector_topk_multi(
+    nodes: DataFrame,
+    embeddings: DataFrame,
+    query_ids: list[str],
+    top_k: int = 10,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Batched full-scan k-NN → (qid, id, text, score): Q queries
+    answered from ONE pass over the embeddings scan (a |Q|-row
+    broadcast of query vectors, per-query rank window over the scored
+    frame) — the batched-serving twin of vector_topk, per-query
+    semantics identical (score desc, id asc on rounded scores;
+    dim-mismatched rows skipped, reference app.py:407-408). At 100 TB
+    the scan cost is paid once for the whole batch instead of once
+    per query — the same amortization bm25_topk_multi pins for BM25.
+    """
+    from pyspark.sql.window import Window
+
+    qs = embeddings.filter(F.col("node_id").isin(query_ids)).select(
+        F.col("node_id").alias("qid"), F.col("vector").alias("qvec")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(qs))
+        .filter(F.size("vector") == F.size("qvec"))
+        .select(
+            "qid",
+            F.col("node_id").alias("nid"),
+            dot("vector", "qvec").alias("score"),
+        )
+    )
+    if round_scores is not None:
+        scored = scored.withColumn("score", F.round("score", round_scores))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .join(nodes, F.col("nid") == nodes["id"])
+        .select("qid", "id", "text", "score")
+    )

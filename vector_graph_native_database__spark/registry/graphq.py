@@ -325,3 +325,45 @@ SELECT a.src AS a, a.dst AS b,
        round(a.w, 6) AS w_ab, round(b.w, 6) AS w_ba
 FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src
 WHERE a.src < a.dst"""
+
+
+def q_graph_bfs_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS as a first-class frame → (qid, id, distance,
+    path_weight) for the 3-query serving batch: Q level-synchronous
+    traversals in ONE iterative job (the frontier carries the source
+    id as a key column — per level one frontier⨝edges join + one
+    (qid, id) aggregate, the shuffle count of a single BFS). The
+    oracle unions Q single-source bounded-walk CTEs; a pytest
+    additionally pins each (qid, ·) slice equal to graph_bfs."""
+    from ..operators.graph import graph_bfs_multi
+    from .searchq import HYBRID_MULTI_QIDS
+
+    _, _, edges = model(spark, sf_dir)
+    return graph_bfs_multi(edges, HYBRID_MULTI_QIDS, depth=2).select(
+        "qid",
+        "id",
+        "distance",
+        F.round("path_weight", 6).alias("path_weight"),
+    )
+
+
+def _bfs_multi_sql() -> str:
+    from .common import sql_bfs_cte
+    from .searchq import HYBRID_MULTI_QIDS
+
+    branches = []
+    for qid in HYBRID_MULTI_QIDS:
+        body = sql_bfs_cte(qid, 2).lstrip(",\n")
+        branches.append(
+            f"""
+SELECT '{qid}' AS qid, f.* FROM (
+  WITH RECURSIVE
+  {body}
+  SELECT id, distance, round(path_weight, 6) AS path_weight FROM bfsr
+) f"""
+        )
+    return ORACLE_PRELUDE + "\n" + "\nUNION ALL\n".join(branches)
+
+
+QUERIES["graph_bfs_multi"] = q_graph_bfs_multi
+ORACLES["graph_bfs_multi"] = _bfs_multi_sql()

@@ -611,3 +611,41 @@ SELECT '{qid}' AS qid, f.* FROM (
 
 QUERIES["hybrid_search_multi"] = q_hybrid_search_multi
 ORACLES["hybrid_search_multi"] = _hybrid_multi_sql()
+
+
+def q_vector_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched brute-force vector serving: the same 3-query batch as
+    hybrid_search_multi through vector_topk's exact semantics — one
+    embeddings pass, per-query rank window (see
+    operators/vector_search.vector_topk_multi). Completes the batched
+    deployment trio: bm25_topk_multi / hybrid_search_multi /
+    vector_topk_multi."""
+    nodes, emb, _ = model(spark, sf_dir)
+    return vector_search.vector_topk_multi(
+        nodes, emb, HYBRID_MULTI_QIDS, top_k=10, round_scores=6
+    )
+
+
+def _vector_multi_sql(k: int = 10) -> str:
+    branches = []
+    for qid in HYBRID_MULTI_QIDS:
+        branches.append(
+            f"""
+SELECT '{qid}' AS qid, f.* FROM (
+  WITH q AS (SELECT vector AS qvec FROM emb WHERE node_id = '{qid}'),
+  scored AS (
+    SELECT e.node_id AS id,
+           round(list_dot_product(CAST(e.vector AS DOUBLE[]),
+                                  CAST(q.qvec AS DOUBLE[])), 6) AS score
+    FROM emb e, q WHERE len(e.vector) = len(q.qvec)
+  )
+  SELECT s.id, n.text, s.score
+  FROM scored s JOIN nodes n ON n.id = s.id
+  ORDER BY s.score DESC, s.id ASC LIMIT {k}
+) f"""
+        )
+    return ORACLE_PRELUDE + "\n" + "\nUNION ALL\n".join(branches)
+
+
+QUERIES["vector_topk_multi"] = q_vector_topk_multi
+ORACLES["vector_topk_multi"] = _vector_multi_sql()
