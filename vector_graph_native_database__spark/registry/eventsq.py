@@ -2691,7 +2691,7 @@ def q_events_cusum_changepoint(
     return (
         cum.crossJoin(F.broadcast(mx))
         .select(
-            "d",
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
             "x",
             (
                 F.floor(
@@ -2731,7 +2731,7 @@ s AS (
   FROM cum
 ),
 mx AS (SELECT max(abs(cusum_n)) AS mx FROM s)
-SELECT s.d AS d, s.x AS x,
+SELECT strftime(s.d, '%Y-%m-%d') AS d, s.x AS x,
        floor(CAST(cusum_n AS DOUBLE) / CAST(n_days AS DOUBLE)
              * 1000000.0 + 0.5) / 1000000.0 AS cusum,
        abs(cusum_n) = mx.mx AS is_peak
@@ -3005,7 +3005,7 @@ def q_events_new_vs_returning(
     )
     return (
         active.join(first_seen, "user_id")
-        .groupBy("day")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
         .agg(
             F.count("*").cast("long").alias("dau"),
             F.sum(
@@ -3025,7 +3025,7 @@ WITH active AS (
   FROM events WHERE user_id IS NOT NULL
 ),
 fs AS (SELECT user_id, min(day) AS first_day FROM active GROUP BY user_id)
-SELECT a.day,
+SELECT strftime(a.day, '%Y-%m-%d') AS day,
        CAST(count(*) AS BIGINT) AS dau,
        CAST(sum(CASE WHEN a.day = fs.first_day THEN 1 ELSE 0 END)
             AS BIGINT) AS n_new,
@@ -3156,7 +3156,9 @@ def q_events_retention_dn(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(
             F.sum((F.col("off") == n).cast("long")).alias(f"d{n}")
         )
-    g = j.groupBy(F.col("c_day").alias("cohort_day")).agg(*aggs)
+    g = j.groupBy(
+        F.date_format("c_day", "yyyy-MM-dd").alias("cohort_day")
+    ).agg(*aggs)
     r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     out_cols = ["cohort_day", "n_cohort"] + [f"d{n}" for n in RETENTION_DN]
     sel = [F.col(c) for c in out_cols] + [
@@ -3180,7 +3182,7 @@ j AS (
   FROM active a JOIN cohort c ON c.user_id = a.user_id
 ),
 g AS (
-  SELECT c_day AS cohort_day,
+  SELECT strftime(c_day, '%Y-%m-%d') AS cohort_day,
          CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort,
          CAST(sum(CASE WHEN off = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
          CAST(sum(CASE WHEN off = 7 THEN 1 ELSE 0 END) AS BIGINT) AS d7,
