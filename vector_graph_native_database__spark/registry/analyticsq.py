@@ -1312,11 +1312,11 @@ QUERIES["graph_rich_club"] = q_graph_rich_club
 ORACLES["graph_rich_club"] = (
     ORACLE_PRELUDE
     + f""",
-canon AS (
+canon AS MATERIALIZED (
   SELECT least(src, dst) AS a, greatest(src, dst) AS b
   FROM edges WHERE src <> dst GROUP BY 1, 2
 ),
-deg AS (
+deg AS MATERIALIZED (
   SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
     SELECT a AS id FROM canon UNION ALL SELECT b AS id FROM canon
   ) GROUP BY id

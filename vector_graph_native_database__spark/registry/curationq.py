@@ -948,13 +948,13 @@ ORACLES["text_perplexity_buckets"] = (
     ORACLE_PRELUDE
     + _TOKS
     + f""",
-tokh AS (
+tokh AS MATERIALIZED (
   SELECT id, {_H60.format(x="tok")} AS h
   FROM (SELECT id, unnest(t) AS tok FROM toks)
 ),
 vocab AS (SELECT h, count(*) AS cnt FROM tokh GROUP BY h),
 tot AS (SELECT sum(cnt) AS n_total FROM vocab),
-lp AS (
+lp AS MATERIALIZED (
   SELECT t.id,
          {sql_stable_round6("avg(ln(v.cnt * 1.0 / tot.n_total))")}
            AS avg_logprob

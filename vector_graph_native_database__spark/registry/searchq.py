@@ -570,7 +570,7 @@ def _hybrid_multi_sql(k: int = 10, vw: float = 0.7, gw: float = 0.3) -> str:
 SELECT '{qid}' AS qid, f.* FROM (
   WITH RECURSIVE
   q AS (SELECT vector AS qvec FROM emb WHERE node_id = '{qid}'),
-  scored AS (
+  scored AS MATERIALIZED (
     SELECT e.node_id AS id,
            list_dot_product(CAST(e.vector AS DOUBLE[]),
                             CAST(q.qvec AS DOUBLE[])) AS score
