@@ -546,3 +546,54 @@ def test_bm25_multi_query_batch_stays_broadcast_side(spark):
     # one scan pass over documents feeds the posting frame; the id
     # spine is not re-scanned per query
     assert s["parquet_scans"] <= 2
+
+
+def test_vector_topk_multi_single_scan_no_python(spark):
+    # the batch must not fall back to Python or a per-query cartesian
+    s = plan_summary(registry.all_queries()["vector_topk_multi"](spark, SF))
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
+    p = plan_of(spark, "vector_topk_multi")
+    # query vectors attach via broadcast, never a shuffle join
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_hybrid_multi_no_python_and_broadcast_queries(spark):
+    s = plan_summary(
+        registry.all_queries()["hybrid_search_multi"](spark, SF)
+    )
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
+
+
+def test_square_count_stays_integer_aggregate(spark):
+    # one wedge self-join, no Python, no cartesian product
+    p = plan_of(spark, "graph_square_count")
+    assert "CartesianProduct" not in p
+    s = plan_summary(registry.all_queries()["graph_square_count"](spark, SF))
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
+
+
+def test_repetition_score_is_two_level_aggregate(spark):
+    # no joins at all: explode -> (id, gram) agg -> (id) agg
+    s = plan_summary(
+        registry.all_queries()["text_repetition_score"](spark, SF)
+    )
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
+    assert (
+        s["sort_merge_joins"] == 0
+        and s["broadcast_hash_joins"] == 0
+        and s["shuffled_hash_joins"] == 0
+    )
+
+
+def test_slo_burn_rate_windows_hourly_grain_only(spark):
+    # the RANGE window must run over the hourly aggregate, not raw
+    # events: the window's child exchange is single-partition over a
+    # tiny frame, and no join appears anywhere
+    s = plan_summary(
+        registry.all_queries()["events_slo_burn_rate"](spark, SF)
+    )
+    assert (
+        s["sort_merge_joins"] == 0
+        and s["broadcast_hash_joins"] == 0
+        and s["shuffled_hash_joins"] == 0
+    )
