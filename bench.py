@@ -251,6 +251,8 @@ HEADLINE = CANARY + [
     "hybrid_search_multi",
     "vector_topk_multi",
     "graph_bfs_multi",
+    "olap_ltv_quartiles",
+    "olap_order_gap_quartiles",
 ]
 
 

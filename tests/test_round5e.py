@@ -575,3 +575,26 @@ def test_graph_bfs_multi_equals_single(spark):
         for r in graph_bfs(edges, qid, 2).collect():
             single[(qid, r.id)] = (r.distance, round(r.path_weight, 6))
     assert multi == single
+
+
+def test_ltv_and_gap_quartiles_contracts(spark):
+    from vector_graph_native_database__spark.registry.olapq import (
+        q_olap_ltv_quartiles,
+        q_olap_order_gap_quartiles,
+    )
+
+    ltv = q_olap_ltv_quartiles(spark, SF).collect()
+    assert len(ltv) == 5  # five market segments
+    for r in ltv:
+        assert r.q_0_25 <= r.q_0_5 <= r.q_0_75
+        assert r.n > 0 and r.q_0_25 > 0
+
+    gaps = q_olap_order_gap_quartiles(spark, SF).collect()
+    assert len(gaps) == 5
+    for r in gaps:
+        assert 0 <= r.q_0_25 <= r.q_0_5 <= r.q_0_75
+    # n == total orders minus one per customer with >= 1 order
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    n_orders = orders.count()
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n for r in gaps) == n_orders - n_cust

@@ -3546,3 +3546,131 @@ SELECT g.seg_a, g.seg_b,
 FROM grid g
 LEFT JOIN common c ON c.seg_a = g.seg_a AND c.seg_b = g.seg_b
 LEFT JOIN exact e ON e.seg_a = g.seg_a AND e.seg_b = g.seg_b"""
+
+
+def q_olap_ltv_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value distribution per market segment →
+    (grp, n, q_0_25, q_0_5, q_0_75): exact quartiles of per-customer
+    total order value (integer CENTS, so the distributed quantile
+    primitive is engine-identical) — the LTV profile a CRM reads per
+    segment before setting acquisition budgets. Two shuffles total:
+    the (customer) revenue aggregate, then the value-grain quantile
+    pass per segment; the customer dim joins broadcast."""
+    from ..operators.profiling import group_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ltv = (
+        orders.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("ltv_cents"))
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return group_quantiles(
+        ltv, group_col="c_mktsegment", value_col="ltv_cents"
+    )
+
+
+QUERIES["olap_ltv_quartiles"] = q_olap_ltv_quartiles
+ORACLES["olap_ltv_quartiles"] = """
+WITH ltv AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS v
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT c.c_mktsegment AS grp, l.v
+  FROM ltv l JOIN customer c ON c.c_custkey = l.o_custkey
+),
+g AS (SELECT grp, v, count(*) AS c FROM seg GROUP BY grp, v),
+r AS (
+  SELECT grp, v, c,
+         sum(c) OVER (PARTITION BY grp ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM g
+),
+t AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM g GROUP BY grp)
+SELECT r.grp, t.n,
+       min(CASE WHEN cum >= (t.n * 1 + 3) // 4 THEN v END) AS q_0_25,
+       min(CASE WHEN cum >= (t.n * 1 + 1) // 2 THEN v END) AS q_0_5,
+       min(CASE WHEN cum >= (t.n * 3 + 3) // 4 THEN v END) AS q_0_75
+FROM r JOIN t ON t.grp = r.grp
+GROUP BY r.grp, t.n"""
+
+
+def q_olap_order_gap_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repurchase-cadence profile → (grp, n, q_0_25, q_0_5, q_0_75):
+    exact quartiles of the DAYS between a customer's consecutive
+    orders, per market segment — the inter-purchase interval CRM
+    teams read before scheduling win-back campaigns. One window at
+    the per-customer order grain (lag ordered by (date, orderkey) so
+    same-day ties are deterministic), integer day deltas, then the
+    distributed exact-quantile primitive per segment."""
+    from pyspark.sql import Window
+
+    from ..operators.profiling import group_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("prev_d", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_d").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("o_orderdate", "prev_d").alias("gap_d"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return group_quantiles(
+        gaps, group_col="c_mktsegment", value_col="gap_d"
+    )
+
+
+QUERIES["olap_order_gap_quartiles"] = q_olap_order_gap_quartiles
+ORACLES["olap_order_gap_quartiles"] = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS prev_d
+  FROM orders
+),
+gaps AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(prev_d AS DATE),
+                   CAST(o_orderdate AS DATE)) AS v
+  FROM o WHERE prev_d IS NOT NULL
+),
+seg AS (
+  SELECT c.c_mktsegment AS grp, g.v
+  FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+),
+g2 AS (SELECT grp, v, count(*) AS c FROM seg GROUP BY grp, v),
+r AS (
+  SELECT grp, v, c,
+         sum(c) OVER (PARTITION BY grp ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM g2
+),
+t AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n FROM g2 GROUP BY grp)
+SELECT r.grp, t.n,
+       min(CASE WHEN cum >= (t.n * 1 + 3) // 4 THEN v END) AS q_0_25,
+       min(CASE WHEN cum >= (t.n * 1 + 1) // 2 THEN v END) AS q_0_5,
+       min(CASE WHEN cum >= (t.n * 3 + 3) // 4 THEN v END) AS q_0_75
+FROM r JOIN t ON t.grp = r.grp
+GROUP BY r.grp, t.n"""
