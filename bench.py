@@ -253,6 +253,7 @@ HEADLINE = CANARY + [
     "graph_bfs_multi",
     "olap_ltv_quartiles",
     "olap_order_gap_quartiles",
+    "events_user_concentration",
 ]
 
 

@@ -598,3 +598,18 @@ def test_ltv_and_gap_quartiles_contracts(spark):
     n_orders = orders.count()
     n_cust = orders.select("o_custkey").distinct().count()
     assert sum(r.n for r in gaps) == n_orders - n_cust
+
+
+def test_user_concentration_contract(spark):
+    from vector_graph_native_database__spark.registry.eventsq import (
+        q_events_user_concentration,
+    )
+
+    r = q_events_user_concentration(spark, SF).collect()[0]
+    assert 0 < r.n_heavy <= r.n_users
+    # the heavy set is at least a decile of users (ties only add)
+    assert r.n_heavy >= r.n_users // 10
+    # heavy users have >= p90 events each, so their share is at least
+    # n_heavy * p90 / n_events
+    assert r.heavy_share >= r.n_heavy * r.p90_events / r.n_events - 1e-6
+    assert r.heavy_share <= 1.0

@@ -3269,3 +3269,102 @@ SELECT r.grp, t.n,
        min(CASE WHEN cum >= (t.n * 3 + 3) // 4 THEN v END) AS q_0_75
 FROM r JOIN t ON t.grp = r.grp
 GROUP BY r.grp, t.n"""
+
+
+def q_events_user_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Activity-concentration readout → one row (n_users, n_events,
+    p90_events, n_heavy, heavy_share): what fraction of all events
+    comes from the "top decile" of users — defined deterministically
+    as users whose event count is >= the exact type-1 90th percentile
+    of per-user counts (ties INCLUDED, so the set is a pure function
+    of the data; n_heavy reports how many users that actually is).
+    The events twin of olap_revenue_gini: Gini grades orders revenue,
+    this grades the user activity skew a capacity planner reads
+    before sizing per-user state.
+
+    Shape: one user-keyed count, one value-grain quantile pass (the
+    group-quantile integer-rank idiom inlined for a single p), one
+    conditional aggregate — integer-exact everywhere, share rounded
+    at 6dp."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    uc = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    g = uc.groupBy("c").agg(F.count("*").alias("k"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    r = g.withColumn("cum", F.sum("k").over(w))
+    tot = uc.agg(
+        F.count("*").alias("n_users"), F.sum("c").alias("n_events")
+    )
+    p90 = (
+        r.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("cum") >= F.expr("(n_users * 9 + 9) div 10")
+        )
+        .agg(F.min("c").alias("p90"))
+    )
+    return (
+        uc.crossJoin(F.broadcast(p90))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_users").alias("n_users"),
+            F.max("n_events").alias("n_events"),
+            F.max("p90").alias("p90_events"),
+            F.sum(
+                F.when(F.col("c") >= F.col("p90"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_heavy"),
+            (
+                F.floor(
+                    F.sum(
+                        F.when(F.col("c") >= F.col("p90"), F.col("c"))
+                        .otherwise(0)
+                    ).cast("double")
+                    / F.max("n_events").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("heavy_share"),
+        )
+    )
+
+
+QUERIES["events_user_concentration"] = q_events_user_concentration
+ORACLES["events_user_concentration"] = """
+WITH uc AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+g AS (SELECT c, count(*) AS k FROM uc GROUP BY c),
+r AS (
+  SELECT c, k,
+         sum(k) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM g
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(c) AS BIGINT) AS n_events
+  FROM uc
+),
+p90 AS (
+  SELECT CAST(min(c) AS BIGINT) AS p90
+  FROM r CROSS JOIN tot
+  WHERE cum >= (tot.n_users * 9 + 9) // 10
+)
+SELECT tot.n_users, tot.n_events, p90.p90 AS p90_events,
+       CAST(sum(CASE WHEN uc.c >= p90.p90 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_heavy,
+       floor(sum(CASE WHEN uc.c >= p90.p90 THEN uc.c ELSE 0 END) * 1.0
+             / tot.n_events * 1000000.0 + 0.5) / 1000000.0
+         AS heavy_share
+FROM uc CROSS JOIN p90 CROSS JOIN tot
+GROUP BY tot.n_users, tot.n_events, p90.p90"""
