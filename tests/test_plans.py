@@ -597,3 +597,83 @@ def test_slo_burn_rate_windows_hourly_grain_only(spark):
         and s["broadcast_hash_joins"] == 0
         and s["shuffled_hash_joins"] == 0
     )
+
+
+def test_rfm_segments_no_global_ntile_window(spark):
+    # the three R/F/M quintiles must come from the distributed
+    # count-below prefix sum (attach_exact_ntile), never from
+    # ntile() over an unpartitioned window — the round-5 verdict's
+    # one scale-killer; staging keeps the plan linear (no parquet
+    # re-scans in the final assembled plan)
+    df = registry.all_queries()["events_rfm_segments"](spark, SF)
+    p = plan_string(df)
+    assert "ntile(" not in p.replace("percentile_approx", "")
+    s = plan_summary(df)
+    assert s["python_row_udfs"] == 0 and s["parquet_scans"] == 0
+    assert s["exchanges"] < 40, "chained ntile attaches must be staged"
+
+
+def test_minhash_band_sweep_stages_signatures_once(spark):
+    # shingles/signatures/truth are eagerly staged; every sweep point
+    # is an equi-join over the staged frames — the final plan must
+    # contain ZERO parquet scans (a re-scan means a banding replayed
+    # the corpus) and no nested-loop join anywhere
+    s = plan_summary(
+        registry.all_queries()["dedup_minhash_band_sweep"](spark, SF)
+    )
+    assert s["parquet_scans"] == 0
+    assert s["broadcast_nl_joins"] == 0
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
+
+
+def test_ann_tier_report_brute_truth_staged_once(spark):
+    # exact ground truth is checkpointed and re-READ per tier, never
+    # recomputed: the plan shows one ExistingRDD scan per tier join
+    # (>= tier count) and the per-tier index builds keep the audited
+    # shapes (no python row udfs, no cartesian products)
+    df = registry.all_queries()["ann_tier_report"](spark, SF)
+    p = plan_string(df)
+    s = plan_summary(df)
+    assert p.count("Scan ExistingRDD") >= 11, "brute truth must be staged"
+    assert "CartesianProduct" not in p
+    assert s["python_row_udfs"] == 0
+
+
+def test_hybrid_weight_sweep_reweights_staged_tops_only(spark):
+    # the five fused top-15s are built once (staged); every sweep row
+    # is a broadcast join of <=15-row frames — zero parquet scans,
+    # zero sort-merge joins, zero shuffles beyond the final union agg
+    s = plan_summary(
+        registry.all_queries()["hybrid_weight_sweep"](spark, SF)
+    )
+    assert s["parquet_scans"] == 0
+    assert s["sort_merge_joins"] == 0
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
+
+
+def test_semdedup_central_no_corpus_cartesian(spark):
+    # in-cluster pairing must stay an equi-join on the cluster key;
+    # the only nested-loop is the 8-centroid broadcast (absent from
+    # the final staged plan) — never an all-pairs corpus product
+    df = registry.all_queries()["dedup_semdedup_central"](spark, SF)
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    s = plan_summary(df)
+    assert s["broadcast_nl_joins"] == 0
+    assert s["python_row_udfs"] == 0
+
+
+def test_watermark_lateness_single_pass_grid(spark):
+    # the 4-value watermark grid is answered by one conditional
+    # aggregate over ONE pass of the lateness frame, exploded from
+    # array literals afterwards — never a grid x events replication
+    # join. The only nested-loop joins are the prefix-max machinery's
+    # two 1-row boundary broadcasts (the bnd frame, replayed once in
+    # the per-bucket offsets branch); the grid itself must appear as
+    # a Generate(explode) over the single aggregated row.
+    df = registry.all_queries()["events_watermark_lateness"](spark, SF)
+    p = plan_string(df)
+    s = plan_summary(df)
+    assert s["broadcast_nl_joins"] == 2, "grid must not join events"
+    assert "Generate explode" in p, "grid rows come from explode"
+    assert s["python_row_udfs"] == 0

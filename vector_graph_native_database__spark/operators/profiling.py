@@ -378,44 +378,7 @@ def exact_ntile_bins(
     rows = df.select(
         F.col(value_col).alias("v"), F.col(key_col).alias("kk")
     )
-    g = attach_count_below(
-        rows.groupBy("v").agg(F.count("*").alias("n")), parts=parts
-    )
-    tot = g.agg(F.sum("n").alias("n_tot"))
-    from pyspark.sql import Window
-
-    ranked = (
-        rows.join(g.select("v", "cl"), "v")
-        .withColumn(
-            "rank",
-            F.col("cl")
-            + F.row_number().over(
-                Window.partitionBy("v").orderBy("kk")
-            ),
-        )
-        .crossJoin(F.broadcast(tot))
-    )
-    ranked = (
-        ranked.withColumn("q", (F.col("n_tot") / k).cast("long"))
-        .withColumn("r", F.col("n_tot") % k)
-        .withColumn(
-            "bin",
-            F.when(
-                F.col("rank") <= (F.col("q") + 1) * F.col("r"),
-                (
-                    (F.col("rank") - 1) / (F.col("q") + 1)
-                ).cast("long")
-                + 1,
-            ).otherwise(
-                F.col("r")
-                + (
-                    (F.col("rank") - 1 - F.col("r") * (F.col("q") + 1))
-                    / F.col("q")
-                ).cast("long")
-                + 1
-            ),
-        )
-    )
+    ranked = attach_exact_ntile(rows, "v", "kk", k=k, parts=parts)
     return (
         ranked.groupBy("bin")
         .agg(
@@ -424,6 +387,76 @@ def exact_ntile_bins(
             F.max("v").alias("hi"),
         )
     )
+
+
+def attach_exact_ntile(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 10,
+    out_col: str = "bin",
+    parts: int = 32,
+) -> DataFrame:
+    """Attach SQL-exact ``ntile(k) OVER (ORDER BY value_col, key_col)``
+    as per-row column ``out_col`` WITHOUT a global window — the
+    scale-safe scorer behind exact_ntile_bins, exposed so callers
+    that need the per-row quantile label (RFM scoring, decile flags)
+    never rank the whole frame through one partition. For a
+    DESCENDING ntile, pass a negated value column.
+
+    Rank = count-below the value (attach_count_below's two-shuffle
+    prefix sum at the value grain) + row_number among exact ties
+    (window PARTITIONED by value — frame is one tie group, never
+    global); rank→bucket is ntile's closed remainder form in BIGINT
+    div arithmetic (see exact_ntile_bins docstring). ``key_col`` must
+    be unique per row for a deterministic result.
+    """
+    from pyspark.sql import Window
+
+    g = attach_count_below(
+        df.groupBy(F.col(value_col).alias("__v")).agg(
+            F.count("*").alias("__n")
+        ),
+        parts=parts,
+        v_col="__v",
+        n_col="__n",
+    )
+    tot = g.agg(F.sum("__n").alias("__ntot"))
+    ranked = (
+        df.join(
+            g.select(F.col("__v").alias(value_col), "cl"), value_col
+        )
+        .withColumn(
+            "__rank",
+            F.col("cl")
+            + F.row_number().over(
+                Window.partitionBy(value_col).orderBy(key_col)
+            ),
+        )
+        .drop("cl")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__q", (F.col("__ntot") / k).cast("long"))
+        .withColumn("__r", F.col("__ntot") % k)
+    )
+    return ranked.withColumn(
+        out_col,
+        F.when(
+            F.col("__rank") <= (F.col("__q") + 1) * F.col("__r"),
+            ((F.col("__rank") - 1) / (F.col("__q") + 1)).cast("long")
+            + 1,
+        ).otherwise(
+            F.col("__r")
+            + (
+                (
+                    F.col("__rank")
+                    - 1
+                    - F.col("__r") * (F.col("__q") + 1)
+                )
+                / F.col("__q")
+            ).cast("long")
+            + 1
+        ),
+    ).drop("__rank", "__ntot", "__q", "__r")
 
 
 def table_diff(

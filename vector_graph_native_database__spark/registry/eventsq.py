@@ -1288,13 +1288,17 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     MOST recent = score 5), then users are counted per (r, f, m)
     cell — the marketing-standard segmentation grid.
 
-    Scale shape: one per-user aggregate does all data reduction;
-    the three ntile windows run over the user-cardinality frame.
-    ntile is deterministic here because every ORDER BY ends with
-    user_id; the remainder-to-leading-buckets rule is identical in
-    Spark and DuckDB, which the value gate proves. The global max-ts
-    anchor is a 1-row broadcast."""
-    from pyspark.sql.window import Window
+    Scale shape: one per-user aggregate does all data reduction; the
+    three quintile scores come from
+    operators/profiling.attach_exact_ntile — the distributed
+    count-below prefix sum + ntile's closed remainder form — NOT from
+    ``ntile(5)`` over an unpartitioned window, which would funnel
+    every user through a single task at 100 TB. Each score costs two
+    bounded shuffles; ties break on user_id exactly as the oracle's
+    ``ORDER BY ..., user_id`` does (descending recency = ascending
+    NEGATED rec_days, same tie-break). The global max-ts anchor is a
+    1-row broadcast."""
+    from ..operators.profiling import attach_exact_ntile
 
     ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
     anchor = ev.agg(F.max("ts").alias("max_ts"))
@@ -1315,17 +1319,22 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    r = F.ntile(5).over(
-        Window.orderBy(F.desc("rec_days"), F.asc("user_id"))
-    )
-    f = F.ntile(5).over(Window.orderBy(F.asc("freq"), F.asc("user_id")))
-    m = F.ntile(5).over(
-        Window.orderBy(F.asc("money6"), F.asc("user_id"))
-    )
-    return (
-        per_user.select(r.alias("r"), f.alias("f"), m.alias("m"))
-        .groupBy("r", "f", "m")
-        .agg(F.count("*").alias("n_users"))
+    # Each attach references its input ~6x (value-grain counts,
+    # boundary/total broadcasts, join-back); staging between the
+    # three chained calls keeps the plan linear instead of 6^3
+    # replays of the per-user aggregate.
+    scored = per_user.withColumn(
+        "neg_rec", -F.col("rec_days")
+    ).localCheckpoint(eager=True)
+    scored = attach_exact_ntile(
+        scored, "neg_rec", "user_id", 5, "r"
+    ).localCheckpoint(eager=True)
+    scored = attach_exact_ntile(
+        scored, "freq", "user_id", 5, "f"
+    ).localCheckpoint(eager=True)
+    scored = attach_exact_ntile(scored, "money6", "user_id", 5, "m")
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_users")
     )
 
 
@@ -2471,8 +2480,11 @@ def q_events_watermark_lateness(
     pure function of the key), an in-bucket exclusive running max,
     and per-bucket maxima prefix-combined on a ≤32-row frame — no
     global window over raw events. Lateness is exact integer
-    microseconds; the grid join is a broadcast 4-row dimension;
-    frac = n_late/n is a ratio of exact integers."""
+    microseconds. The whole grid is answered in ONE scan of the
+    lateness frame: one conditional ``sum(late > w_i)`` column per
+    grid value in a single map-side-combinable aggregate, exploded to
+    (watermark_s, n_late) rows afterwards — never a grid×events
+    replication join. frac = n_late/n is a ratio of exact integers."""
     ev = load_table(spark, sf_dir, "events")
     o = ev.select(
         F.col("event_id").alias("k"), F.unix_micros("ts").alias("tsu")
@@ -2516,29 +2528,34 @@ def q_events_watermark_lateness(
             ).otherwise(F.lit(0)),
         )
     )
-    grid = spark.createDataFrame(
-        [(w,) for w in WATERMARK_GRID], "watermark_s long"
-    )
-    tot = o.agg(F.count("*").alias("n"))
-    return (
-        grid.crossJoin(o.select("late_us"))
-        .groupBy("watermark_s")
-        .agg(
+    one = o.agg(
+        F.count("*").alias("n"),
+        *[
             F.sum(
-                F.when(
-                    F.col("late_us")
-                    > F.col("watermark_s") * F.lit(1_000_000),
-                    1,
-                ).otherwise(0)
-            ).alias("n_late")
-        )
-        .crossJoin(F.broadcast(tot))
+                (
+                    F.col("late_us") > F.lit(w * 1_000_000)
+                ).cast("long")
+            ).alias(f"nl_{w}")
+            for w in WATERMARK_GRID
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(w).cast("long").alias("watermark_s"),
+                F.col(f"nl_{w}").alias("n_late"),
+            )
+            for w in WATERMARK_GRID
+        ]
+    )
+    return (
+        one.select(F.explode(pairs).alias("p"), "n")
         .select(
-            "watermark_s",
-            "n_late",
+            F.col("p.watermark_s").alias("watermark_s"),
+            F.col("p.n_late").alias("n_late"),
             (
                 F.floor(
-                    F.col("n_late")
+                    F.col("p.n_late")
                     / F.col("n").cast("double")
                     * F.lit(1e6)
                     + F.lit(0.5)

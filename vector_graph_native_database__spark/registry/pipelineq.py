@@ -325,7 +325,7 @@ QUERIES = {
 
 def _ivf_ctes(
     n_centroids: int = 8, iters: int = 2, nprobe: int = 2, x: str = "",
-    ids_in: str | None = None,
+    ids_in: str | None = None, train_where: str | None = None,
 ) -> str:
     """The IVF index-build CTE chain (unrolled Lloyd iterations —
     c0 = seed centroids, a{t} = assignment, c{t} = rounded
@@ -333,9 +333,20 @@ def _ivf_ctes(
     {x}af, queries {x}q, probe lists {x}probes). ``x`` prefixes every
     CTE name so the chain can compose with the PQ chain in one
     statement (_ivfpq_sql). Mirrors operators.ann.ivf_topk exactly,
-    including the round-to-6dp centroid stabilization."""
+    including the round-to-6dp centroid stabilization.
+    ``train_where`` (a predicate over {x}e's columns) restricts the
+    TRAINING corpus — seeds and Lloyd rounds — while the final
+    assignment/serving still covers all of {x}e: the stale-index
+    shape of ann_ivf_stale_recall."""
     dist = (
         "t.vv + c.cc - 2 * list_dot_product(t.v, c.cvec)"
+    )
+    tr = f"{x}tr" if train_where else f"{x}e"
+    train_cte = (
+        f""",
+{x}tr AS (SELECT * FROM {x}e WHERE {train_where})"""
+        if train_where
+        else ""
     )
     parts = [
         f""",
@@ -344,11 +355,11 @@ def _ivf_ctes(
          list_dot_product(CAST(vector AS DOUBLE[]),
                           CAST(vector AS DOUBLE[])) AS vv
   FROM emb WHERE len(vector) = 64
-),
+){train_cte},
 {x}c0 AS (
   SELECT row_number() OVER (ORDER BY CAST(id AS BIGINT)) - 1 AS cidx,
          v AS cvec
-  FROM {x}e ORDER BY CAST(id AS BIGINT) LIMIT {n_centroids}
+  FROM {tr} ORDER BY CAST(id AS BIGINT) LIMIT {n_centroids}
 )"""
     ]
     for t in range(1, iters + 1):
@@ -360,7 +371,7 @@ def _ivf_ctes(
     SELECT t.id, c.cidx,
            row_number() OVER (PARTITION BY t.id
                               ORDER BY {dist}, c.cidx) AS rn
-    FROM {x}e t CROSS JOIN
+    FROM {tr} t CROSS JOIN
          (SELECT cidx, cvec, list_dot_product(cvec, cvec) AS cc
           FROM {x}c{p}) c
   ) WHERE rn = 1
