@@ -1,0 +1,120 @@
+"""Round-6 additions: distributed exact-ntile RFM scoring, the
+single-pass watermark grid, and the IVF staleness readout
+(ann_ivf_stale_recall)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# attach_exact_ntile: per-row quintile labels == SQL ntile()
+# ---------------------------------------------------------------------------
+
+
+def test_attach_exact_ntile_matches_window_ntile(spark):
+    """The distributed count-below scorer must agree row-for-row with
+    ntile() over a global window (the semantics it replaces), on a
+    frame with heavy ties and a non-multiple-of-k row count."""
+    from pyspark.sql.window import Window
+
+    from vector_graph_native_database__spark.operators.profiling import (
+        attach_exact_ntile,
+    )
+
+    df = spark.range(103).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    got = {
+        (r.k, r.b)
+        for r in attach_exact_ntile(df, "v", "k", 5, "b").collect()
+    }
+    want = {
+        (r.k, r.b)
+        for r in df.select(
+            "k",
+            F.ntile(5)
+            .over(Window.orderBy(F.asc("v"), F.asc("k")))
+            .alias("b"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_attach_exact_ntile_descending_via_negation(spark):
+    from pyspark.sql.window import Window
+
+    from vector_graph_native_database__spark.operators.profiling import (
+        attach_exact_ntile,
+    )
+
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 11).alias("v")
+    )
+    got = {
+        (r.k, r.b)
+        for r in attach_exact_ntile(
+            df.withColumn("nv", -F.col("v")), "nv", "k", 4, "b"
+        ).collect()
+    }
+    want = {
+        (r.k, r.b)
+        for r in df.select(
+            "k",
+            F.ntile(4)
+            .over(Window.orderBy(F.desc("v"), F.asc("k")))
+            .alias("b"),
+        ).collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# IVF staleness readout
+# ---------------------------------------------------------------------------
+
+
+def test_stale_recall_within_epsilon_of_retrained(spark):
+    """The staleness readout's contract: a quantizer frozen on the
+    initial two-thirds serves the appended corpus within eps=0.25
+    recall of a full retrain (at this scale/config the two are
+    statistically interchangeable — the readout exists to DETECT when
+    they stop being so), and both states keep the structural
+    invariants (<=k*|Q| pairs, recall in [0,1], nn_hits <= |Q|)."""
+    from vector_graph_native_database__spark import registry
+
+    rows = {
+        r.index_state: r
+        for r in registry.all_queries()["ann_ivf_stale_recall"](
+            spark, SF
+        ).collect()
+    }
+    assert set(rows) == {"stale", "fresh"}
+    for r in rows.values():
+        assert 0 <= r.recall_at_k <= 1
+        assert r.n_pairs <= 25 and r.nn_hits <= 5
+        assert r.n_hits <= r.n_pairs
+    assert abs(rows["stale"].recall_at_k - rows["fresh"].recall_at_k) <= 0.25
+
+
+def test_ivf_topk_train_subset_changes_only_quantizer(spark):
+    """Training on a subset must still assign/serve the FULL corpus:
+    every query returns k rows drawn from anywhere in the corpus, and
+    train=emb reproduces the default exactly."""
+    from vector_graph_native_database__spark.operators import ann
+    from vector_graph_native_database__spark.registry import pipelineq
+
+    _, emb, _ = pipelineq.model(spark, SF)
+    default = ann.ivf_topk(
+        emb, pipelineq.ANN_QUERY_IDS, k=5, n_centroids=8, iters=2,
+        nprobe=2, dim=64, round_scores=6,
+    ).collect()
+    explicit = ann.ivf_topk(
+        emb, pipelineq.ANN_QUERY_IDS, k=5, n_centroids=8, iters=2,
+        nprobe=2, dim=64, round_scores=6, train=emb,
+    ).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, explicit))

@@ -297,6 +297,7 @@ def ivf_topk(
     dim: int = 64,
     round_scores: int | None = None,
     allowed: DataFrame | None = None,
+    train: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k → (qid, id, cos, rnk).
 
@@ -305,15 +306,21 @@ def ivf_topk(
     is written partitioned by ``cidx`` so a probe is a
     partition-pruned scan of nprobe/C of the corpus; training cost is
     ``iters`` broadcast-joins, amortized across all queries.
+
+    ``train`` (default: ``emb`` itself) restricts the CENTROID
+    TRAINING corpus while assignment and serving still cover all of
+    ``emb`` — the state of a streamed-maintained index whose coarse
+    quantizer was trained before later appends arrived
+    (ann_ivf_stale_recall measures what that staleness costs).
     """
     e = (
         emb.filter(F.size("vector") == dim)
         .select(F.col("node_id").alias("id"), "vector")
         .withColumn("vv", dot("vector", "vector"))
     )
-    centroids = ivf_centroids(emb, n_centroids, iters, dim).withColumn(
-        "cc", dot("cvec", "cvec")
-    )
+    centroids = ivf_centroids(
+        emb if train is None else train, n_centroids, iters, dim
+    ).withColumn("cc", dot("cvec", "cvec"))
     assign = (
         e.crossJoin(F.broadcast(centroids))
         .withColumn(

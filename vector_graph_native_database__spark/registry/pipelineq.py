@@ -414,7 +414,8 @@ def _ivf_ctes(
 
 
 def _ivf_sql(
-    n_centroids: int = 8, iters: int = 2, nprobe: int = 2, k: int = 5
+    n_centroids: int = 8, iters: int = 2, nprobe: int = 2, k: int = 5,
+    train_where: str | None = None,
 ) -> str:
     """Full IVF oracle: the CTE chain plus the exact-cosine rescan of
     the probed lists."""
@@ -436,7 +437,11 @@ SELECT qid, id, cos, rnk FROM (
          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rnk
   FROM cand
 ) WHERE rnk <= {k}"""
-    return ORACLE_PRELUDE + _ivf_ctes(n_centroids, iters, nprobe) + final
+    return (
+        ORACLE_PRELUDE
+        + _ivf_ctes(n_centroids, iters, nprobe, train_where=train_where)
+        + final
+    )
 
 
 def _pq_ctes(

@@ -1287,3 +1287,129 @@ SELECT bin, n,
                  - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
              * 1000000.0 + 0.5) / 1000000.0 AS abs_gap
 FROM agg"""
+
+
+STALE_SPLIT_SQL = (
+    "('0x' || substr(md5('sta' || id), 1, 15))::BIGINT % 3 <> 0"
+)
+
+
+def q_ann_ivf_stale_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-staleness readout → one row per index state
+    (index_state, n_pairs, n_hits, recall_at_k, nn_hits): the first
+    question a 100 TB operator asks of a streamed-maintained vector
+    index — "how much recall am I losing by NOT retraining?". The
+    STALE index trains its coarse quantizer on the initial two-thirds
+    of the corpus (a deterministic md5 split) and then absorbs the
+    appended third through assignment only — exactly the state
+    ann_ivf_streamed_index's maintenance loop leaves the index in
+    after new vectors stream past a frozen quantizer; the FRESH index
+    retrains on everything. Both serve the same 5 queries at the
+    same nprobe and are scored against exact brute-force truth with
+    the tier-report metrics, so the recall gap IS the retrain
+    trigger: when stale drifts below the SLO, retrain.
+
+    Scale shape: ground truth staged once; each state is one standard
+    IVF build (training the stale one scans 2/3 of the corpus, the
+    fresh one all of it — both the bucketed plan ann_ivf_topk pins)
+    plus a ≤25-row comparison join. The md5 split is replayed
+    verbatim in the oracle, which rebuilds BOTH quantizers
+    bit-for-bit via the train_where-parameterized IVF CTE chain."""
+    from . import pipelineq
+    from ..operators import ann
+
+    k = ANN_EVAL_K
+    nq = len(pipelineq.ANN_QUERY_IDS)
+    denom = float(k * nq)
+    _, emb, _ = pipelineq.model(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sta"), F.col("node_id"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    )
+    initial = emb.filter(bucket != 0)
+    brute5 = (
+        pipelineq.q_ann_brute_topk(spark, sf_dir)
+        .filter(F.col("rnk") <= k)
+        .select("qid", "id", "rnk", F.lit(1).alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for state, train in (("stale", initial), ("fresh", None)):
+        t = ann.ivf_topk(
+            emb, pipelineq.ANN_QUERY_IDS, k=k, n_centroids=8, iters=2,
+            nprobe=2, dim=64, round_scores=6, train=train,
+        ).select("qid", "id", F.lit(1).alias("h"))
+        j = brute5.join(t, ["qid", "id"], "full_outer")
+        rows.append(
+            j.agg(
+                F.sum(F.coalesce("h", F.lit(0))).alias("n_pairs"),
+                F.sum(
+                    F.coalesce("b", F.lit(0)) * F.coalesce("h", F.lit(0))
+                ).alias("n_hits"),
+                F.sum(
+                    F.when(
+                        (F.col("rnk") == 1) & F.col("h").isNotNull(), 1
+                    ).otherwise(0)
+                ).alias("nn_hits"),
+            ).select(
+                F.lit(state).alias("index_state"),
+                F.col("n_pairs").cast("long").alias("n_pairs"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                stable_round6(F.col("n_hits") / F.lit(denom)).alias(
+                    "recall_at_k"
+                ),
+                F.col("nn_hits").cast("long").alias("nn_hits"),
+            )
+        )
+    return rows[0].unionByName(rows[1])
+
+
+def _stale_recall_oracle() -> str:
+    from .pipelineq import ANN_QUERY_IDS, _ivf_sql
+    from .pipelineq import ORACLES as PIPE_ORACLES
+
+    k = ANN_EVAL_K
+    denom = float(k * len(ANN_QUERY_IDS))
+    brute = (
+        f"swb AS MATERIALIZED (\n  SELECT qid, id, rnk FROM "
+        f"({PIPE_ORACLES['ann_brute_topk']}\n) __bb WHERE rnk <= {k})"
+    )
+    ctes = [brute]
+    rows = []
+    for i, (state, tw) in enumerate(
+        (("stale", STALE_SPLIT_SQL), ("fresh", None))
+    ):
+        ctes.append(
+            f"sw_{i} AS MATERIALIZED (\n  SELECT qid, id FROM "
+            f"({_ivf_sql(8, 2, 2, k, train_where=tw)}\n) __s{i} "
+            f"WHERE rnk <= {k})"
+        )
+        hits = (
+            f"SELECT count(*) FROM sw_{i} t "
+            f"JOIN swb ON swb.qid = t.qid AND swb.id = t.id"
+        )
+        nn = (
+            f"SELECT count(*) FROM sw_{i} t JOIN swb "
+            f"ON swb.qid = t.qid AND swb.id = t.id AND swb.rnk = 1"
+        )
+        rows.append(
+            f"""SELECT '{state}' AS index_state,
+       (SELECT CAST(count(*) AS BIGINT) FROM sw_{i}) AS n_pairs,
+       CAST(({hits}) AS BIGINT) AS n_hits,
+       floor(CAST(({hits}) AS DOUBLE) / {denom} * 1000000.0 + 0.5)
+         / 1000000.0 AS recall_at_k,
+       CAST(({nn}) AS BIGINT) AS nn_hits"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+    )
+
+
+QUERIES["ann_ivf_stale_recall"] = q_ann_ivf_stale_recall
+ORACLES["ann_ivf_stale_recall"] = _stale_recall_oracle()
