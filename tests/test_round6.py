@@ -118,3 +118,37 @@ def test_ivf_topk_train_subset_changes_only_quantizer(spark):
         nprobe=2, dim=64, round_scores=6, train=emb,
     ).collect()
     assert sorted(map(tuple, default)) == sorted(map(tuple, explicit))
+
+
+def test_filtered_sweep_recall_monotone_in_nprobe(spark):
+    """Aligned probe sets: probing more cells only adds candidates,
+    so filtered recall is nondecreasing in nprobe and reaches 1.0 at
+    nprobe = n_centroids (every cell probed = exact filtered scan)."""
+    from vector_graph_native_database__spark import registry
+
+    rows = sorted(
+        registry.all_queries()["ann_filtered_nprobe_sweep"](
+            spark, SF
+        ).collect(),
+        key=lambda r: r.nprobe,
+    )
+    recalls = [r.recall_at_k for r in rows]
+    assert recalls == sorted(recalls)
+    assert rows[-1].nprobe == 8 and recalls[-1] == 1.0
+
+
+def test_hard_negatives_are_cross_source(spark):
+    """Every mined negative must come from a different source than
+    its query, and per-query result sets carry exactly k dense ranks."""
+    from vector_graph_native_database__spark import registry
+    from vector_graph_native_database__spark.registry import pipelineq
+
+    nodes, _, _ = pipelineq.model(spark, SF)
+    src = {r.id: r.source for r in nodes.select("id", "source").collect()}
+    out = registry.all_queries()["ann_hard_negatives"](spark, SF).collect()
+    by_q = {}
+    for r in out:
+        assert src[r.id] != src[r.qid]
+        by_q.setdefault(r.qid, []).append(r.rnk)
+    for ranks in by_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]

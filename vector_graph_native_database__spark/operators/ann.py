@@ -34,15 +34,70 @@ def brute_topk(
     query_ids: list[str],
     k: int = 10,
     round_scores: int | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query id
-    → (qid, id, cos, rnk). Self-matches excluded."""
+    → (qid, id, cos, rnk). Self-matches excluded. ``allowed`` (an
+    id-column frame) restricts the CANDIDATES — not the queries — so
+    it is the exact ground truth for filtered ANN search."""
     q = emb.filter(F.col("node_id").isin(query_ids)).select(
         F.col("node_id").alias("qid"), F.col("vector").alias("qvec"), "dim"
     )
+    cands = emb
+    if allowed is not None:
+        cands = cands.join(
+            allowed.select(F.col("id").alias("node_id")),
+            "node_id",
+            "left_semi",
+        )
     scored = (
-        emb.join(F.broadcast(q), "dim")
+        cands.join(F.broadcast(q), "dim")
         .filter(F.col("node_id") != F.col("qid"))
+        .withColumn("cos", cosine("vector", "qvec"))
+    )
+    if round_scores is not None:
+        scored = scored.withColumn("cos", F.round("cos", round_scores))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("node_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", F.col("node_id").alias("id"), "cos", "rnk")
+    )
+
+
+def hard_negatives_topk(
+    emb: DataFrame,
+    meta: DataFrame,
+    query_ids: list[str],
+    k: int = 5,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training → per query the
+    top-k most-similar vectors whose document comes from a DIFFERENT
+    ``source`` than the query's (qid, id, cos, rnk): near in embedding
+    space but cross-domain — the negatives that actually teach a
+    bi-encoder, vs the trivially-easy random ones.
+
+    ``meta`` is an (id, source) frame. Scale shape: metadata attaches
+    to the embedding scan by one equi-join on the id key (at 100 TB
+    both sides bucket on id, or meta broadcasts when it is a dim
+    table); queries + their sources broadcast; the cross-source rule
+    is a cheap per-row disequality FILTER after the broadcast join —
+    never a join condition — and per-query top-k is the same
+    rank-window shuffle on qid as brute_topk.
+    """
+    m = meta.select(F.col("id").alias("node_id"), "source")
+    e = emb.join(m, "node_id")
+    q = e.filter(F.col("node_id").isin(query_ids)).select(
+        F.col("node_id").alias("qid"),
+        F.col("vector").alias("qvec"),
+        "dim",
+        F.col("source").alias("qsource"),
+    )
+    scored = (
+        e.join(F.broadcast(q), "dim")
+        .filter(F.col("node_id") != F.col("qid"))
+        .filter(F.col("source") != F.col("qsource"))
         .withColumn("cos", cosine("vector", "qvec"))
     )
     if round_scores is not None:

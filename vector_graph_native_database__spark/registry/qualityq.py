@@ -1413,3 +1413,186 @@ def _stale_recall_oracle() -> str:
 
 QUERIES["ann_ivf_stale_recall"] = q_ann_ivf_stale_recall
 ORACLES["ann_ivf_stale_recall"] = _stale_recall_oracle()
+
+
+FILTERED_NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+def q_ann_filtered_nprobe_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FILTERED-search tuning curve → one row per nprobe
+    (nprobe, n_pairs, n_hits, recall_at_k): recall of filtered IVF
+    search (shared index, 'en'-language post-filter — the
+    ann_ivf_filtered_topk contract) against the exact FILTERED
+    brute-force truth, as probed cells grow. This is the sweep twin
+    operators/ann.py promises at the ``allowed`` hook: a selective
+    filter thins every probed cell, so filtered search needs larger
+    nprobe to reach the recall an unfiltered query gets at nprobe=2
+    — this curve is where an operator reads how much larger.
+
+    Scale shape: the filtered truth is one semi-join-pruned brute
+    scan, staged once; each sweep point reuses the per-entry IVF plan
+    (bucketed probes + id semi-join post-filter) plus a ≤25-row
+    comparison join. Recall is monotone in nprobe by construction
+    (probing more cells only adds candidates) — pytest-pinned, like
+    its unfiltered twin."""
+    from . import pipelineq
+    from ..operators import ann
+
+    k = ANN_EVAL_K
+    denom = float(k * len(pipelineq.ANN_QUERY_IDS))
+    nodes, emb, _ = pipelineq.model(spark, sf_dir)
+    allowed = nodes.filter(F.col("lang") == "en").select("id")
+    truth = (
+        ann.brute_topk(
+            emb, pipelineq.ANN_QUERY_IDS, k=k, round_scores=6,
+            allowed=allowed,
+        )
+        .select("qid", "id", F.lit(1).alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for p in FILTERED_NPROBE_SWEEP:
+        t = ann.ivf_topk(
+            emb, pipelineq.ANN_QUERY_IDS, k=k, n_centroids=8, iters=2,
+            nprobe=p, dim=64, round_scores=6, allowed=allowed,
+        ).select("qid", "id", F.lit(1).alias("h"))
+        j = truth.join(t, ["qid", "id"], "full_outer")
+        rows.append(
+            j.agg(
+                F.sum(F.coalesce("h", F.lit(0))).alias("n_pairs"),
+                F.sum(
+                    F.coalesce("b", F.lit(0)) * F.coalesce("h", F.lit(0))
+                ).alias("n_hits"),
+            ).select(
+                F.lit(p).alias("nprobe"),
+                F.col("n_pairs").cast("long").alias("n_pairs"),
+                F.col("n_hits").cast("long").alias("n_hits"),
+                stable_round6(F.col("n_hits") / F.lit(denom)).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _filtered_nprobe_sweep_oracle() -> str:
+    from .pipelineq import _IDS_IN, ANN_QUERY_IDS, _ivf_filtered_sql
+
+    k = ANN_EVAL_K
+    denom = float(k * len(ANN_QUERY_IDS))
+    brute = f"""swb AS MATERIALIZED (
+  SELECT qid, id FROM (
+    SELECT qid, id, row_number() OVER (
+             PARTITION BY qid ORDER BY cos DESC, id ASC) AS rnk
+    FROM (
+      SELECT q.qid, e.node_id AS id,
+             round(CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb)
+                   ELSE 0.0 END, 6) AS cos
+      FROM (SELECT CAST(vec_id AS VARCHAR) AS node_id, embedding AS vector,
+                   len(embedding) AS dim FROM embeddings) e
+      JOIN (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents
+            WHERE lang = 'en') n ON n.id = e.node_id
+      JOIN (SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qvec,
+                   len(embedding) AS dim FROM embeddings
+            WHERE CAST(vec_id AS VARCHAR) IN {_IDS_IN}) q
+        ON e.dim = q.dim AND e.node_id <> q.qid
+      CROSS JOIN LATERAL (
+        SELECT list_dot_product(CAST(e.vector AS DOUBLE[]),
+                                CAST(q.qvec AS DOUBLE[])) AS d,
+               sqrt(list_dot_product(CAST(e.vector AS DOUBLE[]),
+                                     CAST(e.vector AS DOUBLE[]))) AS na,
+               sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]),
+                                     CAST(q.qvec AS DOUBLE[]))) AS nb
+      ) t
+    )
+  ) WHERE rnk <= {k})"""
+    ctes = [brute]
+    rows = []
+    for i, p in enumerate(FILTERED_NPROBE_SWEEP):
+        ctes.append(
+            f"sw_{i} AS MATERIALIZED (\n  SELECT qid, id FROM "
+            f"({_ivf_filtered_sql(8, 2, p, k)}\n) __s{i} "
+            f"WHERE rnk <= {k})"
+        )
+        hits = (
+            f"SELECT count(*) FROM sw_{i} t "
+            f"JOIN swb ON swb.qid = t.qid AND swb.id = t.id"
+        )
+        rows.append(
+            f"""SELECT {p} AS nprobe,
+       (SELECT CAST(count(*) AS BIGINT) FROM sw_{i}) AS n_pairs,
+       CAST(({hits}) AS BIGINT) AS n_hits,
+       floor(CAST(({hits}) AS DOUBLE) / {denom} * 1000000.0 + 0.5)
+         / 1000000.0 AS recall_at_k"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+    )
+
+
+QUERIES["ann_filtered_nprobe_sweep"] = q_ann_filtered_nprobe_sweep
+ORACLES["ann_filtered_nprobe_sweep"] = _filtered_nprobe_sweep_oracle()
+
+
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives → (qid, id, cos, rnk): per query
+    document, the 5 nearest embeddings whose document comes from a
+    DIFFERENT source — near in embedding space, cross-domain by
+    metadata, i.e. the negatives a bi-encoder trainer actually mines
+    (random negatives are too easy; same-source near-dups are
+    positives). Composes the exact brute scorer with a per-query
+    metadata disequality; swap brute for the IVF path at 100 TB
+    exactly as ann_ivf_filtered_topk does for equality filters.
+    See operators/ann.hard_negatives_topk for the plan contract."""
+    from . import pipelineq
+    from ..operators import ann
+
+    nodes, emb, _ = pipelineq.model(spark, sf_dir)
+    meta = nodes.select("id", "source")
+    return ann.hard_negatives_topk(
+        emb, meta, pipelineq.ANN_QUERY_IDS, k=5, round_scores=6
+    )
+
+
+def _hard_negatives_oracle() -> str:
+    from .pipelineq import _IDS_IN
+
+    return f"""WITH
+e AS (
+  SELECT CAST(v.vec_id AS VARCHAR) AS node_id, v.embedding AS vector,
+         len(v.embedding) AS dim, d.source
+  FROM embeddings v
+  JOIN documents d ON CAST(d.doc_id AS VARCHAR) = CAST(v.vec_id AS VARCHAR)
+),
+q AS (SELECT node_id AS qid, vector AS qvec, dim, source AS qsource
+      FROM e WHERE node_id IN {_IDS_IN}),
+scored AS (
+  SELECT q.qid, e.node_id AS id,
+         round(CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb)
+               ELSE 0.0 END, 6) AS cos
+  FROM e JOIN q ON e.dim = q.dim AND e.node_id <> q.qid
+              AND e.source <> q.qsource
+  CROSS JOIN LATERAL (
+    SELECT list_dot_product(CAST(e.vector AS DOUBLE[]),
+                            CAST(q.qvec AS DOUBLE[])) AS d,
+           sqrt(list_dot_product(CAST(e.vector AS DOUBLE[]),
+                                 CAST(e.vector AS DOUBLE[]))) AS na,
+           sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]),
+                                 CAST(q.qvec AS DOUBLE[]))) AS nb
+  ) t
+)
+SELECT qid, id, cos, rnk FROM (
+  SELECT qid, id, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC)
+           AS rnk
+  FROM scored
+) WHERE rnk <= 5"""
+
+
+QUERIES["ann_hard_negatives"] = q_ann_hard_negatives
+ORACLES["ann_hard_negatives"] = _hard_negatives_oracle()
