@@ -152,3 +152,29 @@ def test_hard_negatives_are_cross_source(spark):
         by_q.setdefault(r.qid, []).append(r.rnk)
     for ranks in by_q.values():
         assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_bm25_hard_negatives_cross_source_vs_positive(spark):
+    """Each query's negatives must (a) exclude the rank-1 positive,
+    (b) come from a different source than it, and (c) never outscore
+    it."""
+    from vector_graph_native_database__spark import registry
+    from vector_graph_native_database__spark.registry import pipelineq
+    from vector_graph_native_database__spark.registry.searchq import (
+        BM25_MULTI_QUERIES,
+    )
+    from vector_graph_native_database__spark.operators import bm25
+
+    nodes, _, _ = pipelineq.model(spark, SF)
+    src = {r.id: r.source for r in nodes.select("id", "source").collect()}
+    pool = bm25.bm25_topk_multi(
+        nodes, BM25_MULTI_QUERIES, top_k=1, round_scores=6
+    ).collect()
+    positive = {r.qid: r for r in pool}
+    out = registry.all_queries()["bm25_hard_negatives"](spark, SF).collect()
+    assert out, "negatives must exist at sf0.001"
+    for r in out:
+        p = positive[r.qid]
+        assert r.id != p.id
+        assert src[r.id] != src[p.id]
+        assert r.score <= p.score

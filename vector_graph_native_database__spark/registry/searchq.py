@@ -649,3 +649,105 @@ SELECT '{qid}' AS qid, f.* FROM (
 
 QUERIES["vector_topk_multi"] = q_vector_topk_multi
 ORACLES["vector_topk_multi"] = _vector_multi_sql()
+
+
+BM25_NEG_POOL = 50  # candidate pool the negatives are mined from
+
+
+def q_bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical hard negatives (the DPR training recipe) →
+    (qid, id, score, rnk): per query, the top-1 BM25 hit is taken as
+    the POSITIVE; the next-ranked documents from a DIFFERENT source
+    than that positive are the mined negatives (top-5) — lexically
+    close enough to be hard, cross-domain by metadata so they are
+    (almost surely) not unlabeled positives. The embedding twin is
+    ann_hard_negatives; together they cover both retrieval families'
+    negative-mining step. Negatives are drawn from the top-50
+    candidate pool by contract (real miners cap the pool too), which
+    the oracle replays verbatim.
+
+    Scale shape: one batched scoring pass over the staged posting
+    frame (bm25_topk_multi's plan — Q queries, ONE corpus scan), the
+    pool bounded per query by a WindowGroupLimit row_number, source
+    metadata attached to the ≤50·|Q|-row pool (not the corpus), and
+    the positive's source re-joined as a |Q|-row broadcast."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    nodes, _, _ = model(spark, sf_dir)
+    pool = bm25.bm25_topk_multi(
+        nodes,
+        BM25_MULTI_QUERIES,
+        top_k=BM25_NEG_POOL,
+        round_scores=6,
+        stats=bm25.staged_index(nodes),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    ranked = pool.withColumn("rn", F.row_number().over(w)).join(
+        nodes.select("id", "source"), "id"
+    )
+    pos = ranked.filter(F.col("rn") == 1).select(
+        "qid", F.col("source").alias("psrc")
+    )
+    negs = (
+        ranked.filter(F.col("rn") > 1)
+        .join(F.broadcast(pos), "qid")
+        .filter(F.col("source") != F.col("psrc"))
+    )
+    return (
+        negs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "id", "score", "rnk")
+    )
+
+
+def _bm25_hard_negatives_oracle() -> str:
+    from collections import Counter
+
+    vals = ", ".join(
+        f"('{qid}', '{tok}', {cnt})"
+        for qid, text in sorted(BM25_MULTI_QUERIES.items())
+        for tok, cnt in sorted(Counter(text.lower().split()).items())
+    )
+    return (
+        ORACLE_PRELUDE
+        + _BM25_STATS_CTES
+        + f""",
+qt AS (SELECT * FROM (VALUES {vals}) v(qid, tok, qcnt)),
+contrib AS (
+  SELECT qt.qid, tf.id,
+         round(sum(qt.qcnt * idf.idf * (tf.tf * (1.5 + 1))
+             / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))), 6)
+           AS score
+  FROM tf
+  JOIN qt USING (tok)
+  JOIN idf USING (tok)
+  JOIN dl USING (id), avgdl
+  GROUP BY qt.qid, tf.id
+),
+pool AS (
+  SELECT qid, id, score, rn FROM (
+    SELECT qid, id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, id ASC) AS rn
+    FROM contrib WHERE score > 0
+  ) WHERE rn <= {BM25_NEG_POOL}
+),
+ps AS (
+  SELECT p.qid, n.source AS psrc
+  FROM pool p JOIN nodes n ON n.id = p.id WHERE p.rn = 1
+)
+SELECT qid, id, score, rnk FROM (
+  SELECT p.qid, p.id, p.score,
+         row_number() OVER (PARTITION BY p.qid
+                            ORDER BY p.score DESC, p.id ASC) AS rnk
+  FROM pool p
+  JOIN nodes n ON n.id = p.id
+  JOIN ps ON ps.qid = p.qid
+  WHERE p.rn > 1 AND n.source <> ps.psrc
+) WHERE rnk <= 5"""
+    )
+
+
+QUERIES["bm25_hard_negatives"] = q_bm25_hard_negatives
+ORACLES["bm25_hard_negatives"] = _bm25_hard_negatives_oracle()
