@@ -178,3 +178,34 @@ def test_bm25_hard_negatives_cross_source_vs_positive(spark):
         assert r.id != p.id
         assert src[r.id] != src[p.id]
         assert r.score <= p.score
+
+
+def test_ivf_cell_stats_cover_corpus_and_skew_centers_on_one(spark):
+    """Cells partition the corpus: counts sum to |emb|, fracs to ~1,
+    and mean skew is 1 by construction."""
+    from vector_graph_native_database__spark import registry
+    from vector_graph_native_database__spark.registry import pipelineq
+
+    _, emb, _ = pipelineq.model(spark, SF)
+    n = emb.count()
+    rows = registry.all_queries()["ann_ivf_cell_stats"](spark, SF).collect()
+    assert sum(r.n_vectors for r in rows) == n
+    assert abs(sum(r.frac for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.skew for r in rows) / len(rows) - 1.0) < 1e-4
+
+
+def test_power_analysis_consistent_with_ttest_split(spark):
+    """Same split, same frame: arm sizes match the t-test entry, MDE
+    is positive, and a 5%-lift detection needs at least the rows the
+    current arms hold whenever the t-test is insignificant."""
+    from vector_graph_native_database__spark import registry
+
+    q = registry.all_queries()
+    power = {r.event_type: r for r in q["events_power_analysis"](spark, SF).collect()}
+    ttest = {r.event_type: r for r in q["events_ab_ttest"](spark, SF).collect()}
+    assert set(power) == set(ttest)
+    for et, p in power.items():
+        t = ttest[et]
+        assert (p.n_a, p.n_b) == (t.n_a, t.n_b)
+        assert p.mde_abs > 0 and p.mde_rel > 0
+        assert p.n_per_arm_5pct >= 1

@@ -3385,3 +3385,116 @@ SELECT tot.n_users, tot.n_events, p90.p90 AS p90_events,
          AS heavy_share
 FROM uc CROSS JOIN p90 CROSS JOIN tot
 GROUP BY tot.n_users, tot.n_events, p90.p90"""
+
+
+def q_events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis per event type → (event_type, n_a, n_b,
+    mde_abs, mde_rel, n_per_arm_5pct): the question every experiment
+    review asks BEFORE reading the t-test — "what effect could this
+    test even see?". From the same md5-parity split and quantized
+    sums as events_ab_ttest: the minimum detectable absolute effect
+    at 80% power / 5% alpha (two-sided) is (z_{a/2}+z_b)·SE with the
+    Welch standard error; mde_rel divides by control mean; and
+    n_per_arm_5pct is the per-arm sample size to detect a 5%
+    relative lift with pooled variance — the "how much longer must
+    this run" number. z constants (1.959964, 0.841621) are literals
+    on both engines.
+
+    Scale shape: identical to the t-test — ONE conditional aggregate
+    keyed by event_type, map-side combinable; all closed-form
+    arithmetic happens on the |event types|-row frame. Doubles run
+    the same formula on identical decimal-quantized inputs and are
+    6dp-floored at the edge; the ceil for n_per_arm is taken after
+    6dp quantization so the integer boundary is engine-independent."""
+    ev = _events(spark, sf_dir)
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab"), F.col("user_id"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    vq = (
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    ).cast("decimal(18,6)")
+    base = ev.select(
+        F.col("event_type").alias("grp"), variant.alias("v"), vq.alias("x")
+    )
+    g = base.groupBy("grp").agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("v") == 0, F.col("x"))).alias("sa"),
+        F.sum(F.when(F.col("v") == 1, F.col("x"))).alias("sb"),
+        F.sum(F.when(F.col("v") == 0, F.col("x") * F.col("x"))).alias("qa"),
+        F.sum(F.when(F.col("v") == 1, F.col("x") * F.col("x"))).alias("qb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    qa = F.col("qa").cast("double")
+    qb = F.col("qb").cast("double")
+    ma = sa / na
+    va = (qa - sa * sa / na) / (na - 1)
+    vb = (qb - sb * sb / nb) / (nb - 1)
+    z = F.lit(1.959964 + 0.841621)
+    mde = z * F.sqrt(va / na + vb / nb)
+    pooled = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+    delta = F.lit(0.05) * ma
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    n_req = F.ceil(r6(F.lit(2.0) * z * z * pooled / (delta * delta)))
+    return g.filter((F.col("n_a") > 1) & (F.col("n_b") > 1)).select(
+        F.col("grp").alias("event_type"),
+        "n_a",
+        "n_b",
+        r6(mde).alias("mde_abs"),
+        r6(mde / ma).alias("mde_rel"),
+        n_req.cast("long").alias("n_per_arm_5pct"),
+    )
+
+
+QUERIES["events_power_analysis"] = q_events_power_analysis
+ORACLES["events_power_analysis"] = """
+WITH base AS (
+  SELECT event_type AS grp,
+         ('0x' || substr(md5('ab' || user_id), 1, 15))::BIGINT % 2 AS v,
+         CAST(floor(value * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(18,6)) AS x
+  FROM events
+),
+g AS (
+  SELECT grp,
+         CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         sum(CASE WHEN v = 0 THEN x END) AS sa,
+         sum(CASE WHEN v = 1 THEN x END) AS sb,
+         sum(CASE WHEN v = 0 THEN x * x END) AS qa,
+         sum(CASE WHEN v = 1 THEN x * x END) AS qb
+  FROM base GROUP BY grp
+),
+f AS (
+  SELECT grp, n_a, n_b,
+         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+         CAST(sa AS DOUBLE) AS sa, CAST(sb AS DOUBLE) AS sb,
+         CAST(qa AS DOUBLE) AS qa, CAST(qb AS DOUBLE) AS qb
+  FROM g WHERE n_a > 1 AND n_b > 1
+),
+d AS (
+  SELECT grp, n_a, n_b, na, nb,
+         sa / na AS ma,
+         (qa - sa * sa / na) / (na - 1) AS va,
+         (qb - sb * sb / nb) / (nb - 1) AS vb
+  FROM f
+)
+SELECT grp AS event_type, n_a, n_b,
+       floor((1.959964 + 0.841621) * sqrt(va / na + vb / nb)
+             * 1000000.0 + 0.5) / 1000000.0 AS mde_abs,
+       floor((1.959964 + 0.841621) * sqrt(va / na + vb / nb) / ma
+             * 1000000.0 + 0.5) / 1000000.0 AS mde_rel,
+       CAST(ceil(floor(
+         2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+           * (((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+           / ((0.05 * ma) * (0.05 * ma))
+         * 1000000.0 + 0.5) / 1000000.0) AS BIGINT) AS n_per_arm_5pct
+FROM d"""

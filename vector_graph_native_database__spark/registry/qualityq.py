@@ -1596,3 +1596,66 @@ SELECT qid, id, cos, rnk FROM (
 
 QUERIES["ann_hard_negatives"] = q_ann_hard_negatives
 ORACLES["ann_hard_negatives"] = _hard_negatives_oracle()
+
+
+def q_ann_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-balance readout → one row per cell (cidx, n_vectors,
+    frac, skew): inverted-list sizes for the standard 8-cell index,
+    as share of corpus and as skew factor (n·C/N — 1.0 = perfectly
+    balanced). This is the capacity-planning readout an IVF operator
+    reads BEFORE sizing nprobe or partitions at 100 TB: a cell with
+    skew 4 is a probe hotspot (any query probing it scans 4× its
+    budget) and the signal to retrain or split cells. Composes the
+    deterministic k-means core (ann.kmeans_assign — same seeds,
+    rounds and tie-breaks as every IVF entry, so these ARE the cells
+    ann_ivf_topk serves from).
+
+    Scale shape: assignment is iters+1 broadcast scans (no vector
+    shuffle), the stats one map-side-combinable count per cell, and
+    the total a 1-row broadcast."""
+    from . import pipelineq
+    from ..operators import ann
+
+    _, emb, _ = pipelineq.model(spark, sf_dir)
+    a = ann.kmeans_assign(emb, n_centroids=8, iters=2, dim=64)
+    tot = a.agg(F.count("*").alias("n_tot"))
+    return (
+        a.groupBy(F.col("cluster").alias("cidx"))
+        .agg(F.count("*").alias("n_vectors"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cidx",
+            "n_vectors",
+            stable_round6(
+                F.col("n_vectors") / F.col("n_tot").cast("double")
+            ).alias("frac"),
+            stable_round6(
+                F.col("n_vectors")
+                * F.lit(8)
+                / F.col("n_tot").cast("double")
+            ).alias("skew"),
+        )
+    )
+
+
+def _ivf_cell_stats_oracle() -> str:
+    from .common import ORACLE_PRELUDE
+    from .pipelineq import _ivf_ctes
+
+    return (
+        ORACLE_PRELUDE
+        + _ivf_ctes(8, 2, 2)
+        + """,
+cells AS (SELECT cidx, count(*) AS n_vectors FROM af GROUP BY cidx),
+tot AS (SELECT CAST(sum(n_vectors) AS DOUBLE) AS n_tot FROM cells)
+SELECT c.cidx,
+       CAST(c.n_vectors AS BIGINT) AS n_vectors,
+       floor(c.n_vectors / t.n_tot * 1000000.0 + 0.5) / 1000000.0 AS frac,
+       floor(c.n_vectors * 8 / t.n_tot * 1000000.0 + 0.5) / 1000000.0
+         AS skew
+FROM cells c CROSS JOIN tot t"""
+    )
+
+
+QUERIES["ann_ivf_cell_stats"] = q_ann_ivf_cell_stats
+ORACLES["ann_ivf_cell_stats"] = _ivf_cell_stats_oracle()
