@@ -254,6 +254,17 @@ HEADLINE = CANARY + [
     "olap_ltv_quartiles",
     "olap_order_gap_quartiles",
     "events_user_concentration",
+    # round-6 wave: staleness/filtered-recall readouts, hard-negative
+    # mining (both retrieval families), index balance, power analysis,
+    # and the two rewritten scale-safe events entries
+    "ann_ivf_stale_recall",
+    "ann_filtered_nprobe_sweep",
+    "ann_hard_negatives",
+    "bm25_hard_negatives",
+    "ann_ivf_cell_stats",
+    "events_power_analysis",
+    "events_rfm_segments",
+    "events_watermark_lateness",
 ]
 
 
