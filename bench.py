@@ -265,6 +265,8 @@ HEADLINE = CANARY + [
     "events_power_analysis",
     "events_rfm_segments",
     "events_watermark_lateness",
+    "dedup_token_cost_by_source",
+    "events_funnel_window_sweep",
 ]
 
 

@@ -209,3 +209,46 @@ def test_power_analysis_consistent_with_ttest_split(spark):
         assert (p.n_a, p.n_b) == (t.n_a, t.n_b)
         assert p.mde_abs > 0 and p.mde_rel > 0
         assert p.n_per_arm_5pct >= 1
+
+
+def test_funnel_window_sweep_monotone_and_bounded(spark):
+    """Wider windows only admit more conversions: both counts are
+    nondecreasing in window_s, bounded by users_view, and purchase
+    never exceeds click (staged funnel)."""
+    from vector_graph_native_database__spark import registry
+
+    rows = sorted(
+        registry.all_queries()["events_funnel_window_sweep"](
+            spark, SF
+        ).collect(),
+        key=lambda r: r.window_s,
+    )
+    clicks = [r.users_click_within for r in rows]
+    purch = [r.users_purchase_within for r in rows]
+    assert clicks == sorted(clicks) and purch == sorted(purch)
+    for r in rows:
+        assert r.users_purchase_within <= r.users_click_within <= r.users_view
+
+
+def test_token_cost_report_consistent_with_cluster_assign(spark):
+    """Per-source totals must reconcile with the corpus and the
+    audited dropped set: sum(n_docs) = |docs|, kept <= total per
+    source, and total dropped docs = cluster members with keep=0."""
+    from vector_graph_native_database__spark import registry
+    from vector_graph_native_database__spark.operators import curation
+    from vector_graph_native_database__spark.registry import pipelineq
+
+    nodes, _, _ = pipelineq.model(spark, SF)
+    rows = registry.all_queries()["dedup_token_cost_by_source"](
+        spark, SF
+    ).collect()
+    assert sum(r.n_docs for r in rows) == nodes.count()
+    n_dropped = (
+        curation.dedup_cluster_assign(nodes, threshold=0.8)
+        .filter("keep = 0")
+        .count()
+    )
+    assert sum(r.n_docs - r.n_docs_kept for r in rows) == n_dropped
+    for r in rows:
+        assert 0 <= r.frac_tokens_removed <= 1
+        assert r.n_tokens_kept <= r.n_tokens

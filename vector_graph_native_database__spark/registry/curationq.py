@@ -986,3 +986,90 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
        min(avg_logprob) AS lp_min, max(avg_logprob) AS lp_max
 FROM bk GROUP BY bucket"""
 )
+
+
+def q_dedup_token_cost_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dedup sign-off report → per source (source, n_docs,
+    n_tokens, n_docs_kept, n_tokens_kept, frac_tokens_removed): how
+    many TRAINING TOKENS the near-dup pass costs each corpus slice —
+    the number a data lead reads before approving a dedup config
+    (next to dedup_cluster_size_histogram, which says where the
+    removed tokens went, and corpus_token_budget, which prices the
+    survivors). Keepers follow the audited cluster rule (min-id per
+    verified Jaccard≥0.8 component; unpaired docs all keep).
+
+    Scale shape: tokens are one map-side projection; the dropped set
+    is near-dup-sized (ONLY cluster members, never the corpus) and
+    left-joins the (id, source, tokens) frame on the id key; the
+    report is one conditional aggregate per source. At 100 TB the
+    dropped frame is the small side — broadcast-eligible whenever
+    duplication is sparse."""
+    from ..operators import curation, text_analysis
+
+    nodes, _, _ = model(spark, sf_dir)
+    tk = text_analysis.token_counts(nodes).select("id", "ws_tokens")
+    dropped = (
+        curation.dedup_cluster_assign(nodes, threshold=0.8)
+        .filter(F.col("keep") == 0)
+        .select("id", F.lit(1).alias("__d"))
+    )
+    base = nodes.select("id", "source").join(tk, "id").join(
+        dropped, "id", "left"
+    )
+    kept = F.col("__d").isNull()
+    return base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ws_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias(
+            "n_docs_kept"
+        ),
+        F.sum(F.when(kept, F.col("ws_tokens")).otherwise(0))
+        .cast("long")
+        .alias("n_tokens_kept"),
+        (
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.sum(
+                        F.when(kept, F.col("ws_tokens")).otherwise(0)
+                    )
+                    / F.sum("ws_tokens").cast("double")
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("frac_tokens_removed"),
+    )
+
+
+QUERIES["dedup_token_cost_by_source"] = q_dedup_token_cost_by_source
+ORACLES["dedup_token_cost_by_source"] = f"""
+WITH ca AS ({ORACLES["dedup_cluster_assign"]}),
+nodes2 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, text, source FROM documents
+),
+tk AS (
+  SELECT id,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS ws_tokens
+  FROM nodes2
+),
+dropped AS (SELECT id FROM ca WHERE keep = 0)
+SELECT n.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t.ws_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_kept,
+       CAST(sum(CASE WHEN d.id IS NULL THEN t.ws_tokens ELSE 0 END)
+            AS BIGINT) AS n_tokens_kept,
+       floor((1.0 - sum(CASE WHEN d.id IS NULL THEN t.ws_tokens
+                        ELSE 0 END)
+                    / CAST(sum(t.ws_tokens) AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS frac_tokens_removed
+FROM nodes2 n
+JOIN tk t ON t.id = n.id
+LEFT JOIN dropped d ON d.id = n.id
+GROUP BY n.source"""

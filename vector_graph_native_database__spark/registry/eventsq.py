@@ -3498,3 +3498,106 @@ SELECT grp AS event_type, n_a, n_b,
            / ((0.05 * ma) * (0.05 * ma))
          * 1000000.0 + 0.5) / 1000000.0) AS BIGINT) AS n_per_arm_5pct
 FROM d"""
+
+
+FUNNEL_WINDOW_GRID = [3600, 21600, 86400, 604800]  # 1h, 6h, 1d, 7d
+
+
+def q_events_funnel_window_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversion-window sensitivity → one row per candidate window
+    (window_s, users_view, users_click_within, users_purchase_within):
+    the events_funnel stages re-counted under a maximum
+    stage-to-stage delay — the knob every funnel definition hides
+    ("a click counts if within T of the view"). Reading the curve
+    tells an analyst where the funnel stabilizes, i.e. the smallest
+    honest window (the attribution twin of events_watermark_lateness:
+    same grid-sweep question, asked of conversions instead of state).
+
+    Scale shape: ONE groupBy(user) with conditional-min aggregates
+    (map-side combinable — the single-shuffle funnel), then the whole
+    grid answered by one conditional aggregate over the per-user
+    frame (one pair of sums per window), exploded to rows from array
+    literals — the single-pass grid idiom, never a grid×users join.
+    Deltas are exact integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(
+            F.when(F.col("event_type") == t, F.unix_micros("ts"))
+        )
+
+    stage = ev.groupBy("user_id").agg(
+        first_ts("view").alias("tv"),
+        first_ts("click").alias("tc"),
+        first_ts("purchase").alias("tp"),
+    )
+    s1 = F.col("tv").isNotNull()
+    aggs = [F.sum(F.when(s1, 1).otherwise(0)).alias("uv")]
+    for w in FUNNEL_WINDOW_GRID:
+        us = w * 1_000_000
+        s2 = (
+            s1
+            & F.col("tc").isNotNull()
+            & (F.col("tc") >= F.col("tv"))
+            & (F.col("tc") - F.col("tv") <= us)
+        )
+        s3 = (
+            s2
+            & F.col("tp").isNotNull()
+            & (F.col("tp") >= F.col("tc"))
+            & (F.col("tp") - F.col("tc") <= us)
+        )
+        aggs.append(F.sum(F.when(s2, 1).otherwise(0)).alias(f"c_{w}"))
+        aggs.append(F.sum(F.when(s3, 1).otherwise(0)).alias(f"p_{w}"))
+    one = stage.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(w).cast("long").alias("window_s"),
+                F.col(f"c_{w}").alias("users_click_within"),
+                F.col(f"p_{w}").alias("users_purchase_within"),
+            )
+            for w in FUNNEL_WINDOW_GRID
+        ]
+    )
+    return one.select(F.explode(pairs).alias("p"), "uv").select(
+        F.col("p.window_s").alias("window_s"),
+        F.col("uv").cast("long").alias("users_view"),
+        F.col("p.users_click_within").cast("long").alias(
+            "users_click_within"
+        ),
+        F.col("p.users_purchase_within").cast("long").alias(
+            "users_purchase_within"
+        ),
+    )
+
+
+QUERIES["events_funnel_window_sweep"] = q_events_funnel_window_sweep
+ORACLES["events_funnel_window_sweep"] = """
+WITH stage AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS tc,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS tp
+  FROM events GROUP BY user_id
+),
+w AS (SELECT CAST(unnest([3600, 21600, 86400, 604800]) AS BIGINT)
+        AS window_s)
+SELECT w.window_s,
+       CAST(sum(CASE WHEN tv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS users_view,
+       CAST(sum(CASE WHEN tv IS NOT NULL AND tc IS NOT NULL
+                      AND tc >= tv AND tc - tv <= w.window_s * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT)
+         AS users_click_within,
+       CAST(sum(CASE WHEN tv IS NOT NULL AND tc IS NOT NULL
+                      AND tc >= tv AND tc - tv <= w.window_s * 1000000
+                      AND tp IS NOT NULL AND tp >= tc
+                      AND tp - tc <= w.window_s * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT)
+         AS users_purchase_within
+FROM w CROSS JOIN stage
+GROUP BY w.window_s"""
