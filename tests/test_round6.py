@@ -252,3 +252,28 @@ def test_token_cost_report_consistent_with_cluster_assign(spark):
     for r in rows:
         assert 0 <= r.frac_tokens_removed <= 1
         assert r.n_tokens_kept <= r.n_tokens
+
+
+def test_commit_state_retention_window(spark, tmp_path):
+    """keep_last retains exactly the newest N versions: time travel
+    works across the retained window, older versions are vacuumed,
+    orphans newer than the pointer never survive, and the default
+    keeps (n-1, n) exactly as before."""
+    import os
+
+    from vector_graph_native_database__spark.streaming import ingest
+
+    sd = str(tmp_path / "state")
+    for i in range(5):
+        df = spark.range(i + 1).selectExpr("id", f"{i} AS batch")
+        ingest.commit_state(df, sd, keep_last=3)
+    vs = ingest.list_state_versions(sd)
+    assert vs == ["v000003", "v000004", "v000005"]
+    # time travel across the full retained window
+    assert ingest.read_state_version(spark, sd, "v000003").count() == 3
+    assert ingest.read_state(spark, sd).count() == 5
+    # an orphan newer than _CURRENT is cleaned by the next commit
+    os.makedirs(os.path.join(sd, "v000099"))
+    ingest.commit_state(spark.range(9), sd, keep_last=2)
+    assert ingest.list_state_versions(sd) == ["v000005", "v000006"]
+    assert not os.path.isdir(os.path.join(sd, "v000099"))

@@ -254,7 +254,9 @@ def migrate_state(spark: SparkSession, state_dir: str) -> str | None:
     return version
 
 
-def commit_state(df: DataFrame, state_dir: str) -> str:
+def commit_state(
+    df: DataFrame, state_dir: str, keep_last: int = 2
+) -> str:
     """Transactionally publish ``df`` as the new live state snapshot.
 
     Returns the committed version name. See the protocol note above:
@@ -262,6 +264,14 @@ def commit_state(df: DataFrame, state_dir: str) -> str:
     snapshot served by ``read_state``. Single-writer by contract —
     a concurrent commit raises :class:`ConcurrentWriterError` via
     the O_EXCL lock file (crashed writers' stale locks reclaimed).
+
+    ``keep_last`` is the retention window: the newest N committed
+    versions survive each commit (default 2 = live + previous, the
+    minimum that keeps one time-travel step); older snapshot dirs are
+    vacuumed inside the held lease, so retention never races another
+    writer. A maintained 100 TB index sets this to its debugging /
+    audit horizon (the VERSION-AS-OF window) and pays exactly
+    keep_last× live-state storage.
     """
     os.makedirs(state_dir, exist_ok=True)
     lease = _acquire_commit_lock(state_dir)
@@ -287,7 +297,14 @@ def commit_state(df: DataFrame, state_dir: str) -> str:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(state_dir, _CURRENT))
-        keep = {version, cur}
+        versions = sorted(
+            d
+            for d in os.listdir(state_dir)
+            if d.startswith("v")
+            and d <= version
+            and os.path.isdir(os.path.join(state_dir, d))
+        )
+        keep = set(versions[-max(keep_last, 1):])
         for entry in os.listdir(state_dir):
             if entry.startswith("v") and entry not in keep:
                 shutil.rmtree(
