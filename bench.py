@@ -264,7 +264,7 @@ HEADLINE = CANARY + [
     "ann_ivf_cell_stats",
     "events_power_analysis",
     "events_rfm_segments",
-    "events_watermark_lateness",
+    # (events_watermark_lateness is already in the wide list above)
     "dedup_token_cost_by_source",
     "events_funnel_window_sweep",
 ]

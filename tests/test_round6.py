@@ -277,3 +277,25 @@ def test_commit_state_retention_window(spark, tmp_path):
     ingest.commit_state(spark.range(9), sd, keep_last=2)
     assert ingest.list_state_versions(sd) == ["v000005", "v000006"]
     assert not os.path.isdir(os.path.join(sd, "v000099"))
+
+
+def test_grid_entries_empty_input_parity(spark):
+    """The single-pass grid rewrites must return ZERO rows on an
+    empty events frame — matching their oracles' grid CROSS JOIN
+    semantics — not 4 NULL-count rows from the always-one-row global
+    aggregate."""
+    import os
+
+    from vector_graph_native_database__spark import registry
+    from vector_graph_native_database__spark.streaming.ingest import (
+        EVENTS_SCHEMA,
+    )
+
+    empty_dir = "/tmp/r6_empty_events"
+    os.makedirs(empty_dir, exist_ok=True)
+    spark.createDataFrame([], EVENTS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(empty_dir, "events.parquet"))
+    q = registry.all_queries()
+    assert q["events_watermark_lateness"](spark, empty_dir).count() == 0
+    assert q["events_funnel_window_sweep"](spark, empty_dir).count() == 0

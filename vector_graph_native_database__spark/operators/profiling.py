@@ -410,6 +410,11 @@ def attach_exact_ntile(
     global); rank→bucket is ntile's closed remainder form in BIGINT
     div arithmetic (see exact_ntile_bins docstring). ``key_col`` must
     be unique per row for a deterministic result.
+
+    PRECONDITION: ``value_col`` must be non-null — the join-back on
+    the value key drops NULL rows, whereas SQL ntile() sorts NULLs
+    into buckets (engine-dependent NULLS FIRST/LAST). Callers with
+    nullable values coalesce first, on BOTH engine and oracle sides.
     """
     from pyspark.sql import Window
 

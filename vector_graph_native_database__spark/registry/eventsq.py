@@ -1586,19 +1586,15 @@ SELECT c.channel, c.n_conversions,
 FROM cnt c CROSS JOIN tot t"""
 
 
-def q_events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Welch's two-sample t-test per event type over a deterministic
-    user-hash A/B split → (event_type, n_a, n_b, mean_a, mean_b,
-    t_stat, significant): the experiment-readout primitive. Variant
-    assignment is md5(user_id) parity — replayable, and the split a
-    real experiment framework uses (unit = user, not event).
-
-    Float discipline: values are 6dp-quantized and accumulated as
-    exact decimals (one conditional aggregate per event type, map-
-    side combinable); mean/variance/t run in double on identical
-    inputs. |t| > 1.96 flags ~95% significance. At 100 TB this is
-    ONE shuffle keyed by event_type."""
-    ev = _events(spark, sf_dir)
+def _ab_variant_agg(ev: DataFrame) -> DataFrame:
+    """The SHARED experiment frame of events_ab_ttest and
+    events_power_analysis → per event type (grp, n_a, n_b, sa, sb,
+    qa, qb): md5('ab'||user) parity assignment, 6dp decimal
+    quantization of value, and one conditional aggregate of counts /
+    sums / sums-of-squares per arm. Both entries' 'same split, same
+    frame' contract (pytest-pinned) lives in this one function —
+    editing the salt, quantization, or moments here changes both
+    entries (and both oracles must follow)."""
     variant = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit("ab"), F.col("user_id"))), 1, 15),
@@ -1613,7 +1609,7 @@ def q_events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         F.col("event_type").alias("grp"), variant.alias("v"), vq.alias("x")
     )
-    g = base.groupBy("grp").agg(
+    return base.groupBy("grp").agg(
         F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).alias("n_b"),
         F.sum(F.when(F.col("v") == 0, F.col("x"))).alias("sa"),
@@ -1621,6 +1617,21 @@ def q_events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("v") == 0, F.col("x") * F.col("x"))).alias("qa"),
         F.sum(F.when(F.col("v") == 1, F.col("x") * F.col("x"))).alias("qb"),
     )
+
+
+def q_events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test per event type over a deterministic
+    user-hash A/B split → (event_type, n_a, n_b, mean_a, mean_b,
+    t_stat, significant): the experiment-readout primitive. Variant
+    assignment is md5(user_id) parity — replayable, and the split a
+    real experiment framework uses (unit = user, not event).
+
+    Float discipline: values are 6dp-quantized and accumulated as
+    exact decimals (one conditional aggregate per event type, map-
+    side combinable); mean/variance/t run in double on identical
+    inputs. |t| > 1.96 flags ~95% significance. At 100 TB this is
+    ONE shuffle keyed by event_type."""
+    g = _ab_variant_agg(_events(spark, sf_dir))
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     sa = F.col("sa").cast("double")
@@ -2549,7 +2560,11 @@ def q_events_watermark_lateness(
         ]
     )
     return (
-        one.select(F.explode(pairs).alias("p"), "n")
+        # empty-input parity: the oracle's grid CROSS JOIN events is
+        # empty when events is; a global agg always yields one row,
+        # so gate the explode on n > 0
+        one.filter(F.col("n") > 0)
+        .select(F.explode(pairs).alias("p"), "n")
         .select(
             F.col("p.watermark_s").alias("watermark_s"),
             F.col("p.n_late").alias("n_late"),
@@ -3406,29 +3421,7 @@ def q_events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same formula on identical decimal-quantized inputs and are
     6dp-floored at the edge; the ceil for n_per_arm is taken after
     6dp quantization so the integer boundary is engine-independent."""
-    ev = _events(spark, sf_dir)
-    variant = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("ab"), F.col("user_id"))), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % 2
-    )
-    vq = (
-        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-    ).cast("decimal(18,6)")
-    base = ev.select(
-        F.col("event_type").alias("grp"), variant.alias("v"), vq.alias("x")
-    )
-    g = base.groupBy("grp").agg(
-        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).alias("n_b"),
-        F.sum(F.when(F.col("v") == 0, F.col("x"))).alias("sa"),
-        F.sum(F.when(F.col("v") == 1, F.col("x"))).alias("sb"),
-        F.sum(F.when(F.col("v") == 0, F.col("x") * F.col("x"))).alias("qa"),
-        F.sum(F.when(F.col("v") == 1, F.col("x") * F.col("x"))).alias("qb"),
-    )
+    g = _ab_variant_agg(_events(spark, sf_dir))
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     sa = F.col("sa").cast("double")
@@ -3534,7 +3527,10 @@ def q_events_funnel_window_sweep(
         first_ts("purchase").alias("tp"),
     )
     s1 = F.col("tv").isNotNull()
-    aggs = [F.sum(F.when(s1, 1).otherwise(0)).alias("uv")]
+    aggs = [
+        F.count("*").alias("__n_users"),
+        F.sum(F.when(s1, 1).otherwise(0)).alias("uv"),
+    ]
     for w in FUNNEL_WINDOW_GRID:
         us = w * 1_000_000
         s2 = (
@@ -3562,7 +3558,11 @@ def q_events_funnel_window_sweep(
             for w in FUNNEL_WINDOW_GRID
         ]
     )
-    return one.select(F.explode(pairs).alias("p"), "uv").select(
+    # empty-input parity: the oracle's grid CROSS JOIN stage is empty
+    # when events is; gate the explode on a nonempty per-user frame
+    return one.filter(F.col("__n_users") > 0).select(
+        F.explode(pairs).alias("p"), "uv"
+    ).select(
         F.col("p.window_s").alias("window_s"),
         F.col("uv").cast("long").alias("users_view"),
         F.col("p.users_click_within").cast("long").alias(
