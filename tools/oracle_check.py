@@ -59,6 +59,7 @@ def main() -> int:
     con = duck_con(sf_dir)
     qs, os_ = mod.queries(), mod.oracle_sql()
     failed = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -68,6 +69,15 @@ def main() -> int:
             print(f"  {name:28s} rows={len(sdf):6d}  (rows-only, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
             continue
+        # Recycle the DuckDB connection periodically: one connection
+        # accumulating 300+ heavy oracle executions grows to tens of
+        # GB RSS and the battery tail crawls (round-6 sf1 post-mortem
+        # — entries that pass in minutes fresh took hours late in a
+        # shared connection). Cheap: views are rebuilt from parquet.
+        n_run += 1
+        if n_run % 25 == 0:
+            con.close()
+            con = duck_con(sf_dir)
         odf = con.sql(os_[name]).df()
         a, b = canon(sdf), canon(odf)
         ok = True
