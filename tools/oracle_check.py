@@ -5,7 +5,15 @@ on DuckDB at the given sf dir, then compares row count, column-name
 set, and order-insensitive values (sorted rows, floats compared
 exactly after both sides' agreed rounding).
 
-Usage: python tools/oracle_check.py [sf_dir] [name ...]
+Usage: python tools/oracle_check.py [--resume FILE] [--max N] [sf_dir] [name ...]
+
+``--resume FILE`` records one ``<name> OK|FAIL`` line per compared
+entry; on restart, entries already marked OK are skipped (FAILs are
+re-run). ``--max N`` exits with code 3 after N comparisons when work
+remains, so a wrapper loop can re-invoke a FRESH process per chunk —
+the round-6 sf1 post-mortem showed a single long-lived process (one
+Spark JVM + one DuckDB connection across 330 heavy oracles) degrades
+to a crawl from accumulated state; chunked fresh processes do not.
 """
 
 from __future__ import annotations
@@ -49,8 +57,31 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    resume_path = None
+    max_entries = None
+    pos = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--resume":
+            resume_path = argv[i + 1]
+            i += 2
+        elif argv[i] == "--max":
+            max_entries = int(argv[i + 1])
+            i += 2
+        else:
+            pos.append(argv[i])
+            i += 1
+    sf_dir = pos[0] if pos else "/root/testdata/sf0.01"
+    only = set(pos[1:])
+
+    done_ok = set()
+    if resume_path and os.path.exists(resume_path):
+        with open(resume_path) as fh:
+            for line in fh:
+                parts = line.split()
+                if len(parts) == 2 and parts[1] == "OK":
+                    done_ok.add(parts[0])
 
     import __spark_entry__ as mod
     from vector_graph_native_database__spark.session import get_spark
@@ -60,14 +91,25 @@ def main() -> int:
     qs, os_ = mod.queries(), mod.oracle_sql()
     failed = []
     n_run = 0
+    n_compared = 0
+    remaining_after_cut = False
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        if name in done_ok:
+            continue
+        if max_entries is not None and n_compared >= max_entries:
+            remaining_after_cut = True
+            break
         t0 = time.time()
         sdf = fn(spark, sf_dir).toPandas()
         if name not in os_:
             print(f"  {name:28s} rows={len(sdf):6d}  (rows-only, no oracle) "
-                  f"[{time.time()-t0:.1f}s]")
+                  f"[{time.time()-t0:.1f}s]", flush=True)
+            n_compared += 1
+            if resume_path:
+                with open(resume_path, "a") as fh:
+                    fh.write(f"{name} OK\n")
             continue
         # Recycle the DuckDB connection periodically: one connection
         # accumulating 300+ heavy oracle executions grows to tens of
@@ -94,9 +136,17 @@ def main() -> int:
             why = f"values differ cols={bad_cols} first@{i}: " \
                   f"{a.loc[i].to_dict()} vs {b.loc[i].to_dict()}"
         status = "OK  " if ok else "FAIL"
-        print(f"  {name:28s} {status} rows={len(a):6d} [{time.time()-t0:.1f}s] {why}")
+        print(f"  {name:28s} {status} rows={len(a):6d} [{time.time()-t0:.1f}s] {why}",
+              flush=True)
+        n_compared += 1
+        if resume_path:
+            with open(resume_path, "a") as fh:
+                fh.write(f"{name} {'OK' if ok else 'FAIL'}\n")
         if not ok:
             failed.append(name)
+    if remaining_after_cut and not failed:
+        print(f"\nCHECKPOINT: {n_compared} compared this chunk, more remain")
+        return 3
     print(f"\n{'ALL OK' if not failed else 'FAILED: ' + ', '.join(failed)}")
     return 1 if failed else 0
 
