@@ -639,6 +639,37 @@ def test_ann_tier_report_brute_truth_staged_once(spark):
     assert s["python_row_udfs"] == 0
 
 
+@pytest.mark.parametrize(
+    "name,points",
+    [("ann_ivf_nprobe_sweep", 3), ("ann_filtered_nprobe_sweep", 4)],
+)
+def test_nprobe_sweeps_train_zero_times_in_plan(spark, name, points):
+    # the IVF index is trained+assigned ONCE into the shared staged
+    # parquet (cidx-partitioned); every sweep point is pure serving.
+    # Pin: the final plan contains ZERO Lloyd trainings (posexplode →
+    # per-component mean is the training signature) and reads the
+    # staged index parquet once per sweep point.
+    df = registry.all_queries()[name](spark, SF)
+    p = plan_string(df)
+    s = plan_summary(df)
+    assert "posexplode" not in p, "training must not appear in the plan"
+    assert p.count("ivf_index") >= points, "each point reads staged index"
+    assert "CartesianProduct" not in p
+    assert s["python_row_udfs"] == 0
+
+
+def test_ivf_family_serves_from_shared_staged_index(spark):
+    # ann_ivf_topk, ann_ivf_filtered_topk and ann_ivf_cell_stats all
+    # read the SAME staged index parquet instead of retraining the
+    # deterministic quantizer per entry
+    for name in (
+        "ann_ivf_topk", "ann_ivf_filtered_topk", "ann_ivf_cell_stats"
+    ):
+        p = plan_of(spark, name)
+        assert "ivf_index" in p, f"{name} must read the staged index"
+        assert "posexplode" not in p, f"{name} must not retrain in-plan"
+
+
 def test_hybrid_weight_sweep_reweights_staged_tops_only(spark):
     # the five fused top-15s are built once (staged); every sweep row
     # is a broadcast join of <=15-row frames — zero parquet scans,

@@ -342,31 +342,22 @@ def ivf_centroids(
     return centroids
 
 
-def ivf_topk(
+def ivf_build(
     emb: DataFrame,
-    query_ids: list[str],
-    k: int = 5,
     n_centroids: int = 8,
     iters: int = 2,
-    nprobe: int = 2,
     dim: int = 64,
-    round_scores: int | None = None,
-    allowed: DataFrame | None = None,
     train: DataFrame | None = None,
-) -> DataFrame:
-    """IVF approximate top-k → (qid, id, cos, rnk).
+) -> tuple[DataFrame, DataFrame]:
+    """Train the coarse quantizer and assign the corpus ONCE →
+    ``(centroids, assign)``: centroids ``(cidx, cvec, cc)`` and the
+    inverted-list assignment ``(id, cidx, vector)``.
 
-    Vectors are inverted-listed by nearest centroid; a query scans
-    only its ``nprobe`` nearest lists. At 100 TB the assignment table
-    is written partitioned by ``cidx`` so a probe is a
-    partition-pruned scan of nprobe/C of the corpus; training cost is
-    ``iters`` broadcast-joins, amortized across all queries.
-
-    ``train`` (default: ``emb`` itself) restricts the CENTROID
-    TRAINING corpus while assignment and serving still cover all of
-    ``emb`` — the state of a streamed-maintained index whose coarse
-    quantizer was trained before later appends arrived
-    (ann_ivf_stale_recall measures what that staleness costs).
+    This is the index-BUILD half of ``ivf_topk``, split out so a
+    caller that serves many queries (or sweeps a serving knob like
+    nprobe) trains and assigns once, ``localCheckpoint``s or persists
+    the pair, and pays only probe + scoring per query — the
+    build-once/serve-many contract of a deployed vector index.
     """
     e = (
         emb.filter(F.size("vector") == dim)
@@ -386,6 +377,116 @@ def ivf_topk(
         .join(e, "id")
         .select("id", "cidx", "vector")
     )
+    return centroids, assign
+
+
+def ivf_index_stage(
+    spark,
+    emb: DataFrame,
+    cache_key: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Build-once / read-many IVF index staged as scratch parquet →
+    ``(centroids, assign)`` read back from disk.
+
+    The ``ivf_build`` pair is written ONCE per (cache_key, params)
+    under the shared scratch root — the assignment parquet
+    PARTITIONED BY ``cidx``, so a probe of nprobe cells is a
+    partition-pruned read of nprobe/C of the corpus (DPP fires on the
+    broadcast probe join) — and every later caller in the IVF family
+    (ann_ivf_topk, cell stats, recall evals, nprobe sweeps) reads the
+    same files instead of retraining the same deterministic
+    quantizer. ``cache_key`` is normally the sf_dir; the key is
+    salted with the embeddings parquet's (mtime, size) so a
+    regenerated dataset never serves a stale index. The build is
+    written to a temp dir and renamed into place atomically, so
+    concurrent processes (battery chunks) cannot observe a
+    half-written index; a lost rename race falls back to reading the
+    winner's files. Vectors roundtrip parquet float32 bit-exactly,
+    so staged results are value-identical to the in-plan build.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    salt = ""
+    src = os.path.join(cache_key, "embeddings.parquet")
+    if os.path.exists(src):
+        st = os.stat(src)
+        salt = f"|{st.st_mtime_ns}|{st.st_size}"
+    key = hashlib.md5(
+        f"{cache_key}|{n_centroids}|{iters}|{dim}{salt}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "vgndb_spark_scratch",
+                        "ivf_index")
+    os.makedirs(root, exist_ok=True)
+    final = os.path.join(root, key)
+    if not os.path.exists(os.path.join(final, "_DONE")):
+        centroids, assign = ivf_build(emb, n_centroids, iters, dim)
+        tmp = os.path.join(root, f"tmp_{uuid.uuid4().hex[:8]}")
+        centroids.coalesce(1).write.parquet(os.path.join(tmp, "centroids"))
+        assign.write.partitionBy("cidx").parquet(os.path.join(tmp, "assign"))
+        with open(os.path.join(tmp, "_DONE"), "w") as fh:
+            fh.write("ok\n")
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return (
+        spark.read.parquet(os.path.join(final, "centroids")),
+        spark.read.parquet(os.path.join(final, "assign")).select(
+            "id", F.col("cidx").cast("int").alias("cidx"), "vector"
+        ),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[str],
+    k: int = 5,
+    n_centroids: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    dim: int = 64,
+    round_scores: int | None = None,
+    allowed: DataFrame | None = None,
+    train: DataFrame | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k → (qid, id, cos, rnk).
+
+    Vectors are inverted-listed by nearest centroid; a query scans
+    only its ``nprobe`` nearest lists. At 100 TB the assignment table
+    is written partitioned by ``cidx`` so a probe is a
+    partition-pruned scan of nprobe/C of the corpus; training cost is
+    ``iters`` broadcast-joins, amortized across all queries.
+
+    ``train`` (default: ``emb`` itself) restricts the CENTROID
+    TRAINING corpus while assignment and serving still cover all of
+    ``emb`` — the state of a streamed-maintained index whose coarse
+    quantizer was trained before later appends arrived
+    (ann_ivf_stale_recall measures what that staleness costs).
+
+    ``index``: a prebuilt ``(centroids, assign)`` pair from
+    ``ivf_build`` (or ``ivf_index_stage``'s parquet read-back). When
+    given, NO training or assignment happens here — the call is pure
+    serving (probe selection + candidate scoring), which is how a
+    knob sweep or a multi-query serving loop avoids re-deriving the
+    index per call.
+    """
+    e = (
+        emb.filter(F.size("vector") == dim)
+        .select(F.col("node_id").alias("id"), "vector")
+        .withColumn("vv", dot("vector", "vector"))
+    )
+    if index is None:
+        centroids, assign = ivf_build(emb, n_centroids, iters, dim, train)
+    else:
+        centroids, assign = index
     q = (
         e.filter(F.col("id").isin(query_ids))
         .select(F.col("id").alias("qid"), F.col("vector").alias("qvec"), "vv")

@@ -180,11 +180,27 @@ def q_ann_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def staged_ivf_index(spark, sf_dir, emb=None):
+    """The ONE staged IVF index the whole standard family serves from
+    (C=8, iters=2, dim=64 — the parameters every ann_ivf_* entry and
+    recall eval shares). First caller per (sf_dir, params) trains and
+    writes the cidx-partitioned scratch parquet; every later caller —
+    ann_ivf_topk, ann_ivf_filtered_topk, cell stats, both nprobe
+    sweeps — is a partition-prunable parquet read. Same deterministic
+    build, so every oracle is unchanged."""
+    if emb is None:
+        _, emb, _ = model(spark, sf_dir)
+    return ann.ivf_index_stage(
+        spark, emb, sf_dir, n_centroids=8, iters=2, dim=64
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, emb, _ = model(spark, sf_dir)
     return ann.ivf_topk(
-        emb, ANN_QUERY_IDS, k=5, n_centroids=8, iters=2, nprobe=2,
+        emb, ANN_QUERY_IDS, k=5, nprobe=2,
         dim=64, round_scores=6,
+        index=staged_ivf_index(spark, sf_dir, emb),
     )
 
 
@@ -2083,8 +2099,9 @@ def q_ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, emb, _ = model(spark, sf_dir)
     allowed = nodes.filter(F.col("lang") == "en").select("id")
     return ann.ivf_topk(
-        emb, ANN_QUERY_IDS, k=5, n_centroids=8, iters=2, nprobe=2,
+        emb, ANN_QUERY_IDS, k=5, nprobe=2,
         dim=64, round_scores=6, allowed=allowed,
+        index=staged_ivf_index(spark, sf_dir, emb),
     )
 
 

@@ -670,16 +670,19 @@ def q_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     FAMILIES, this sweeps the single knob an IVF deployment actually
     turns — probed cells per query — against exact ground truth, so
     an operator reads recall-vs-cost for THEIR index and picks the
-    knee. Ground truth staged once; each sweep point is one probed
-    top-k plus a ≤25-row comparison join; recall is monotone in
-    nprobe by construction (probing more cells only adds candidates
-    — pytest-pinned)."""
+    knee. Ground truth staged once; the INDEX is trained and assigned
+    once too (the shared staged parquet index every ann_ivf_* entry
+    serves from) — each sweep point is pure serving: one probe filter
+    + scoring pass plus a ≤25-row comparison join; recall is monotone
+    in nprobe by construction (probing more cells only adds
+    candidates — pytest-pinned)."""
     from . import pipelineq
     from ..operators import ann
 
     k = ANN_EVAL_K
     denom = float(k * len(pipelineq.ANN_QUERY_IDS))
     _, emb, _ = pipelineq.model(spark, sf_dir)
+    idx = pipelineq.staged_ivf_index(spark, sf_dir, emb)
     brute5 = (
         pipelineq.q_ann_brute_topk(spark, sf_dir)
         .filter(F.col("rnk") <= k)
@@ -689,8 +692,8 @@ def q_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for p in NPROBE_SWEEP:
         t = ann.ivf_topk(
-            emb, pipelineq.ANN_QUERY_IDS, k=k, n_centroids=8, iters=2,
-            nprobe=p, dim=64, round_scores=6,
+            emb, pipelineq.ANN_QUERY_IDS, k=k,
+            nprobe=p, dim=64, round_scores=6, index=idx,
         ).select("qid", "id", F.lit(1).alias("h"))
         j = brute5.join(t, ["qid", "id"], "full_outer")
         rows.append(
@@ -1341,9 +1344,14 @@ def q_ann_ivf_stale_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = []
     for state, train in (("stale", initial), ("fresh", None)):
+        # The FRESH state IS the standard index — serve it from the
+        # shared staged parquet; only the stale quantizer (train
+        # restricted to the initial 2/3) is built in-plan.
         t = ann.ivf_topk(
             emb, pipelineq.ANN_QUERY_IDS, k=k, n_centroids=8, iters=2,
             nprobe=2, dim=64, round_scores=6, train=train,
+            index=None if train is not None
+            else pipelineq.staged_ivf_index(spark, sf_dir, emb),
         ).select("qid", "id", F.lit(1).alias("h"))
         j = brute5.join(t, ["qid", "id"], "full_outer")
         rows.append(
@@ -1432,11 +1440,13 @@ def q_ann_filtered_nprobe_sweep(
     — this curve is where an operator reads how much larger.
 
     Scale shape: the filtered truth is one semi-join-pruned brute
-    scan, staged once; each sweep point reuses the per-entry IVF plan
-    (bucketed probes + id semi-join post-filter) plus a ≤25-row
-    comparison join. Recall is monotone in nprobe by construction
-    (probing more cells only adds candidates) — pytest-pinned, like
-    its unfiltered twin."""
+    scan, staged once; the INDEX is trained and assigned once too —
+    the shared staged parquet index every ann_ivf_* entry serves
+    from — so each sweep point is pure serving (probe filter + id
+    semi-join post-filter + scoring) plus a ≤25-row comparison join.
+    Recall is monotone in nprobe by construction (probing more cells
+    only adds candidates) — pytest-pinned, like its unfiltered
+    twin."""
     from . import pipelineq
     from ..operators import ann
 
@@ -1444,6 +1454,7 @@ def q_ann_filtered_nprobe_sweep(
     denom = float(k * len(pipelineq.ANN_QUERY_IDS))
     nodes, emb, _ = pipelineq.model(spark, sf_dir)
     allowed = nodes.filter(F.col("lang") == "en").select("id")
+    idx = pipelineq.staged_ivf_index(spark, sf_dir, emb)
     truth = (
         ann.brute_topk(
             emb, pipelineq.ANN_QUERY_IDS, k=k, round_scores=6,
@@ -1455,8 +1466,9 @@ def q_ann_filtered_nprobe_sweep(
     rows = []
     for p in FILTERED_NPROBE_SWEEP:
         t = ann.ivf_topk(
-            emb, pipelineq.ANN_QUERY_IDS, k=k, n_centroids=8, iters=2,
+            emb, pipelineq.ANN_QUERY_IDS, k=k,
             nprobe=p, dim=64, round_scores=6, allowed=allowed,
+            index=idx,
         ).select("qid", "id", F.lit(1).alias("h"))
         j = truth.join(t, ["qid", "id"], "full_outer")
         rows.append(
@@ -1605,22 +1617,21 @@ def q_ann_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     balanced). This is the capacity-planning readout an IVF operator
     reads BEFORE sizing nprobe or partitions at 100 TB: a cell with
     skew 4 is a probe hotspot (any query probing it scans 4× its
-    budget) and the signal to retrain or split cells. Composes the
-    deterministic k-means core (ann.kmeans_assign — same seeds,
-    rounds and tie-breaks as every IVF entry, so these ARE the cells
-    ann_ivf_topk serves from).
+    budget) and the signal to retrain or split cells. Reads the
+    SHARED staged IVF index (same deterministic training, tie-breaks
+    and rounding as every IVF entry, so these ARE the cells
+    ann_ivf_topk serves from — and the stats come from the index
+    parquet's own footers' rows, not a recomputed assignment).
 
-    Scale shape: assignment is iters+1 broadcast scans (no vector
-    shuffle), the stats one map-side-combinable count per cell, and
-    the total a 1-row broadcast."""
+    Scale shape: one map-side-combinable count per cidx partition of
+    the staged index, and the total a 1-row broadcast."""
     from . import pipelineq
-    from ..operators import ann
 
     _, emb, _ = pipelineq.model(spark, sf_dir)
-    a = ann.kmeans_assign(emb, n_centroids=8, iters=2, dim=64)
+    _, a = pipelineq.staged_ivf_index(spark, sf_dir, emb)
     tot = a.agg(F.count("*").alias("n_tot"))
     return (
-        a.groupBy(F.col("cluster").alias("cidx"))
+        a.groupBy("cidx")
         .agg(F.count("*").alias("n_vectors"))
         .crossJoin(F.broadcast(tot))
         .select(
