@@ -75,13 +75,20 @@ def main() -> int:
     sf_dir = pos[0] if pos else "/root/testdata/sf0.01"
     only = set(pos[1:])
 
+    # Skip every RECORDED entry, OK or FAIL — a battery run should
+    # surface ALL failures in one pass, not stop at the first; after
+    # fixing an entry, delete its FAIL line to re-check it.
     done_ok = set()
+    prior_fails = set()
     if resume_path and os.path.exists(resume_path):
         with open(resume_path) as fh:
             for line in fh:
                 parts = line.split()
                 if len(parts) == 2 and parts[1] == "OK":
                     done_ok.add(parts[0])
+                elif len(parts) == 2 and parts[1] == "FAIL":
+                    prior_fails.add(parts[0])
+    done_ok |= prior_fails
 
     import __spark_entry__ as mod
     from vector_graph_native_database__spark.session import get_spark
@@ -144,9 +151,11 @@ def main() -> int:
                 fh.write(f"{name} {'OK' if ok else 'FAIL'}\n")
         if not ok:
             failed.append(name)
-    if remaining_after_cut and not failed:
-        print(f"\nCHECKPOINT: {n_compared} compared this chunk, more remain")
+    if remaining_after_cut:
+        print(f"\nCHECKPOINT: {n_compared} compared this chunk, more remain"
+              + (f" (failed so far: {', '.join(failed)})" if failed else ""))
         return 3
+    failed = sorted(set(failed) | prior_fails)
     print(f"\n{'ALL OK' if not failed else 'FAILED: ' + ', '.join(failed)}")
     return 1 if failed else 0
 

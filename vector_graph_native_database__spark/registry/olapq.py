@@ -2907,7 +2907,11 @@ def q_olap_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the 1996+bolt filters prune lineitem BEFORE its
     (partkey, suppkey) aggregate; the comparison is integer-exact
     (quantities are integral, halving a double integer is exact);
-    dimension joins broadcast; output is dimension-sized."""
+    dimension joins broadcast; output is dimension-sized. The
+    DISTINCT is on the PROJECTED (s_name, n_name) — the query's
+    declared output grain — not on suppkey: two suppliers sharing a
+    name are one answer row (the suppkey distinct stays as a
+    dimension-sized pre-reduction before the joins)."""
     ps = _partsupp(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
@@ -2934,6 +2938,7 @@ def q_olap_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             supp.s_nationkey == F.col("n_nationkey"),
         )
         .select("s_name", "n_name")
+        .distinct()
         .orderBy("s_name")
     )
 
