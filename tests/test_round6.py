@@ -279,7 +279,7 @@ def test_commit_state_retention_window(spark, tmp_path):
     assert not os.path.isdir(os.path.join(sd, "v000099"))
 
 
-def test_grid_entries_empty_input_parity(spark):
+def test_grid_entries_empty_input_parity(spark, tmp_path):
     """The single-pass grid rewrites must return ZERO rows on an
     empty events frame — matching their oracles' grid CROSS JOIN
     semantics — not 4 NULL-count rows from the always-one-row global
@@ -291,8 +291,7 @@ def test_grid_entries_empty_input_parity(spark):
         EVENTS_SCHEMA,
     )
 
-    empty_dir = "/tmp/r6_empty_events"
-    os.makedirs(empty_dir, exist_ok=True)
+    empty_dir = str(tmp_path)
     spark.createDataFrame([], EVENTS_SCHEMA).write.mode(
         "overwrite"
     ).parquet(os.path.join(empty_dir, "events.parquet"))

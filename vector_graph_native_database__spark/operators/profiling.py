@@ -440,26 +440,20 @@ def attach_exact_ntile(
         )
         .drop("cl")
         .crossJoin(F.broadcast(tot))
-        .withColumn("__q", (F.col("__ntot") / k).cast("long"))
+        # `div` is true BIGINT division (exact at any count), not
+        # double division truncated to long (exact only below 2^53)
+        .withColumn("__q", F.expr(f"__ntot div {int(k)}"))
         .withColumn("__r", F.col("__ntot") % k)
     )
     return ranked.withColumn(
         out_col,
         F.when(
             F.col("__rank") <= (F.col("__q") + 1) * F.col("__r"),
-            ((F.col("__rank") - 1) / (F.col("__q") + 1)).cast("long")
-            + 1,
+            F.expr("((__rank - 1) div (__q + 1)) + 1"),
         ).otherwise(
-            F.col("__r")
-            + (
-                (
-                    F.col("__rank")
-                    - 1
-                    - F.col("__r") * (F.col("__q") + 1)
-                )
-                / F.col("__q")
-            ).cast("long")
-            + 1
+            F.expr(
+                "__r + ((__rank - 1 - __r * (__q + 1)) div __q) + 1"
+            )
         ),
     ).drop("__rank", "__ntot", "__q", "__r")
 

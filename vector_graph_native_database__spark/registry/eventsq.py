@@ -1307,7 +1307,11 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("ts").alias("last_ts"),
             F.count("*").alias("freq"),
-            F.sum("value").alias("money"),
+            # value is nullable: a user whose events all carry NULL
+            # value must still land in the grid (money 0), not be
+            # dropped by attach_exact_ntile's non-null precondition —
+            # mirrored by coalesce(sum(value), 0) in the oracle.
+            F.coalesce(F.sum("value"), F.lit(0.0)).alias("money"),
         )
         .crossJoin(F.broadcast(anchor))
         .select(
@@ -1347,7 +1351,7 @@ per_user AS (
          date_diff('day', CAST(max(ts) AS DATE),
                    CAST((SELECT max_ts FROM anchor) AS DATE)) AS rec_days,
          count(*) AS freq,
-         floor(sum(value) * 1000000.0 + 0.5) AS money6
+         floor(coalesce(sum(value), 0) * 1000000.0 + 0.5) AS money6
   FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ),
 scored AS (

@@ -297,12 +297,24 @@ def commit_state(
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(state_dir, _CURRENT))
+        # Compare parsed integer suffixes, not raw names: lexicographic
+        # order silently misbehaves once versions outgrow the v%06d
+        # zero-padding (commit 1,000,000+).
+        def _vnum(d: str) -> int:
+            try:
+                return int(d[1:])
+            except ValueError:
+                return -1
+
         versions = sorted(
-            d
-            for d in os.listdir(state_dir)
-            if d.startswith("v")
-            and d <= version
-            and os.path.isdir(os.path.join(state_dir, d))
+            (
+                d
+                for d in os.listdir(state_dir)
+                if d.startswith("v")
+                and 0 <= _vnum(d) <= cur_n + 1
+                and os.path.isdir(os.path.join(state_dir, d))
+            ),
+            key=_vnum,
         )
         keep = set(versions[-max(keep_last, 1):])
         for entry in os.listdir(state_dir):
@@ -723,12 +735,25 @@ def list_state_versions(state_dir: str) -> list[str]:
     cur = _current_version(state_dir)
     if cur is None:
         return []
-    return [
-        d
-        for d in sorted(os.listdir(state_dir))
-        if d.startswith("v") and d <= cur
-        and os.path.isdir(os.path.join(state_dir, d))
-    ]
+
+    def _vnum(d: str) -> int:
+        try:
+            return int(d[1:])
+        except ValueError:
+            return -1
+
+    # Integer comparison, not lexicographic: names outgrow the v%06d
+    # zero-padding at commit 1,000,000 and raw-string order breaks.
+    cur_n = _vnum(cur)
+    return sorted(
+        (
+            d
+            for d in os.listdir(state_dir)
+            if d.startswith("v") and 0 <= _vnum(d) <= cur_n
+            and os.path.isdir(os.path.join(state_dir, d))
+        ),
+        key=_vnum,
+    )
 
 
 def read_state_version(
