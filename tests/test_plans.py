@@ -708,3 +708,17 @@ def test_watermark_lateness_single_pass_grid(spark):
     assert s["broadcast_nl_joins"] == 2, "grid must not join events"
     assert "Generate explode" in p, "grid rows come from explode"
     assert s["python_row_udfs"] == 0
+
+
+def test_minhash_verify_is_candidate_bounded(spark):
+    # jaccard_verify must semi-join-prune the shingle frame to
+    # candidate doc ids BEFORE the collect_set shuffle: without it
+    # the verify stage builds shingle sets for EVERY document —
+    # corpus-sized work for a candidate-sized answer at 100 TB
+    p = plan_of(spark, "dedup_minhash_lsh")
+    assert "LeftSemi" in p, "verify must prune to candidate ids"
+
+
+def test_incremental_lsh_verify_is_candidate_bounded(spark):
+    p = plan_of(spark, "dedup_incremental_lsh")
+    assert "LeftSemi" in p, "verify must prune to candidate ids"

@@ -12,8 +12,9 @@ Scale design:
 - MinHash+LSH: explode shingles once, cross a tiny (P rows) perm
   frame, per-(doc, perm) min — then band signatures so the candidate
   join is an equi-join on (band, signature), never an all-pairs
-  product. Verification joins collect_set shingle arrays only for
-  surviving candidates (bounded by doc length, not corpus size).
+  product. Verification semi-join-prunes the shingle frame to
+  candidate doc ids BEFORE building collect_set arrays, so the
+  verify shuffle is candidate-sized, never corpus-sized.
 - SimHash: per-token hash → 60 weighted bit contributions → sign
   aggregate; candidate pairs via banded 15-bit chunks (pigeonhole:
   hamming ≤ 3 ⇒ at least one of 4 chunks equal), hamming verified
@@ -154,12 +155,30 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    sh: DataFrame, pairs: DataFrame, threshold: float
+    sh: DataFrame, pairs: DataFrame, threshold: float,
+    stage_pairs: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for candidate pairs
-    → (id_a, id_b, jaccard ≥ threshold)."""
-    sets = sh.groupBy("id").agg(
-        F.collect_set("shingle").alias("s"), F.count("*").alias("n")
+    → (id_a, id_b, jaccard ≥ threshold).
+
+    The candidate frame is staged once (near-dup-sized — the bound
+    LSH banding exists to provide) and its id set semi-join-prunes
+    the shingle frame BEFORE the collect_set shuffle, so set building
+    is bounded by candidate docs, never corpus size. Without the
+    prune the verify stage shuffles every document's shingle set —
+    corpus-sized work for a candidate-sized answer.
+    """
+    if stage_pairs:
+        pairs = pairs.localCheckpoint(eager=True)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(cand_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("s"), F.count("*").alias("n"))
     )
     sa = sets.select(
         F.col("id").alias("id_a"), F.col("s").alias("sa"), F.col("n").alias("na")
@@ -243,9 +262,16 @@ def incremental_lsh_dedup(
         i.join(c, (i["band"] == c["band"]) & (i["sig_i"] == c["sig_c"]))
         .select("id_inc", "id_corpus")
         .distinct()
+        .localCheckpoint(eager=True)  # near-dup-sized; read twice below
+    )
+    cand_ids = (
+        cand.select(F.col("id_inc").alias("id"))
+        .unionByName(cand.select(F.col("id_corpus").alias("id")))
+        .distinct()
     )
     sets = (
         sh_c.unionByName(sh_i)
+        .join(cand_ids, "id", "left_semi")  # candidate-bounded verify
         .groupBy("id")
         .agg(F.collect_set("shingle").alias("s"), F.count("*").alias("n"))
     )
