@@ -35,6 +35,14 @@ TABLES = (
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Heavy sf1 oracles (within-cluster pairwise cosine, recursive
+    # reach) need tens of GB of workspace: pin the budget high so
+    # DuckDB prefers RAM, spill OUTSIDE the repo tree, and bound the
+    # spill so a runaway oracle fails its own entry instead of
+    # filling the device for everyone (the round-7 battery crash).
+    con.execute("PRAGMA memory_limit='96GB'")
+    con.execute("PRAGMA temp_directory='/tmp/duckdb_spill'")
+    con.execute("PRAGMA max_temp_directory_size='50GiB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
