@@ -1529,24 +1529,27 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_semdedup"] = q_dedup_semdedup
 
 # The kmeans chain (shared with embedding_kmeans) feeding a
-# within-cluster exact-cosine drop rule.
+# within-cluster exact-cosine drop rule. The e/af/dropped CTEs are
+# each referenced more than once: without MATERIALIZED DuckDB
+# re-inlines the whole Lloyd chain per reference, which at sf1 turns
+# a minutes-long oracle into an hour (round-7 battery finding).
+# na = sqrt(list_dot_product(v, v)) IS e.vv's sqrt — reusing the
+# staged vv is the identical double, 3× fewer dot products per pair.
 ORACLES["dedup_semdedup"] = (
     ORACLE_PRELUDE
     + _ivf_ctes(8, 2, 2)
+    .replace("\ne AS (", "\ne AS MATERIALIZED (")
+    .replace("\naf AS (", "\naf AS MATERIALIZED (")
     + f""",
-dropped AS (
+dropped AS MATERIALIZED (
   SELECT DISTINCT b.id
   FROM af a
   JOIN af b ON a.cidx = b.cidx
        AND CAST(a.id AS BIGINT) < CAST(b.id AS BIGINT)
   JOIN e ea ON ea.id = a.id
   JOIN e eb ON eb.id = b.id
-  CROSS JOIN LATERAL (
-    SELECT list_dot_product(ea.v, eb.v) AS d,
-           sqrt(list_dot_product(ea.v, ea.v)) AS na,
-           sqrt(list_dot_product(eb.v, eb.v)) AS nb
-  ) t
-  WHERE CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb)
+  WHERE CASE WHEN ea.vv > 0 AND eb.vv > 0
+        THEN list_dot_product(ea.v, eb.v) / (sqrt(ea.vv) * sqrt(eb.vv))
         ELSE 0.0 END >= {SEMDEDUP_TAU}
 )
 SELECT f.id, f.cidx AS cluster,
@@ -1926,11 +1929,18 @@ def q_dedup_semdedup_central(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_semdedup_central"] = q_dedup_semdedup_central
 
+# MATERIALIZED is load-bearing here: `sym` sits INSIDE the recursive
+# reach member, so an inlined `sym` re-evaluates prs (the within-
+# cluster cosine pair join) plus the whole Lloyd chain on EVERY
+# fixpoint iteration — the round-7 sf1 battery found this oracle
+# grinding for an hour at 90 GB RSS. Materialized once, it's minutes.
 ORACLES["dedup_semdedup_central"] = (
     ORACLE_PRELUDE
     + _ivf_ctes(8, 2, 2)
+    .replace("\ne AS (", "\ne AS MATERIALIZED (")
+    .replace("\naf AS (", "\naf AS MATERIALIZED (")
     + f""",
-dists AS (
+dists AS MATERIALIZED (
   SELECT id, cidx AS cluster,
          floor(dist * 1000000.0 + 0.5) / 1000000.0 AS dist
   FROM (
@@ -1943,22 +1953,18 @@ dists AS (
     FROM e t CROSS JOIN cf c
   ) WHERE rn = 1
 ),
-prs AS (
+prs AS MATERIALIZED (
   SELECT a.id AS id_a, b.id AS id_b
   FROM af a
   JOIN af b ON a.cidx = b.cidx AND a.id < b.id
   JOIN e ea ON ea.id = a.id
   JOIN e eb ON eb.id = b.id
-  CROSS JOIN LATERAL (
-    SELECT list_dot_product(ea.v, eb.v) AS d,
-           sqrt(list_dot_product(ea.v, ea.v)) AS na,
-           sqrt(list_dot_product(eb.v, eb.v)) AS nb
-  ) t
-  WHERE CASE WHEN na > 0 AND nb > 0 THEN d / (na * nb)
+  WHERE CASE WHEN ea.vv > 0 AND eb.vv > 0
+        THEN list_dot_product(ea.v, eb.v) / (sqrt(ea.vv) * sqrt(eb.vv))
         ELSE 0.0 END >= {SEMDEDUP_TAU}
 ),
 verts AS (SELECT id_a AS id FROM prs UNION SELECT id_b AS id FROM prs),
-sym AS (
+sym AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM prs
   UNION SELECT id_b AS src, id_a AS dst FROM prs
 ),
@@ -1967,7 +1973,8 @@ reach AS (
   UNION
   SELECT r.root, s.dst AS node FROM reach r JOIN sym s ON s.src = r.node
 ),
-comp AS (SELECT root AS id, min(node) AS grp FROM reach GROUP BY root),
+comp AS MATERIALIZED (
+  SELECT root AS id, min(node) AS grp FROM reach GROUP BY root),
 grouped AS (
   SELECT c.id, d.cluster, c.grp,
          CASE WHEN row_number() OVER (
