@@ -117,7 +117,17 @@ def main() -> int:
             remaining_after_cut = True
             break
         t0 = time.time()
-        sdf = fn(spark, sf_dir).toPandas()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # engine-side error: record, move on
+            print(f"  {name:28s} FAIL engine: {type(exc).__name__}: "
+                  f"{str(exc)[:200]} [{time.time()-t0:.1f}s]", flush=True)
+            n_compared += 1
+            failed.append(name)
+            if resume_path:
+                with open(resume_path, "a") as fh:
+                    fh.write(f"{name} FAIL\n")
+            continue
         if name not in os_:
             print(f"  {name:28s} rows={len(sdf):6d}  (rows-only, no oracle) "
                   f"[{time.time()-t0:.1f}s]", flush=True)
@@ -135,7 +145,25 @@ def main() -> int:
         if n_run % 25 == 0:
             con.close()
             con = duck_con(sf_dir)
-        odf = con.sql(os_[name]).df()
+        try:
+            odf = con.sql(os_[name]).df()
+        except Exception as exc:
+            # One doomed oracle (OOM, spill cap, interrupt) must fail
+            # its OWN entry, not the battery: record, rebuild the
+            # connection (it may be poisoned), continue.
+            print(f"  {name:28s} FAIL oracle: {type(exc).__name__}: "
+                  f"{str(exc)[:200]} [{time.time()-t0:.1f}s]", flush=True)
+            n_compared += 1
+            failed.append(name)
+            if resume_path:
+                with open(resume_path, "a") as fh:
+                    fh.write(f"{name} FAIL\n")
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = duck_con(sf_dir)
+            continue
         a, b = canon(sdf), canon(odf)
         ok = True
         why = ""

@@ -2164,12 +2164,18 @@ def q_dedup_jaccard_prefix_filter(
 
 
 QUERIES["dedup_jaccard_prefix_filter"] = q_dedup_jaccard_prefix_filter
+# MATERIALIZED throughout: sh3 is referenced five times and each
+# scalar subquery otherwise re-inlines its whole CTE chain — at sf1
+# the re-evaluated shingle self-joins ground past the spill cap
+# (round-7 battery finding). The inter→matches chain derives
+# n_matches from full_pairs' groupBy rather than a third self-join.
 ORACLES["dedup_jaccard_prefix_filter"] = (
     ORACLE_PRELUDE
     + _TOKS
-    + _sh_cte(3, "sh3")
+    + _sh_cte(3, "sh3").replace("\nsh3 AS (", "\nsh3 AS MATERIALIZED (")
     + """,
-sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh3 GROUP BY id),
+sizes AS MATERIALIZED (
+  SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh3 GROUP BY id),
 freq AS (SELECT shingle, count(*) AS df_ FROM sh3 GROUP BY shingle),
 ranked AS (
   SELECT s.id, s.shingle,
@@ -2180,27 +2186,23 @@ ranked AS (
   JOIN sizes z ON z.id = s.id
 ),
 prefix AS (SELECT id, shingle FROM ranked WHERE rn <= plen),
-full_pairs AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.id < b.id
-),
-cand_prefix AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.id < b.id
-),
-inter AS (
+inter AS MATERIALIZED (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
   FROM sh3 a JOIN sh3 b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY a.id, b.id
 ),
-matches AS (
+cand_prefix AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.id < b.id
+),
+matches AS MATERIALIZED (
   SELECT i.id_a, i.id_b
   FROM inter i JOIN sizes x ON x.id = i.id_a
   JOIN sizes y ON y.id = i.id_b
   WHERE 2 * i.c >= x.n + y.n - i.c
 )
 SELECT
-  (SELECT CAST(count(*) AS BIGINT) FROM full_pairs) AS n_pairs_full,
+  (SELECT CAST(count(*) AS BIGINT) FROM inter) AS n_pairs_full,
   (SELECT CAST(count(*) AS BIGINT) FROM cand_prefix) AS n_pairs_prefix,
   (SELECT CAST(count(*) AS BIGINT) FROM matches) AS n_matches,
   (SELECT CAST(count(*) AS BIGINT)
