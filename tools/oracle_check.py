@@ -120,6 +120,13 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # engine-side error: record, move on
+            if "stopped SparkContext" in str(exc):
+                # The JVM is gone — nothing after this can run. Exit
+                # as a checkpoint WITHOUT recording this entry so the
+                # wrapper's fresh process retries it for real.
+                print(f"  {name:28s} SKIP session dead — chunk restart",
+                      flush=True)
+                return 3
             print(f"  {name:28s} FAIL engine: {type(exc).__name__}: "
                   f"{str(exc)[:200]} [{time.time()-t0:.1f}s]", flush=True)
             n_compared += 1
