@@ -840,24 +840,28 @@ def _minhash_sweep_oracle() -> str:
     from .common import ORACLE_PRELUDE
     from .pipelineq import _H60, _TOKS, _sh_cte
 
+    # MATERIALIZED throughout: without it DuckDB re-inlines sh/mh/
+    # intr/truth/cand{r} per reference — the three sweep points'
+    # scalar subqueries replayed the shingle self-join ~7 times and
+    # blew the 50GiB spill cap at sf1 (round-7 battery finding).
     base = (
         ORACLE_PRELUDE
         + _TOKS
-        + _sh_cte(2, "sh")
+        + _sh_cte(2, "sh").replace("\nsh AS (", "\nsh AS MATERIALIZED (")
         + f""",
 perms AS (SELECT unnest(generate_series(0, 11)) AS perm),
-mh AS (
+mh AS MATERIALIZED (
   SELECT s.id, p.perm,
          min({_H60.format(x="p.perm || '|' || s.shingle")}) AS minhash
   FROM sh s CROSS JOIN perms p GROUP BY s.id, p.perm
 ),
-szs AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-intr AS (
+szs AS MATERIALIZED (SELECT id, count(*) AS n FROM sh GROUP BY id),
+intr AS MATERIALIZED (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY a.id, b.id
 ),
-truth AS (
+truth AS MATERIALIZED (
   SELECT i.id_a, i.id_b FROM intr i
   JOIN szs x ON x.id = i.id_a JOIN szs y ON y.id = i.id_b
   WHERE i.i * 1.0 / (x.n + y.n - i.i) >= 0.8
@@ -866,12 +870,12 @@ truth AS (
     selects = []
     for r in MINHASH_SWEEP_ROWS:
         base += f""",
-banded{r} AS (
+banded{r} AS MATERIALIZED (
   SELECT id, perm // {r} AS band,
          string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm) AS sig
   FROM mh GROUP BY id, perm // {r}
 ),
-cand{r} AS (
+cand{r} AS MATERIALIZED (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM banded{r} a JOIN banded{r} b
     ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
