@@ -40,9 +40,20 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # DuckDB prefers RAM, spill OUTSIDE the repo tree, and bound the
     # spill so a runaway oracle fails its own entry instead of
     # filling the device for everyone (the round-7 battery crash).
-    con.execute("PRAGMA memory_limit='96GB'")
-    con.execute("PRAGMA temp_directory='/tmp/duckdb_spill'")
-    con.execute("PRAGMA max_temp_directory_size='50GiB'")
+    # Env-overridable so parallel battery workers can split the box
+    # instead of each claiming the whole budget.
+    con.execute(
+        "PRAGMA memory_limit="
+        f"'{os.environ.get('ORACLE_DUCK_MEM', '96GB')}'"
+    )
+    con.execute(
+        "PRAGMA temp_directory="
+        f"'{os.environ.get('ORACLE_DUCK_TMP', '/tmp/duckdb_spill')}'"
+    )
+    con.execute(
+        "PRAGMA max_temp_directory_size="
+        f"'{os.environ.get('ORACLE_DUCK_SPILL_MAX', '50GiB')}'"
+    )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -68,6 +79,8 @@ def main() -> int:
     argv = sys.argv[1:]
     resume_path = None
     max_entries = None
+    stride = 1
+    offset = 0
     pos = []
     i = 0
     while i < len(argv):
@@ -76,6 +89,15 @@ def main() -> int:
             i += 2
         elif argv[i] == "--max":
             max_entries = int(argv[i + 1])
+            i += 2
+        elif argv[i] == "--stride":
+            # Partition the registry across parallel workers: this
+            # worker compares entries whose registry index satisfies
+            # idx % stride == offset. Workers share one resume file.
+            stride = int(argv[i + 1])
+            i += 2
+        elif argv[i] == "--offset":
+            offset = int(argv[i + 1])
             i += 2
         else:
             pos.append(argv[i])
@@ -108,7 +130,9 @@ def main() -> int:
     n_run = 0
     n_compared = 0
     remaining_after_cut = False
-    for name, fn in qs.items():
+    for idx, (name, fn) in enumerate(qs.items()):
+        if idx % stride != offset:
+            continue
         if only and name not in only:
             continue
         if name in done_ok:
