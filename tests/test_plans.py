@@ -614,10 +614,11 @@ def test_rfm_segments_no_global_ntile_window(spark):
 
 
 def test_minhash_band_sweep_stages_signatures_once(spark):
-    # shingles/signatures/truth are eagerly staged; every sweep point
-    # is an equi-join over the staged frames — the final plan must
-    # contain ZERO parquet scans (a re-scan means a banding replayed
-    # the corpus) and no nested-loop join anywhere
+    # signatures/truth are eagerly staged (the shingle frame is NOT —
+    # it is single-use and corpus×shingles blocks OOM at sf1); every
+    # sweep point is an equi-join over the staged frames — the final
+    # plan must contain ZERO parquet scans (a re-scan means a banding
+    # replayed the corpus) and no nested-loop join anywhere
     s = plan_summary(
         registry.all_queries()["dedup_minhash_band_sweep"](spark, SF)
     )

@@ -772,18 +772,21 @@ def q_dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     and recall is monotone nonincreasing in rows_per_band by
     construction — pytest-pinned.
 
-    Scale shape: shingles, signatures, and truth are each staged
-    once; every sweep point is one banded equi-join plus a
-    pair-key full-outer comparison over near-dup-sized frames."""
+    Scale shape: signatures and truth are each staged once; every
+    sweep point is one banded equi-join plus a pair-key full-outer
+    comparison over near-dup-sized frames. The exploded shingle
+    frame is deliberately NOT checkpointed: it is consumed exactly
+    once by the signature build (the truth path recomputes its own
+    shingles from nodes), and materializing corpus×shingles blocks
+    — tens of GB at 500k docs — OOMed an 8 GB heap at sf1 for zero
+    reuse (round-7 battery finding)."""
     from functools import reduce
 
     from ..operators import dedup
     from .common import model
 
     nodes, _, _ = model(spark, sf_dir)
-    sh = dedup.shingles(nodes, "id", "text", k=2).localCheckpoint(
-        eager=True
-    )
+    sh = dedup.shingles(nodes, "id", "text", k=2)
     sig = dedup.minhash_signatures(sh, 12).localCheckpoint(eager=True)
     truth = (
         dedup.ngram_jaccard_pairs(nodes, k=2, threshold=0.8)
