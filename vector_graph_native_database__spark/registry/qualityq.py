@@ -772,43 +772,93 @@ def q_dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     and recall is monotone nonincreasing in rows_per_band by
     construction — pytest-pinned.
 
-    Scale shape: signatures and truth are each staged once; every
-    sweep point is one banded equi-join plus a pair-key full-outer
-    comparison over near-dup-sized frames. The exploded shingle
-    frame is deliberately NOT checkpointed: it is consumed exactly
-    once by the signature build (the truth path recomputes its own
-    shingles from nodes), and materializing corpus×shingles blocks
-    — tens of GB at 500k docs — OOMed an 8 GB heap at sf1 for zero
-    reuse (round-7 battery finding)."""
+    Scale shape: CONTENT-INTERNED. Jaccard, minhash signatures, and
+    band membership are all pure functions of the text, so the whole
+    sweep runs over DISTINCT contents (group ids by text, keep a
+    representative + multiplicity) and id-level pair counts are
+    recovered arithmetically: cnt_a·cnt_b per cross-content pair
+    plus Σ cnt·(cnt−1)/2 for same-content pairs (identical contents
+    have Jaccard 1 and collide in every band, so that mass belongs
+    to truth, candidates, AND hits at every sweep point — it rides
+    along as one synthetic pair row on both join sides). The naive
+    id-level k=2 postings self-join is quadratic in duplication —
+    at the 10× sf1 replica the 931-bigram vocabulary drives its
+    output past 7.8e9 rows and OOMs an 8 GB heap — while the
+    interned plan is invariant to duplication: exactly the dedupe-
+    then-compare design a 100 TB corpus with verbatim dupes needs.
+    Signatures, truth, and the same-content mass are each staged
+    once; every sweep point is one banded equi-join plus a pair-key
+    full-outer comparison over near-dup-sized content frames."""
     from functools import reduce
 
     from ..operators import dedup
     from .common import model
 
     nodes, _, _ = model(spark, sf_dir)
-    sh = dedup.shingles(nodes, "id", "text", k=2)
+    reps = (
+        nodes.groupBy("text")
+        .agg(
+            F.min("id").alias("id"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sh = dedup.shingles(reps, "id", "text", k=2)
     sig = dedup.minhash_signatures(sh, 12).localCheckpoint(eager=True)
+    wa = reps.select(F.col("id").alias("id_a"), F.col("cnt").alias("cnt_a"))
+    wb = reps.select(F.col("id").alias("id_b"), F.col("cnt").alias("cnt_b"))
+    # Same-content pair mass, restricted to contents that actually
+    # produce shingles (shingle-less docs never sign, band, or pair).
+    same = (
+        reps.join(sh.select("id").distinct(), "id", "left_semi")
+        .agg(
+            F.coalesce(F.sum(F.expr("cnt * (cnt - 1) div 2")), F.lit(0))
+            .cast("long")
+            .alias("w")
+        )
+        .select(
+            F.lit("__same").alias("id_a"),
+            F.lit("__same").alias("id_b"),
+            "w",
+        )
+        .localCheckpoint(eager=True)
+    )
     truth = (
-        dedup.ngram_jaccard_pairs(nodes, k=2, threshold=0.8)
-        .select("id_a", "id_b", F.lit(1).alias("__ex"))
+        dedup.ngram_jaccard_pairs(reps, k=2, threshold=0.8)
+        .join(wa, "id_a")
+        .join(wb, "id_b")
+        .select(
+            "id_a", "id_b", (F.col("cnt_a") * F.col("cnt_b")).alias("w")
+        )
+        .unionByName(same)
         .localCheckpoint(eager=True)
     )
     rows = []
     for r in MINHASH_SWEEP_ROWS:
-        cand = dedup.lsh_candidate_pairs(sig, rows_per_band=r).select(
-            "id_a", "id_b", F.lit(1).alias("__ca")
+        cand = (
+            dedup.lsh_candidate_pairs(sig, rows_per_band=r)
+            .join(wa, "id_a")
+            .join(wb, "id_b")
+            .select(
+                "id_a", "id_b", (F.col("cnt_a") * F.col("cnt_b")).alias("w")
+            )
+            .unionByName(same)
         )
-        j = truth.join(cand, ["id_a", "id_b"], "full_outer")
+        j = truth.select("id_a", "id_b", F.col("w").alias("w_ex")).join(
+            cand.select("id_a", "id_b", F.col("w").alias("w_ca")),
+            ["id_a", "id_b"],
+            "full_outer",
+        )
         rows.append(
             j.agg(
-                F.sum(F.coalesce("__ex", F.lit(0))).alias("n_exact"),
-                F.sum(F.coalesce("__ca", F.lit(0))).alias("n_candidates"),
+                F.sum(F.coalesce("w_ex", F.lit(0))).alias("n_exact"),
+                F.sum(F.coalesce("w_ca", F.lit(0))).alias("n_candidates"),
                 F.sum(
                     F.when(
-                        F.col("__ex").isNotNull()
-                        & F.col("__ca").isNotNull(),
-                        1,
-                    ).otherwise(0)
+                        F.col("w_ex").isNotNull()
+                        & F.col("w_ca").isNotNull(),
+                        F.col("w_ex"),
+                    ).otherwise(F.lit(0))
                 ).alias("n_hits"),
             ).select(
                 F.lit(r).cast("int").alias("rows_per_band"),
@@ -841,15 +891,32 @@ def q_dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sweep_oracle() -> str:
     from .common import ORACLE_PRELUDE
-    from .pipelineq import _H60, _TOKS, _sh_cte
+    from .pipelineq import _H60, _sh_cte
 
-    # MATERIALIZED throughout: without it DuckDB re-inlines sh/mh/
-    # intr/truth/cand{r} per reference — the three sweep points'
-    # scalar subqueries replayed the shingle self-join ~7 times and
-    # blew the 50GiB spill cap at sf1 (round-7 battery finding).
+    # CONTENT-INTERNED, mirroring the engine: every per-doc quantity
+    # is a pure function of text, so the oracle groups ids by text
+    # first (reps: representative id + multiplicity), runs shingles/
+    # minhash/truth/banding over distinct contents, and recovers
+    # id-level pair counts as cnt_a*cnt_b per cross-content pair plus
+    # sum(cnt*(cnt-1)/2) same-content mass (present in truth,
+    # candidates, and hits alike). The naive id-level k=2 self-join
+    # is quadratic in duplication (931 distinct bigrams -> 7.8e9
+    # join rows at the 10x sf1 replica, past any spill budget);
+    # interned, the oracle is duplication-invariant.
+    # MATERIALIZED throughout: without it DuckDB re-inlines the CTEs
+    # per reference and replays the shingle self-join ~7 times
+    # (round-7 battery finding).
     base = (
         ORACLE_PRELUDE
-        + _TOKS
+        + r""",
+reps AS MATERIALIZED (
+  SELECT min(id) AS id, text, CAST(count(*) AS BIGINT) AS cnt
+  FROM nodes GROUP BY text
+),
+toks AS (
+  SELECT id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM reps
+)"""
         + _sh_cte(2, "sh").replace("\nsh AS (", "\nsh AS MATERIALIZED (")
         + f""",
 perms AS (SELECT unnest(generate_series(0, 11)) AS perm),
@@ -864,9 +931,15 @@ intr AS MATERIALIZED (
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY a.id, b.id
 ),
-truth AS MATERIALIZED (
-  SELECT i.id_a, i.id_b FROM intr i
+samew AS MATERIALIZED (
+  SELECT COALESCE(sum(cnt * (cnt - 1) // 2), 0) AS w
+  FROM reps WHERE id IN (SELECT DISTINCT id FROM sh)
+),
+truthw AS MATERIALIZED (
+  SELECT i.id_a, i.id_b, ra.cnt * rb.cnt AS w
+  FROM intr i
   JOIN szs x ON x.id = i.id_a JOIN szs y ON y.id = i.id_b
+  JOIN reps ra ON ra.id = i.id_a JOIN reps rb ON rb.id = i.id_b
   WHERE i.i * 1.0 / (x.n + y.n - i.i) >= 0.8
 )"""
     )
@@ -878,16 +951,22 @@ banded{r} AS MATERIALIZED (
          string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm) AS sig
   FROM mh GROUP BY id, perm // {r}
 ),
-cand{r} AS MATERIALIZED (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM banded{r} a JOIN banded{r} b
-    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+candw{r} AS MATERIALIZED (
+  SELECT c.id_a, c.id_b, ra.cnt * rb.cnt AS w
+  FROM (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded{r} a JOIN banded{r} b
+          ON a.band = b.band AND a.sig = b.sig AND a.id < b.id) c
+  JOIN reps ra ON ra.id = c.id_a JOIN reps rb ON rb.id = c.id_b
 ),
 st{r} AS (
-  SELECT (SELECT count(*) FROM truth) AS n_exact,
-         (SELECT count(*) FROM cand{r}) AS n_candidates,
-         (SELECT count(*) FROM cand{r} c
-          JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_hits
+  SELECT (SELECT w FROM samew)
+           + (SELECT COALESCE(sum(w), 0) FROM truthw) AS n_exact,
+         (SELECT w FROM samew)
+           + (SELECT COALESCE(sum(w), 0) FROM candw{r}) AS n_candidates,
+         (SELECT w FROM samew)
+           + (SELECT COALESCE(sum(t.w), 0) FROM candw{r} c
+              JOIN truthw t
+                ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_hits
 )"""
         selects.append(
             f"""SELECT CAST({r} AS INTEGER) AS rows_per_band,
