@@ -81,6 +81,7 @@ def main() -> int:
     max_entries = None
     stride = 1
     offset = 0
+    reverse = False
     pos = []
     i = 0
     while i < len(argv):
@@ -99,6 +100,12 @@ def main() -> int:
         elif argv[i] == "--offset":
             offset = int(argv[i + 1])
             i += 2
+        elif argv[i] == "--reverse":
+            # Walk the registry tail-first: lets a helper worker eat
+            # a straggler's partition from the other end (shared
+            # resume file bounds duplicated work to one entry).
+            reverse = True
+            i += 1
         else:
             pos.append(argv[i])
             i += 1
@@ -130,7 +137,10 @@ def main() -> int:
     n_run = 0
     n_compared = 0
     remaining_after_cut = False
-    for idx, (name, fn) in enumerate(qs.items()):
+    items = list(enumerate(qs.items()))
+    if reverse:
+        items.reverse()
+    for idx, (name, fn) in items:
         if idx % stride != offset:
             continue
         if only and name not in only:
