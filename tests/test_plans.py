@@ -723,3 +723,16 @@ def test_minhash_verify_is_candidate_bounded(spark):
 def test_incremental_lsh_verify_is_candidate_bounded(spark):
     p = plan_of(spark, "dedup_incremental_lsh")
     assert "LeftSemi" in p, "verify must prune to candidate ids"
+
+
+def test_bm25_hard_negatives_deduped_interns_first(spark):
+    # the duplication-robust miner must dedup by content BEFORE any
+    # scoring: the plan shows the keeper semi-join, no python udfs,
+    # and no cartesian product anywhere (the pool/positive joins are
+    # key equi-joins + one |Q|-row broadcast)
+    df = registry.all_queries()["bm25_hard_negatives_deduped"](spark, SF)
+    p = plan_string(df)
+    s = plan_summary(df)
+    assert "LeftSemi" in p, "corpus must be keeper-pruned before scoring"
+    assert "CartesianProduct" not in p
+    assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0

@@ -751,3 +751,114 @@ SELECT qid, id, score, rnk FROM (
 
 QUERIES["bm25_hard_negatives"] = q_bm25_hard_negatives
 ORACLES["bm25_hard_negatives"] = _bm25_hard_negatives_oracle()
+
+
+def q_bm25_hard_negatives_deduped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplication-robust lexical hard negatives → (qid, id, score,
+    rnk): EXACT-DEDUP the corpus first (content keeper = min id per
+    text, the exact_dedup contract), recompute the BM25 statistics
+    (df, N, avgdl) over keepers — the honest post-dedup collection
+    stats — then mine exactly as bm25_hard_negatives.
+
+    Motivated by the round-7 sf10 finding (SCALING.md): on a corpus
+    with 100 verbatim replicas per doc, the contract-bounded top-50
+    pool fills with identical-score copies sharing the positive's
+    source and the cross-source filter STARVES (bm25_hard_negatives
+    returns 0 rows at 100× duplication). Mining after dedup is
+    duplication-invariant by construction — the pipeline-ordering
+    lesson (dedup BEFORE mining) as an oracled entry.
+
+    Scale shape: bm25_hard_negatives plus one content groupBy and a
+    keeper semi-join; everything downstream runs on the deduped
+    corpus, which only shrinks."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    nodes, _, _ = model(spark, sf_dir)
+    keepers = nodes.groupBy("text").agg(F.min("id").alias("id"))
+    reps = nodes.join(keepers.select("id"), "id", "left_semi")
+    pool = bm25.bm25_topk_multi(
+        reps,
+        BM25_MULTI_QUERIES,
+        top_k=BM25_NEG_POOL,
+        round_scores=6,
+        stats=bm25.staged_index(reps),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+    ranked = pool.withColumn("rn", F.row_number().over(w)).join(
+        reps.select("id", "source"), "id"
+    )
+    pos = ranked.filter(F.col("rn") == 1).select(
+        "qid", F.col("source").alias("psrc")
+    )
+    negs = (
+        ranked.filter(F.col("rn") > 1)
+        .join(F.broadcast(pos), "qid")
+        .filter(F.col("source") != F.col("psrc"))
+    )
+    return (
+        negs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "id", "score", "rnk")
+    )
+
+
+def _bm25_hard_negatives_deduped_oracle() -> str:
+    from collections import Counter
+
+    vals = ", ".join(
+        f"('{qid}', '{tok}', {cnt})"
+        for qid, text in sorted(BM25_MULTI_QUERIES.items())
+        for tok, cnt in sorted(Counter(text.lower().split()).items())
+    )
+    return (
+        ORACLE_PRELUDE
+        + """,
+reps AS MATERIALIZED (
+  SELECT n.* FROM nodes n
+  JOIN (SELECT min(id) AS id FROM nodes GROUP BY text) k ON k.id = n.id
+)"""
+        + _BM25_STATS_CTES.replace("FROM nodes", "FROM reps")
+        + f""",
+qt AS (SELECT * FROM (VALUES {vals}) v(qid, tok, qcnt)),
+contrib AS (
+  SELECT qt.qid, tf.id,
+         round(sum(qt.qcnt * idf.idf * (tf.tf * (1.5 + 1))
+             / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))), 6)
+           AS score
+  FROM tf
+  JOIN qt USING (tok)
+  JOIN idf USING (tok)
+  JOIN dl USING (id), avgdl
+  GROUP BY qt.qid, tf.id
+),
+pool AS (
+  SELECT qid, id, score, rn FROM (
+    SELECT qid, id, score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, id ASC) AS rn
+    FROM contrib WHERE score > 0
+  ) WHERE rn <= {BM25_NEG_POOL}
+),
+ps AS (
+  SELECT p.qid, n.source AS psrc
+  FROM pool p JOIN reps n ON n.id = p.id WHERE p.rn = 1
+)
+SELECT qid, id, score, rnk FROM (
+  SELECT p.qid, p.id, p.score,
+         row_number() OVER (PARTITION BY p.qid
+                            ORDER BY p.score DESC, p.id ASC) AS rnk
+  FROM pool p
+  JOIN reps n ON n.id = p.id
+  JOIN ps ON ps.qid = p.qid
+  WHERE p.rn > 1 AND n.source <> ps.psrc
+) WHERE rnk <= 5"""
+    )
+
+
+QUERIES["bm25_hard_negatives_deduped"] = q_bm25_hard_negatives_deduped
+ORACLES["bm25_hard_negatives_deduped"] = (
+    _bm25_hard_negatives_deduped_oracle()
+)
