@@ -261,6 +261,7 @@ HEADLINE = CANARY + [
     "ann_filtered_nprobe_sweep",
     "ann_hard_negatives",
     "bm25_hard_negatives",
+    "bm25_hard_negatives_deduped",
     "ann_ivf_cell_stats",
     "events_power_analysis",
     "events_rfm_segments",
