@@ -109,6 +109,16 @@ def main() -> int:
         else:
             pos.append(argv[i])
             i += 1
+    if stride < 1 or not (0 <= offset < stride):
+        # A bad partition (offset >= stride, or duplicated offsets)
+        # would silently skip entries yet still print ALL OK — fail
+        # loudly instead of green-lighting an empty scope.
+        print(
+            f"ERROR: require 0 <= offset < stride, got "
+            f"--stride {stride} --offset {offset}",
+            file=sys.stderr,
+        )
+        return 2
     sf_dir = pos[0] if pos else "/root/testdata/sf0.01"
     only = set(pos[1:])
 
@@ -233,7 +243,16 @@ def main() -> int:
               + (f" (failed so far: {', '.join(failed)})" if failed else ""))
         return 3
     failed = sorted(set(failed) | prior_fails)
-    print(f"\n{'ALL OK' if not failed else 'FAILED: ' + ', '.join(failed)}")
+    in_scope = sum(
+        1
+        for idx, (name, _) in enumerate(qs.items())
+        if idx % stride == offset and (not only or name in only)
+    )
+    print(
+        f"\npartition {offset + 1}/{stride}: {in_scope} entries in scope, "
+        f"{n_compared} compared this run"
+    )
+    print(f"{'ALL OK' if not failed else 'FAILED: ' + ', '.join(failed)}")
     return 1 if failed else 0
 
 

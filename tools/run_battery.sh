@@ -11,6 +11,19 @@
 set -u
 sf="$1"
 resume="$2"
+# CHUNK and LOG are positional; a flag (leading '-') in their slot
+# means the caller skipped them — refuse rather than feed '--stride'
+# to --max and crash oracle_check on int() every loop iteration.
+case "${3:-}" in -*)
+  echo "usage: run_battery.sh SF_DIR RESUME [CHUNK] [LOG] [EXTRA...]" >&2
+  echo "  (supply CHUNK and LOG positionally before any --flags)" >&2
+  exit 2 ;;
+esac
+case "${4:-}" in -*)
+  echo "usage: run_battery.sh SF_DIR RESUME [CHUNK] [LOG] [EXTRA...]" >&2
+  echo "  (supply CHUNK and LOG positionally before any --flags)" >&2
+  exit 2 ;;
+esac
 chunk="${3:-30}"
 log="${4:-/dev/stdout}"
 shift $(( $# > 4 ? 4 : $# ))

@@ -1046,7 +1046,7 @@ def q_dedup_token_cost_by_source(
 
 
 QUERIES["dedup_token_cost_by_source"] = q_dedup_token_cost_by_source
-ORACLES["dedup_token_cost_by_source"] = f"""
+ORACLES["dedup_token_cost_by_source"] = rf"""
 WITH ca AS ({ORACLES["dedup_cluster_assign"]}),
 nodes2 AS (
   SELECT CAST(doc_id AS VARCHAR) AS id, text, source FROM documents

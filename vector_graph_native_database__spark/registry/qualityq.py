@@ -816,6 +816,9 @@ def q_dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("w")
         )
+        # Sentinel key unioned with real pair rows below. Collision
+        # assumption: real ids are stringified numeric doc_ids, so a
+        # non-numeric key like "__same" can never equal one.
         .select(
             F.lit("__same").alias("id_a"),
             F.lit("__same").alias("id_b"),

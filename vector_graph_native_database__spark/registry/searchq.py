@@ -196,17 +196,25 @@ BM25_MULTI_QUERIES = {
     "q3": "dup the merge merge",
 }
 
-_BM25_STATS_CTES = f""",
-toks AS (SELECT id, unnest({_TOK}) AS tok FROM nodes),
-dl AS (SELECT id, len({_TOK}) AS dl FROM nodes),
+def _bm25_stats_ctes(src: str = "nodes") -> str:
+    """The shared BM25 corpus-statistics CTE block, parameterized by
+    the source table/CTE (``nodes`` for the full corpus, ``reps`` for
+    a deduped representative set) so variants never rely on textual
+    rewriting of the SQL."""
+    return f""",
+toks AS (SELECT id, unnest({_TOK}) AS tok FROM {src}),
+dl AS (SELECT id, len({_TOK}) AS dl FROM {src}),
 tf AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY id, tok),
 dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {src}),
 rawidf AS (SELECT tok, ln(n - df + 0.5) - ln(df + 0.5) AS raw FROM dfreq, nn),
 avgidf AS (SELECT avg(raw) AS a FROM rawidf),
 idf AS (SELECT tok, CASE WHEN raw < 0 THEN 0.25 * a ELSE raw END AS idf
         FROM rawidf, avgidf),
 avgdl AS (SELECT avg(dl) AS avgdl FROM dl)"""
+
+
+_BM25_STATS_CTES = _bm25_stats_ctes()
 
 _BM25_CTES = _BM25_STATS_CTES + f""",
 qt AS (SELECT tok, count(*) AS qcnt
@@ -820,7 +828,7 @@ reps AS MATERIALIZED (
   SELECT n.* FROM nodes n
   JOIN (SELECT min(id) AS id FROM nodes GROUP BY text) k ON k.id = n.id
 )"""
-        + _BM25_STATS_CTES.replace("FROM nodes", "FROM reps")
+        + _bm25_stats_ctes(src="reps")
         + f""",
 qt AS (SELECT * FROM (VALUES {vals}) v(qid, tok, qcnt)),
 contrib AS (
