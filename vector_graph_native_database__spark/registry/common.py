@@ -129,6 +129,44 @@ def scratch_dir(name: str) -> str:
     return path
 
 
+def replay_state_parts(spark: SparkSession, n: int | None = None):
+    """Scope the state-store partition count for a bounded streaming
+    replay (context manager around ``.start()`` → ``awaitTermination``).
+
+    Structured Streaming pins the stateful-operator partition count at
+    first query start from ``spark.sql.shuffle.partitions`` (recorded
+    in the checkpoint, immutable for the query's lifetime) and AQE
+    never re-plans stateful stages. For the registry's availableNow
+    replays the keyed state per side is small, so 32 HDFS-backed state
+    stores × several store instances per stateful operator × delta
+    files per micro-batch is pure file churn: measured on
+    ``events_stream_outer_join`` at sf0.1, the replay drops 14.8s → 3.3s
+    going 32 → 8 state partitions with identical output. Batch stages
+    before/after the replay keep the session's normal shuffle sizing.
+
+    Scale story: state partitions must be sized to EXPECTED STATE
+    VOLUME, not inherited from batch shuffle defaults — a cluster
+    deployment sets ``SPARK_GRAFT_STREAM_STATE_PARTS`` to hundreds for
+    multi-TB keyed state; the local default of 8 covers the bounded
+    replay gates."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scope():
+        parts = n or int(
+            os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "8")
+        )
+        key = "spark.sql.shuffle.partitions"
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(parts))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return _scope()
+
+
 def model(spark: SparkSession, sf_dir: str):
     """(nodes, embeddings, edges) engine-model DataFrames."""
     return (

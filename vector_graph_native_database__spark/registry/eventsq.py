@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
-from .common import ORACLE_PRELUDE, scratch_dir
+from .common import ORACLE_PRELUDE, replay_state_parts, scratch_dir
 from ..streaming.windows import session_agg, sliding_agg, tumbling_agg
 
 
@@ -165,16 +165,17 @@ def q_events_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
         .withWatermark("ts", "1 hour")
     )
-    q = (
-        tumbling_agg(stream)
-        .writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replay_state_parts(spark):
+        q = (
+            tumbling_agg(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(sink).withColumn(
         "sum_value", F.round("sum_value", 6)
     )
@@ -207,16 +208,17 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    q = (
-        stream.filter(F.col("user_id").isNotNull())
-        .dropDuplicates(["user_id", "event_type"])
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replay_state_parts(spark):
+        q = (
+            stream.filter(F.col("user_id").isNotNull())
+            .dropDuplicates(["user_id", "event_type"])
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(sink)
         .groupBy("event_type")
@@ -788,16 +790,17 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    q = (
-        stream_interval_join(stream)
-        .writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replay_state_parts(spark):
+        q = (
+            stream_interval_join(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(sink)
         .groupBy("user_id")
@@ -1150,15 +1153,16 @@ def q_events_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sum_value", 6).alias("sum_value"),
         )
     )
-    q = (
-        agg.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replay_state_parts(spark):
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(sink)
 
 
@@ -2941,16 +2945,17 @@ def q_events_stream_outer_join(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    q = (
-        stream_interval_join_outer(stream)
-        .writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with replay_state_parts(spark):
+        q = (
+            stream_interval_join_outer(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     ev = _events(spark, sf_dir)
     cutoff = (
         ev.filter(
