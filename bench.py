@@ -80,6 +80,35 @@ CANARY_BASELINE = {
 
 CANARY_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
+# Round-7 sf1 anchor medians (BASELINE.md "Round 7, sf1 scale
+# anchor"): the same 19 canary queries at /tmp/sf1_scaled (10× sf0.1
+# key-offset replica). The per-round sf1 canary compares against
+# these so super-linear drift is caught the round it appears, not at
+# the next sf10 sweep.
+CANARY_SF1_ANCHOR = {
+    "scan_nodes": 0.46,
+    "vector_topk": 0.99,
+    "vector_topk_filtered": 1.06,
+    "bm25_topk": 10.88,
+    "graph_bfs": 3.85,
+    "graph_search": 2.69,
+    "hybrid_search": 5.31,
+    "embed_hash": 12.33,
+    "minmax_normalize": 1.13,
+    "node_upsert": 1.31,
+    "node_delete_cascade": 1.27,
+    "graph_pagerank": 4.36,
+    "graph_connected_components": 3.56,
+    "dedup_minhash_lsh": 32.32,
+    "dedup_embedding_cosine": 5.27,
+    "ann_brute_topk": 2.68,
+    "text_quality_score": 3.92,
+    "doc_fingerprint": 7.64,
+    "events_session": 1.21,
+}
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_scaled")
+
 # Representative of every operator family; the full registry is the
 # correctness surface, this is the performance surface.
 HEADLINE = CANARY + [
@@ -345,6 +374,55 @@ def main() -> None:
     except Exception as exc:  # canary failure must not kill the bench
         canary_err["__subprocess__"] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # Phase 1b: sf1 canary — the standing scale gate. Regenerates the
+    # 10× key-offset replica if the container was recycled (~1 min),
+    # then runs the same 19 queries in their own fresh JVM and
+    # compares against the round-7 sf1 anchor. Opt out with
+    # SPARK_GRAFT_SF1_CANARY=0; runs only for the default sf0.1 bench
+    # so a bench already pointed at another scale isn't doubled.
+    canary_sf1: dict[str, float] = {}
+    sf1_err: dict[str, str] = {}
+    run_sf1 = (
+        os.environ.get("SPARK_GRAFT_SF1_CANARY", "1") != "0"
+        and sf == "0.1"
+    )
+    if run_sf1:
+        try:
+            if not os.path.exists(os.path.join(SF1_DIR, "events.parquet")):
+                subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.join(
+                            os.path.dirname(os.path.abspath(__file__)),
+                            "tools",
+                            "make_scaled.py",
+                        ),
+                        "10",
+                        SF1_DIR,
+                    ],
+                    capture_output=True,
+                    timeout=900,
+                    check=True,
+                )
+            env = os.environ.copy()
+            env["SPARK_GRAFT_SF_DIR"] = SF1_DIR
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--canary"],
+                capture_output=True,
+                text=True,
+                timeout=3600,
+                env=env,
+            )
+            for line in reversed(proc.stdout.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    parsed = json.loads(line)
+                    canary_sf1 = parsed.get("canary", {})
+                    sf1_err = parsed.get("errors", {})
+                    break
+        except Exception as exc:
+            sf1_err["__subprocess__"] = f"{type(exc).__name__}: {exc}"[:200]
+
     # Phase 2: the wide headline set, once, in this process's session.
     extra = [
         k
@@ -375,8 +453,29 @@ def main() -> None:
         out["canary_worst_query_ratio"] = round(
             max(canary[n] / CANARY_BASELINE[n] for n in CANARY), 3
         )
-    if errors or canary_err:
-        out["errors"] = {**canary_err, **errors}
+    if run_sf1:
+        out["canary_sf1"] = canary_sf1
+        out["canary_sf1_total"] = round(sum(canary_sf1.values()), 3)
+        out["canary_sf1_note"] = (
+            "same 19 queries at the 10x key-offset replica "
+            f"({SF1_DIR}); anchor = BASELINE.md round-7 sf1 table"
+        )
+        if canary_sf1 and all(n in canary_sf1 for n in CANARY):
+            out["canary_sf1_anchor_ratio"] = round(
+                out["canary_sf1_total"] / sum(CANARY_SF1_ANCHOR.values()), 3
+            )
+            out["canary_sf1_worst_query_ratio"] = round(
+                max(
+                    canary_sf1[n] / CANARY_SF1_ANCHOR[n] for n in CANARY
+                ),
+                3,
+            )
+    if errors or canary_err or sf1_err:
+        out["errors"] = {
+            **canary_err,
+            **{f"sf1:{k}": v for k, v in sf1_err.items()},
+            **errors,
+        }
     print(json.dumps(out))
 
 

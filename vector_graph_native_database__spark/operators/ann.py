@@ -22,6 +22,8 @@ it and no VectorUDT conversions enter the hot path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -380,6 +382,48 @@ def ivf_build(
     return centroids, assign
 
 
+def _staged_index_dir(tag: str, cache_key: str, params: str) -> str:
+    """Scratch directory for a staged index, keyed by (cache_key,
+    params) and salted with the embeddings parquet's (mtime, size) so
+    a regenerated dataset never serves a stale index."""
+    import hashlib
+    import tempfile
+
+    salt = ""
+    src = os.path.join(cache_key, "embeddings.parquet")
+    if os.path.exists(src):
+        st = os.stat(src)
+        salt = f"|{st.st_mtime_ns}|{st.st_size}"
+    key = hashlib.md5(
+        f"{cache_key}|{params}{salt}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "vgndb_spark_scratch", tag)
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, key)
+
+
+def _write_staged(final: str, write_fn) -> None:
+    """Materialize a staged index atomically: build into a temp
+    sibling, mark ``_DONE``, rename into place. Concurrent processes
+    (battery chunks) cannot observe a half-written index; a lost
+    rename race discards the loser and reads the winner's files."""
+    import shutil
+    import uuid
+
+    if os.path.exists(os.path.join(final, "_DONE")):
+        return
+    tmp = os.path.join(
+        os.path.dirname(final), f"tmp_{uuid.uuid4().hex[:8]}"
+    )
+    write_fn(tmp)
+    with open(os.path.join(tmp, "_DONE"), "w") as fh:
+        fh.write("ok\n")
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+
+
 def ivf_index_stage(
     spark,
     emb: DataFrame,
@@ -407,39 +451,107 @@ def ivf_index_stage(
     winner's files. Vectors roundtrip parquet float32 bit-exactly,
     so staged results are value-identical to the in-plan build.
     """
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-    import uuid
+    final = _staged_index_dir("ivf_index", cache_key,
+                              f"{n_centroids}|{iters}|{dim}")
 
-    salt = ""
-    src = os.path.join(cache_key, "embeddings.parquet")
-    if os.path.exists(src):
-        st = os.stat(src)
-        salt = f"|{st.st_mtime_ns}|{st.st_size}"
-    key = hashlib.md5(
-        f"{cache_key}|{n_centroids}|{iters}|{dim}{salt}".encode()
-    ).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), "vgndb_spark_scratch",
-                        "ivf_index")
-    os.makedirs(root, exist_ok=True)
-    final = os.path.join(root, key)
-    if not os.path.exists(os.path.join(final, "_DONE")):
+    def _write(tmp: str) -> None:
         centroids, assign = ivf_build(emb, n_centroids, iters, dim)
-        tmp = os.path.join(root, f"tmp_{uuid.uuid4().hex[:8]}")
         centroids.coalesce(1).write.parquet(os.path.join(tmp, "centroids"))
         assign.write.partitionBy("cidx").parquet(os.path.join(tmp, "assign"))
-        with open(os.path.join(tmp, "_DONE"), "w") as fh:
-            fh.write("ok\n")
-        try:
-            os.rename(tmp, final)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+
+    _write_staged(final, _write)
     return (
         spark.read.parquet(os.path.join(final, "centroids")),
         spark.read.parquet(os.path.join(final, "assign")).select(
             "id", F.col("cidx").cast("int").alias("cidx"), "vector"
+        ),
+    )
+
+
+def pq_index_stage(
+    spark,
+    emb: DataFrame,
+    cache_key: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+    residual: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Build-once / read-many PQ tier staged as scratch parquet →
+    ``(centroids, assign, codebooks, codes)`` read back from disk —
+    the ivf_index_stage idiom extended to the product-quantized
+    families, so ann_pq_topk / ann_ivfpq_* / the residual variant /
+    ann_tier_report all serve from ONE PQ training per (cache_key,
+    params) instead of re-running the Lloyd codebooks per entry.
+
+    ``centroids``/``assign`` are the SHARED coarse IVF stage (same
+    key as the plain-IVF family — one coarse training serves both).
+    ``codebooks`` is (sm, cidx, cvec, cc): pq_train's deterministic
+    per-subspace Lloyd run over the raw vectors, or over the
+    residuals ``x − centroid(cell(x))`` when ``residual=True`` (the
+    faiss composition — separate staged key, different codebooks).
+    ``codes`` is (id, sm, code, cidx) written PARTITIONED BY the
+    coarse cell, so IVF-PQ serving reads nprobe/C of a tier that is
+    already 64× smaller than the vectors — the deployment layout the
+    ivfpq_topk docstring promises. All trainings are the existing
+    deterministic ones and parquet roundtrips doubles/float32
+    bit-exactly, so staged results are value-identical to the
+    in-plan build and every DuckDB oracle is unchanged.
+    """
+    centroids, assign = ivf_index_stage(
+        spark, emb, cache_key, n_centroids, iters, dim
+    )
+    tag = "pq_index_resid" if residual else "pq_index"
+    final = _staged_index_dir(
+        tag, cache_key, f"{n_centroids}|{iters}|{m}|{ksub}|{dim}"
+    )
+
+    def _write(tmp: str) -> None:
+        if residual:
+            # PQ over residuals: same rows as the cold path's
+            # (id, cidx argmin, vector) frame — assign IS that frame.
+            src = (
+                assign.join(
+                    F.broadcast(centroids.select("cidx", "cvec")), "cidx"
+                )
+                .select(
+                    F.col("id").alias("node_id"),
+                    F.zip_with(
+                        F.col("vector").cast("array<double>"),
+                        "cvec",
+                        lambda a, b: a - b,
+                    ).alias("vector"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            src = emb
+        cb = pq_train(src, m, ksub, iters, dim).withColumn(
+            "cc", dot("cvec", "cvec")
+        )
+        cb.coalesce(1).write.parquet(os.path.join(tmp, "codebooks"))
+        cbr = spark.read.parquet(os.path.join(tmp, "codebooks"))
+        es = _subvectors(src, m, dim)
+        codes = (
+            es.join(F.broadcast(cbr), "sm")
+            .withColumn(
+                "dist", F.col("vv") + F.col("cc") - 2 * dot("sv", "cvec")
+            )
+            .groupBy("id", "sm")
+            .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("code"))
+            .join(assign.select("id", "cidx"), "id")
+        )
+        codes.write.partitionBy("cidx").parquet(os.path.join(tmp, "codes"))
+
+    _write_staged(final, _write)
+    return (
+        centroids,
+        assign,
+        spark.read.parquet(os.path.join(final, "codebooks")),
+        spark.read.parquet(os.path.join(final, "codes")).select(
+            "id", "sm", "code", F.col("cidx").cast("int").alias("cidx")
         ),
     )
 
@@ -616,6 +728,7 @@ def pq_topk(
     ksub: int = 16,
     iters: int = 2,
     dim: int = 64,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """PQ compressed-domain top-k (ADC) → (qid, id, adist, rnk).
 
@@ -634,17 +747,24 @@ def pq_topk(
     chain computes identical IEEE doubles.
     """
     e = _subvectors(emb, m, dim)
-    cb = pq_train(emb, m, ksub, iters, dim).withColumn(
-        "cc", dot("cvec", "cvec")
-    )
-    codes = (
-        e.join(F.broadcast(cb), "sm")
-        .withColumn(
-            "dist", F.col("vv") + F.col("cc") - 2 * dot("sv", "cvec")
+    if index is None:
+        cb = pq_train(emb, m, ksub, iters, dim).withColumn(
+            "cc", dot("cvec", "cvec")
         )
-        .groupBy("id", "sm")
-        .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("code"))
-    )
+        codes = (
+            e.join(F.broadcast(cb), "sm")
+            .withColumn(
+                "dist", F.col("vv") + F.col("cc") - 2 * dot("sv", "cvec")
+            )
+            .groupBy("id", "sm")
+            .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("code"))
+        )
+    else:
+        # pure serving over the staged tier (pq_index_stage): the
+        # codebooks/codes read back from parquet are value-identical
+        # to the in-plan build, so nothing downstream changes.
+        cb, codes = index
+        codes = codes.select("id", "sm", "code")
     q = e.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("qid"),
         "sm",
@@ -706,6 +826,9 @@ def ivfpq_topk(
     ksub: int = 16,
     dim: int = 64,
     stage_index: bool = False,
+    index: (
+        tuple[DataFrame, DataFrame, DataFrame, DataFrame] | None
+    ) = None,
 ) -> DataFrame:
     """IVF-PQ compressed-domain search → (qid, id, adist, rnk) — the
     composed tier a 100 TB vector store actually serves from.
@@ -734,10 +857,15 @@ def ivfpq_topk(
     the in-plan analog of the persisted index a deployment serves
     from, so the query pays only probe + ADC (same staging idiom as
     bm25's staged_index). Results are byte-identical either way.
+
+    ``index``: a prebuilt ``(centroids, assign, codebooks, codes)``
+    from ``pq_index_stage`` — NO training happens here; the call is
+    pure serving against the cidx-partitioned codes parquet, so a
+    probe is a partition-pruned read of nprobe/C of the code tier.
     """
     stage = (
         (lambda d: d.localCheckpoint(eager=True))
-        if stage_index
+        if stage_index and index is None
         else (lambda d: d)
     )
     # coarse: train, assign every vector to its cell, pick each
@@ -747,19 +875,24 @@ def ivfpq_topk(
         .select(F.col("node_id").alias("id"), "vector")
         .withColumn("vv", dot("vector", "vector"))
     )
-    cf = stage(
-        ivf_centroids(emb, n_centroids, iters, dim).withColumn(
-            "cc", dot("cvec", "cvec")
+    if index is None:
+        cf = stage(
+            ivf_centroids(emb, n_centroids, iters, dim).withColumn(
+                "cc", dot("cvec", "cvec")
+            )
         )
-    )
-    af = stage(
-        e.crossJoin(F.broadcast(cf))
-        .withColumn(
-            "dist", F.col("vv") + F.col("cc") - 2 * dot("vector", "cvec")
+        af = stage(
+            e.crossJoin(F.broadcast(cf))
+            .withColumn(
+                "dist",
+                F.col("vv") + F.col("cc") - 2 * dot("vector", "cvec"),
+            )
+            .groupBy("id")
+            .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("cidx"))
         )
-        .groupBy("id")
-        .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("cidx"))
-    )
+    else:
+        cf = index[0].withColumn("cc", dot("cvec", "cvec"))
+        af = index[1]
     qv = e.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("qid"), F.col("vector").alias("qvec"), "vv"
     )
@@ -773,29 +906,36 @@ def ivfpq_topk(
         .filter(F.col("rn") <= nprobe)
         .select("qid", "cidx")
     )
-    # the per-query candidate id set: vectors assigned to probed
-    # cells. |probes| = |queries|·nprobe — always broadcastable.
-    sel = (
-        af.join(F.broadcast(probes), "cidx")
-        .filter(F.col("id") != F.col("qid"))
-        .select("qid", "id")
-    )
 
     # fine: PQ codes + per-query ADC tables (pq_topk's frames)
     es = _subvectors(emb, m, dim)
-    cb = stage(
-        pq_train(emb, m, ksub, iters, dim).withColumn(
-            "cc", dot("cvec", "cvec")
+    if index is None:
+        # the per-query candidate id set: vectors assigned to probed
+        # cells. |probes| = |queries|·nprobe — always broadcastable.
+        sel = (
+            af.join(F.broadcast(probes), "cidx")
+            .filter(F.col("id") != F.col("qid"))
+            .select("qid", "id")
         )
-    )
-    codes = stage(
-        es.join(F.broadcast(cb), "sm")
-        .withColumn(
-            "dist", F.col("vv") + F.col("cc") - 2 * dot("sv", "cvec")
+        cb = stage(
+            pq_train(emb, m, ksub, iters, dim).withColumn(
+                "cc", dot("cvec", "cvec")
+            )
         )
-        .groupBy("id", "sm")
-        .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("code"))
-    )
+        codes = stage(
+            es.join(F.broadcast(cb), "sm")
+            .withColumn(
+                "dist", F.col("vv") + F.col("cc") - 2 * dot("sv", "cvec")
+            )
+            .groupBy("id", "sm")
+            .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("code"))
+        )
+    else:
+        cb = index[2]
+        # staged codes carry the coarse cell: the probe join prunes
+        # code partitions directly — no assignment-side semi-join.
+        sel = None
+        codes = index[3]
     q = es.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("qid"),
         "sm",
@@ -815,8 +955,16 @@ def ivfpq_topk(
     # it actually fits (the deployment path prunes codes by cell
     # partition instead of joining at all). `tables` is
     # |queries|·m·ksub rows — constant-sized, always broadcast.
+    if sel is not None:
+        cand_codes = codes.join(sel, "id")
+    else:
+        cand_codes = (
+            codes.join(F.broadcast(probes), "cidx")
+            .filter(F.col("id") != F.col("qid"))
+            .select("qid", "id", "sm", "code")
+        )
     cc_, tb = (
-        codes.join(sel, "id").alias("cd"),
+        cand_codes.alias("cd"),
         tables.alias("tb"),
     )
     cand = (
@@ -1232,6 +1380,9 @@ def ivfpq_residual_topk(
     m: int = 4,
     ksub: int = 16,
     dim: int = 64,
+    index: (
+        tuple[DataFrame, DataFrame, DataFrame, DataFrame] | None
+    ) = None,
 ) -> DataFrame:
     """RESIDUAL IVF-PQ → (qid, id, adist, rnk): the faiss-style
     composition where PQ encodes each vector's residual
@@ -1253,44 +1404,53 @@ def ivfpq_residual_topk(
         .select(F.col("node_id").alias("id"), "vector")
         .withColumn("vv", dot("vector", "vector"))
     )
-    cf = ivf_centroids(emb, n_centroids, iters, dim).withColumn(
-        "cc", dot("cvec", "cvec")
-    )
-    af = (
-        e.crossJoin(F.broadcast(cf))
-        .withColumn(
-            "dist", F.col("vv") + F.col("cc") - 2 * dot("vector", "cvec")
+    if index is None:
+        cf = ivf_centroids(emb, n_centroids, iters, dim).withColumn(
+            "cc", dot("cvec", "cvec")
         )
-        .groupBy("id")
-        .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("cidx"))
-    )
-    # residual corpus in emb layout, cached: read by PQ training,
-    # code assignment, and nothing else — one scan each otherwise
-    resid = (
-        e.join(af, "id")
-        .join(F.broadcast(cf.select("cidx", "cvec")), "cidx")
-        .select(
-            F.col("id").alias("node_id"),
-            F.zip_with(
-                F.col("vector").cast("array<double>"),
-                "cvec",
-                lambda a, b: a - b,
-            ).alias("vector"),
+        af = (
+            e.crossJoin(F.broadcast(cf))
+            .withColumn(
+                "dist",
+                F.col("vv") + F.col("cc") - 2 * dot("vector", "cvec"),
+            )
+            .groupBy("id")
+            .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("cidx"))
         )
-        .localCheckpoint(eager=True)
-    )
-    cb = pq_train(resid, m, ksub, iters, dim).withColumn(
-        "cc", dot("cvec", "cvec")
-    )
-    es = _subvectors(resid, m, dim)
-    codes = (
-        es.join(F.broadcast(cb), "sm")
-        .withColumn(
-            "dist", F.col("vv") + F.col("cc") - 2 * dot("sv", "cvec")
+        # residual corpus in emb layout, cached: read by PQ training,
+        # code assignment, and nothing else — one scan each otherwise
+        resid = (
+            e.join(af, "id")
+            .join(F.broadcast(cf.select("cidx", "cvec")), "cidx")
+            .select(
+                F.col("id").alias("node_id"),
+                F.zip_with(
+                    F.col("vector").cast("array<double>"),
+                    "cvec",
+                    lambda a, b: a - b,
+                ).alias("vector"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .groupBy("id", "sm")
-        .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("code"))
-    )
+        cb = pq_train(resid, m, ksub, iters, dim).withColumn(
+            "cc", dot("cvec", "cvec")
+        )
+        es = _subvectors(resid, m, dim)
+        codes = (
+            es.join(F.broadcast(cb), "sm")
+            .withColumn(
+                "dist", F.col("vv") + F.col("cc") - 2 * dot("sv", "cvec")
+            )
+            .groupBy("id", "sm")
+            .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("code"))
+        )
+    else:
+        # pure serving over pq_index_stage(residual=True): staged
+        # residual codebooks + cidx-partitioned residual codes.
+        cf = index[0].withColumn("cc", dot("cvec", "cvec"))
+        af = index[1]
+        cb = index[2]
+        codes = index[3]
     qv = e.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("qid"),
         F.col("vector").cast("array<double>").alias("qvec"),
@@ -1341,26 +1501,47 @@ def ivfpq_residual_topk(
             dot("qsv", "qsv") + F.col("cc") - 2 * dot("qsv", "cvec")
         ).alias("d"),
     )
-    sel = (
-        af.join(
-            F.broadcast(probes),
-            af["cidx"] == probes["cell"],
+    if index is None:
+        sel = (
+            af.join(
+                F.broadcast(probes),
+                af["cidx"] == probes["cell"],
+            )
+            .filter(F.col("id") != F.col("qid"))
+            .select("qid", "cell", "id")
         )
-        .filter(F.col("id") != F.col("qid"))
-        .select("qid", "cell", "id")
-    )
+        cand_codes = (
+            codes.alias("cd")
+            .join(sel.alias("sl"), F.col("cd.id") == F.col("sl.id"))
+            .select(
+                F.col("sl.qid").alias("qid"),
+                F.col("sl.cell").alias("cell"),
+                F.col("cd.id").alias("id"),
+                F.col("cd.sm").alias("sm"),
+                F.col("cd.code").alias("code"),
+            )
+        )
+    else:
+        # staged codes carry the coarse cell — the probe join prunes
+        # code partitions directly, no assignment-side semi-join
+        cand_codes = (
+            codes.join(
+                F.broadcast(probes), codes["cidx"] == probes["cell"]
+            )
+            .filter(F.col("id") != F.col("qid"))
+            .select("qid", "cell", "id", "sm", "code")
+        )
     cand = (
-        codes.alias("cd")
-        .join(sel.alias("sl"), F.col("cd.id") == F.col("sl.id"))
+        cand_codes.alias("cd")
         .join(
             F.broadcast(tables.alias("tb")),
-            (F.col("sl.qid") == F.col("tb.qid"))
-            & (F.col("sl.cell") == F.col("tb.cell"))
+            (F.col("cd.qid") == F.col("tb.qid"))
+            & (F.col("cd.cell") == F.col("tb.cell"))
             & (F.col("cd.sm") == F.col("tb.sm"))
             & (F.col("cd.code") == F.col("tb.cidx")),
         )
         .select(
-            F.col("sl.qid").alias("qid"),
+            F.col("cd.qid").alias("qid"),
             F.col("cd.id").alias("id"),
             F.col("cd.sm").alias("psm"),
             F.col("tb.d").alias("d"),

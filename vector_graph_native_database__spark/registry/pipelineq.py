@@ -195,6 +195,23 @@ def staged_ivf_index(spark, sf_dir, emb=None):
     )
 
 
+def staged_pq_index(spark, sf_dir, emb=None, residual=False):
+    """The ONE staged PQ tier (coarse C=8/iters=2 shared with the IVF
+    family's staged index; m=4, ksub=16 — the parameters every PQ
+    entry shares). First caller per (sf_dir, params) trains the
+    codebooks and writes the cidx-partitioned codes parquet; every
+    later caller — ann_pq_topk, ann_ivfpq_topk/staged/multi, the
+    residual variant, ann_tier_report's PQ tiers — is a
+    partition-prunable parquet read. Same deterministic build, so
+    every oracle is unchanged."""
+    if emb is None:
+        _, emb, _ = model(spark, sf_dir)
+    return ann.pq_index_stage(
+        spark, emb, sf_dir, n_centroids=8, iters=2, m=4, ksub=16,
+        dim=64, residual=residual,
+    )
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, emb, _ = model(spark, sf_dir)
     return ann.ivf_topk(
@@ -206,8 +223,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, emb, _ = model(spark, sf_dir)
+    _, _, cb, codes = staged_pq_index(spark, sf_dir, emb)
     return ann.pq_topk(
-        emb, ANN_QUERY_IDS, k=5, m=4, ksub=16, iters=2, dim=64
+        emb, ANN_QUERY_IDS, k=5, m=4, ksub=16, iters=2, dim=64,
+        index=(cb, codes),
     )
 
 
@@ -215,31 +234,29 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF-PQ tier: coarse cells prune WHICH rows a query
     touches (nprobe of n_centroids inverted lists — partition pruning
     at deployment scale), PQ codes shrink WHAT a touched row costs
-    (m bytes vs dim floats, ADC lookups). The full index build —
-    both Lloyd trainings — replays bit-for-bit in the DuckDB twin."""
+    (m bytes vs dim floats, ADC lookups). Serves from the SHARED
+    staged PQ index (one coarse + one PQ training per sf_dir, codes
+    parquet partitioned by coarse cell → a probe is a
+    partition-pruned read); the full index build still replays
+    bit-for-bit in the DuckDB twin, which knows nothing about the
+    staging."""
     _, emb, _ = model(spark, sf_dir)
     return ann.ivfpq_topk(
         emb, ANN_QUERY_IDS, k=5, n_centroids=8, iters=2, nprobe=2,
         m=4, ksub=16, dim=64,
+        index=staged_pq_index(spark, sf_dir, emb),
     )
 
 
 def q_ann_ivfpq_staged_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deployment shape of ann_ivfpq_topk: the four index frames
-    (coarse centroids, cell assignments, PQ codebooks, PQ codes) are
-    eagerly staged — the in-plan analog of the persisted index a
-    vector store serves from — so the query pays only probe + ADC.
-    Byte-identical results; same oracle as the cold entry.
-
-    Honest cost note: run ONCE, staging is roughly cost-neutral
-    (bench: ~5.5s vs ~5.0s cold at sf0.1) — training dominates and
-    the eager checkpoints serialize stages the lazy plan overlaps
-    across 32 threads. The win is REUSE: a second query against the
-    staged frames skips both Lloyd trainings entirely, which the
-    single-entry bench cannot show but a query log immediately
-    does (same amortization argument as bm25_topk_indexed, where
-    even the single-shot entry wins 3× because the cold path
-    re-derives its posting frame per consumer)."""
+    """Deployment shape of ann_ivfpq_topk with the index build costed
+    IN-PLAN: the four index frames (coarse centroids, cell
+    assignments, PQ codebooks, PQ codes) are eagerly checkpointed
+    inside this entry's own run — the build-side twin of the
+    read-from-parquet serving entry, kept so the bench prices what a
+    (re)build of the staged tier costs, not just the amortized
+    serve. Byte-identical results; same oracle as the serving
+    entry."""
     _, emb, _ = model(spark, sf_dir)
     return ann.ivfpq_topk(
         emb, ANN_QUERY_IDS, k=5, n_centroids=8, iters=2, nprobe=2,
@@ -260,7 +277,8 @@ def q_ann_ivfpq_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, emb, _ = model(spark, sf_dir)
     return ann.ivfpq_topk(
         emb, ANN_MULTI_QUERY_IDS, k=5, n_centroids=8, iters=2, nprobe=2,
-        m=4, ksub=16, dim=64, stage_index=True,
+        m=4, ksub=16, dim=64,
+        index=staged_pq_index(spark, sf_dir, emb),
     )
 
 
@@ -1281,7 +1299,10 @@ cand AS (
 
 def q_ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, emb, _ = model(spark, sf_dir)
-    return ann.ivfpq_residual_topk(emb, ANN_QUERY_IDS, k=5)
+    return ann.ivfpq_residual_topk(
+        emb, ANN_QUERY_IDS, k=5,
+        index=staged_pq_index(spark, sf_dir, emb, residual=True),
+    )
 
 
 QUERIES["ann_ivfpq_residual_topk"] = q_ann_ivfpq_residual_topk
