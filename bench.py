@@ -297,6 +297,8 @@ HEADLINE = CANARY + [
     # (events_watermark_lateness is already in the wide list above)
     "dedup_token_cost_by_source",
     "events_funnel_window_sweep",
+    # round-8: IVF-PQ tuning curve served from the staged PQ tier
+    "ann_ivfpq_nprobe_sweep",
 ]
 
 

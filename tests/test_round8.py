@@ -140,3 +140,27 @@ def test_stream_outer_join_state_parts_bounded(spark, tmp_path):
         if os.path.isdir(p) and os.path.basename(p).isdigit()
     }
     assert len(parts) == 8, f"expected 8 state partitions, saw {parts}"
+
+
+def test_ivfpq_nprobe_sweep_recall_monotone_and_staged(spark):
+    from vector_graph_native_database__spark.registry.qualityq import (
+        q_ann_ivfpq_nprobe_sweep,
+    )
+
+    df = q_ann_ivfpq_nprobe_sweep(spark, SF)
+    rows = {r["nprobe"]: r for r in df.collect()}
+    assert set(rows) == {1, 2, 4}
+    # probing more cells only adds candidates -> pairs and recall
+    # monotone; compression may cost recall but never coverage
+    assert rows[1]["n_pairs"] <= rows[2]["n_pairs"] <= rows[4]["n_pairs"]
+    assert (
+        rows[1]["recall_at_k"]
+        <= rows[2]["recall_at_k"]
+        <= rows[4]["recall_at_k"]
+    )
+    assert rows[4]["recall_at_k"] > 0
+    # every sweep point serves from the staged PQ tier: zero in-plan
+    # trainings, >= one staged-index read per point
+    p = plan_string(df)
+    assert "posexplode" not in p
+    assert p.count("pq_index") >= 3

@@ -756,6 +756,98 @@ QUERIES["ann_ivf_nprobe_sweep"] = q_ann_ivf_nprobe_sweep
 ORACLES["ann_ivf_nprobe_sweep"] = _nprobe_sweep_oracle()
 
 
+def q_ann_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ tuning curve → one row per nprobe (nprobe, n_pairs,
+    n_hits, recall_at_k): ann_ivf_nprobe_sweep's knob sweep for the
+    COMPRESSED tier a deployment actually serves from. Ground truth
+    (exact float top-k) staged once; the index — coarse centroids,
+    cell assignments, PQ codebooks, cidx-partitioned codes — is the
+    ONE staged PQ tier (pq_index_stage), so each sweep point is pure
+    serving: a partition-pruned read of nprobe/C of the code parquet
+    plus ADC lookups. Read together with ann_ivf_nprobe_sweep this
+    prices what the 64× compression costs in recall at each probe
+    budget — the two curves an operator overlays before picking a
+    tier. Recall is monotone in nprobe by construction."""
+    from . import pipelineq
+    from ..operators import ann
+
+    k = ANN_EVAL_K
+    denom = float(k * len(pipelineq.ANN_QUERY_IDS))
+    _, emb, _ = pipelineq.model(spark, sf_dir)
+    idx = pipelineq.staged_pq_index(spark, sf_dir, emb)
+    brute5 = (
+        pipelineq.q_ann_brute_topk(spark, sf_dir)
+        .filter(F.col("rnk") <= k)
+        .select("qid", "id", F.lit(1).alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for p in NPROBE_SWEEP:
+        t = ann.ivfpq_topk(
+            emb, pipelineq.ANN_QUERY_IDS, k=k, nprobe=p,
+            m=4, ksub=16, dim=64, index=idx,
+        ).select("qid", "id", F.lit(1).alias("h"))
+        j = brute5.join(t, ["qid", "id"], "full_outer")
+        rows.append(
+            j.agg(
+                F.sum(F.coalesce("h", F.lit(0))).alias("n_pairs"),
+                F.sum(
+                    F.coalesce("b", F.lit(0)) * F.coalesce("h", F.lit(0))
+                ).alias("n_hits"),
+            ).select(
+                F.lit(p).alias("nprobe"),
+                "n_pairs",
+                "n_hits",
+                stable_round6(F.col("n_hits") / F.lit(denom)).alias(
+                    "recall_at_k"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _ivfpq_nprobe_sweep_oracle() -> str:
+    from .pipelineq import _ivfpq_sql, ANN_QUERY_IDS
+
+    k = ANN_EVAL_K
+    denom = float(k * len(ANN_QUERY_IDS))
+    ctes = []
+    rows = []
+    for i, p in enumerate(NPROBE_SWEEP):
+        ctes.append(
+            f"sw_{i} AS MATERIALIZED (\n  SELECT qid, id FROM "
+            f"({_ivfpq_sql(8, 2, p, 4, 16, k)}\n) __s{i} WHERE rnk <= {k})"
+        )
+        hits = (
+            f"SELECT count(*) FROM sw_{i} t "
+            f"JOIN swb ON swb.qid = t.qid AND swb.id = t.id"
+        )
+        rows.append(
+            f"""SELECT {p} AS nprobe,
+       (SELECT CAST(count(*) AS BIGINT) FROM sw_{i}) AS n_pairs,
+       CAST(({hits}) AS BIGINT) AS n_hits,
+       floor(CAST(({hits}) AS DOUBLE) / {denom} * 1000000.0 + 0.5)
+         / 1000000.0 AS recall_at_k"""
+        )
+    from .pipelineq import ORACLES as PIPE_ORACLES
+
+    brute = (
+        f"swb AS MATERIALIZED (\n  SELECT qid, id FROM "
+        f"({PIPE_ORACLES['ann_brute_topk']}\n) __bb WHERE rnk <= {k})"
+    )
+    return (
+        "WITH " + ",\n".join([brute] + ctes) + "\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+QUERIES["ann_ivfpq_nprobe_sweep"] = q_ann_ivfpq_nprobe_sweep
+ORACLES["ann_ivfpq_nprobe_sweep"] = _ivfpq_nprobe_sweep_oracle()
+
+
 MINHASH_SWEEP_ROWS = (2, 4, 12)  # rows per band over 12 perms
 
 
