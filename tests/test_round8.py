@@ -164,3 +164,18 @@ def test_ivfpq_nprobe_sweep_recall_monotone_and_staged(spark):
     p = plan_string(df)
     assert "posexplode" not in p
     assert p.count("pq_index") >= 3
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_semdedup", "dedup_semdedup_central", "embedding_kmeans"],
+)
+def test_kmeans_family_serves_from_shared_staged_index(spark, name):
+    # kmeans_assign IS ivf_centroids' training (same seeding and
+    # rounding), so the SemDedup family and the clustering entry
+    # serve from the SAME staged IVF index as the ann_ivf_* family:
+    # zero in-plan Lloyd trainings, staged parquet read present
+    p = plan_of(spark, name)
+    assert "ivf_index" in p, f"{name} must read the staged IVF index"
+    assert "posexplode" not in p, f"{name} must not retrain in-plan"
+    assert "CartesianProduct" not in p

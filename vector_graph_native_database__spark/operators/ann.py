@@ -1331,6 +1331,7 @@ def kmeans_assign(
     n_centroids: int = 8,
     iters: int = 2,
     dim: int = 64,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Lloyd's k-means cluster assignment → (id, cluster, dist).
 
@@ -1343,7 +1344,38 @@ def kmeans_assign(
     diversity quotas). Each assignment pass is one broadcast of C
     centroids over a single scan (map-side min_by, no shuffle of
     vectors); at 100 TB cost is iters+1 scans, all broadcast joins.
+
+    ``index``: a prebuilt ``(centroids, assign)`` from
+    ``ivf_index_stage`` — this IS the same deterministic training
+    (ivf_centroids with identical seeding/rounding), so when the
+    shared staged index exists the assignment is a parquet read plus
+    one broadcast join to recompute each member's distance to its
+    OWN centroid (identical IEEE doubles: same expression over the
+    same float32-exact vectors and 6dp-rounded centroid components).
     """
+    if index is not None:
+        cf = index[0].withColumn("cc", dot("cvec", "cvec"))
+        return (
+            index[1]
+            .withColumn("vv", dot("vector", "vector"))
+            .join(F.broadcast(cf), "cidx")
+            .select(
+                "id",
+                F.col("cidx").alias("cluster"),
+                (
+                    F.floor(
+                        (
+                            F.col("vv")
+                            + F.col("cc")
+                            - 2 * dot("vector", "cvec")
+                        )
+                        * F.lit(1e6)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1e6)
+                ).alias("dist"),
+            )
+        )
     e = (
         emb.filter(F.size("vector") == dim)
         .select(F.col("node_id").alias("id"), "vector")

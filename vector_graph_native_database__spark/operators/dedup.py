@@ -490,6 +490,7 @@ def semdedup(
     iters: int = 2,
     threshold: float = 0.4,
     dim: int = 64,
+    index=None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication")
@@ -516,13 +517,24 @@ def semdedup(
     from .ann import kmeans_assign
     from ..functions.vectorfn import cosine
 
-    assign = kmeans_assign(emb, n_centroids, iters, dim).select(
-        "id", "cluster"
-    )
-    vecs = emb.filter(F.size("vector") == dim).select(
-        F.col("node_id").alias("id"), "vector"
-    )
-    av = assign.join(vecs, "id")
+    if index is not None:
+        # Serve from the shared staged IVF index (ivf_index_stage):
+        # kmeans_assign IS the same deterministic training, and the
+        # staged assignment already carries each member's vector, so
+        # the in-cluster join reads the cidx-partitioned parquet
+        # directly — co-partitioned by construction.
+        av = index[1].select(
+            "id", F.col("cidx").alias("cluster"), "vector"
+        )
+        assign = av.select("id", "cluster")
+    else:
+        assign = kmeans_assign(emb, n_centroids, iters, dim).select(
+            "id", "cluster"
+        )
+        vecs = emb.filter(F.size("vector") == dim).select(
+            F.col("node_id").alias("id"), "vector"
+        )
+        av = assign.join(vecs, "id")
     a = av.select(
         F.col("id").alias("id_a"),
         F.col("cluster").alias("cl"),
@@ -557,6 +569,7 @@ def semdedup_keep_central(
     iters: int = 2,
     threshold: float = 0.4,
     dim: int = 64,
+    index=None,
 ) -> DataFrame:
     """SemDeDup with the PAPER'S keeper rule → (id, cluster, grp,
     kept): within each in-cluster duplicate COMPONENT (connected
@@ -586,13 +599,23 @@ def semdedup_keep_central(
     # checkpoint each consumer (and every pointer-jumping component
     # round downstream) would replay the Lloyd training from scratch
     # (the dedup_cluster_from_pairs staging lesson).
-    assign = kmeans_assign(emb, n_centroids, iters, dim).localCheckpoint(
-        eager=True
-    )
-    vecs = emb.filter(F.size("vector") == dim).select(
-        F.col("node_id").alias("id"), "vector"
-    )
-    av = assign.join(vecs, "id")
+    if index is not None:
+        # staged serving: the assignment (with per-member distance to
+        # its own centroid — identical doubles, see kmeans_assign) is
+        # a parquet read + one broadcast join, and the pair join
+        # reads the cidx-partitioned files directly
+        assign = kmeans_assign(emb, n_centroids, iters, dim, index=index)
+        av = index[1].select(
+            "id", F.col("cidx").alias("cluster"), "vector"
+        )
+    else:
+        assign = kmeans_assign(emb, n_centroids, iters, dim).localCheckpoint(
+            eager=True
+        )
+        vecs = emb.filter(F.size("vector") == dim).select(
+            F.col("node_id").alias("id"), "vector"
+        )
+        av = assign.join(vecs, "id")
     a = av.select(
         F.col("id").alias("id_a"),
         F.col("cluster").alias("cl"),

@@ -1208,7 +1208,10 @@ SELECT id_a, id_b, containment FROM (
 
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, emb, _ = model(spark, sf_dir)
-    return ann.kmeans_assign(emb, n_centroids=8, iters=2, dim=64)
+    return ann.kmeans_assign(
+        emb, n_centroids=8, iters=2, dim=64,
+        index=staged_ivf_index(spark, sf_dir, emb),
+    )
 
 
 QUERIES["embedding_kmeans"] = q_embedding_kmeans
@@ -1543,7 +1546,8 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-random. Beyond-reference (BASELINE.json north star)."""
     _, emb, _ = model(spark, sf_dir)
     return dedup.semdedup(
-        emb, n_centroids=8, iters=2, threshold=SEMDEDUP_TAU, dim=64
+        emb, n_centroids=8, iters=2, threshold=SEMDEDUP_TAU, dim=64,
+        index=staged_ivf_index(spark, sf_dir, emb),
     )
 
 
@@ -1944,7 +1948,8 @@ def q_dedup_semdedup_central(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap default; this is the faithful one."""
     _, emb, _ = model(spark, sf_dir)
     return dedup.semdedup_keep_central(
-        emb, n_centroids=8, iters=2, threshold=SEMDEDUP_TAU, dim=64
+        emb, n_centroids=8, iters=2, threshold=SEMDEDUP_TAU, dim=64,
+        index=staged_ivf_index(spark, sf_dir, emb),
     )
 
 
