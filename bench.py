@@ -390,7 +390,10 @@ def main() -> None:
     )
     if run_sf1:
         try:
-            if not os.path.exists(os.path.join(SF1_DIR, "events.parquet")):
+            # gate on the completion sentinel make_scaled writes LAST,
+            # not any one table file — a partially-generated dir from
+            # an interrupted run must be regenerated, not reused
+            if not os.path.exists(os.path.join(SF1_DIR, "_SCALED_DONE")):
                 subprocess.run(
                     [
                         sys.executable,
@@ -457,7 +460,11 @@ def main() -> None:
         )
     if run_sf1:
         out["canary_sf1"] = canary_sf1
-        out["canary_sf1_total"] = round(sum(canary_sf1.values()), 3)
+        # null, not 0.0, when the subprocess failed — a "0-second
+        # canary" and a MISSING canary must be distinguishable
+        out["canary_sf1_total"] = (
+            round(sum(canary_sf1.values()), 3) if canary_sf1 else None
+        )
         out["canary_sf1_note"] = (
             "same 19 queries at the 10x key-offset replica "
             f"({SF1_DIR}); anchor = BASELINE.md round-7 sf1 table"

@@ -683,6 +683,35 @@ def test_hybrid_weight_sweep_reweights_staged_tops_only(spark):
     assert s["python_row_udfs"] == 0 and s["python_arrow_udfs"] == 0
 
 
+def test_hybrid_weight_sweep_builds_scores_once(spark, monkeypatch):
+    # BUILD cost pin (not just the post-checkpoint serving plan): the
+    # whole 5-point sweep runs exactly ONE embeddings scoring pass
+    # and ONE depth-2 BFS — the (vec_norm, g_score) frame is
+    # checkpointed once and every weight reweights it. A regression
+    # back to hybrid_search-per-weight would call each 5x.
+    from vector_graph_native_database__spark.operators import (
+        graph as graph_ops,
+        vector_search,
+    )
+
+    calls = {"score": 0, "bfs": 0}
+    real_score, real_bfs = vector_search.score_embeddings, graph_ops.graph_bfs
+
+    def counting_score(*a, **kw):
+        calls["score"] += 1
+        return real_score(*a, **kw)
+
+    def counting_bfs(*a, **kw):
+        calls["bfs"] += 1
+        return real_bfs(*a, **kw)
+
+    monkeypatch.setattr(vector_search, "score_embeddings", counting_score)
+    monkeypatch.setattr(graph_ops, "graph_bfs", counting_bfs)
+    df = registry.all_queries()["hybrid_weight_sweep"](spark, SF)
+    assert df.count() == 5
+    assert calls == {"score": 1, "bfs": 1}
+
+
 def test_semdedup_central_no_corpus_cartesian(spark):
     # in-cluster pairing must stay an equi-join on the cluster key;
     # the only nested-loop is the 8-centroid broadcast (absent from

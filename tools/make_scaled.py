@@ -87,6 +87,11 @@ def main() -> int:
             f"SELECT count(*) FROM read_parquet('{out_dir}/{t}.parquet')"
         ).fetchone()[0]
         print(f"{t}: {rows} rows")
+    # completion sentinel, written LAST: consumers (bench.py sf1
+    # canary, battery scripts) gate on this so a partially-generated
+    # dir from an interrupted run is regenerated, not silently reused
+    with open(os.path.join(out_dir, "_SCALED_DONE"), "w") as fh:
+        fh.write(f"n={n} base={base}\n")
     return 0
 
 

@@ -122,9 +122,12 @@ def main() -> int:
     sf_dir = pos[0] if pos else "/root/testdata/sf0.01"
     only = set(pos[1:])
 
-    # Skip every RECORDED entry, OK or FAIL — a battery run should
-    # surface ALL failures in one pass, not stop at the first; after
-    # fixing an entry, delete its FAIL line to re-check it.
+    # Skip every RECORDED entry — OK, FAIL, or TIMEOUT (written by
+    # tools/run_slice.sh when a per-entry `timeout` kills the
+    # process) — a battery run should surface ALL failures in one
+    # pass, not stop at the first, and a shared resume must not
+    # re-run a doomed timed-out entry with no timeout. After fixing
+    # an entry, delete its FAIL/TIMEOUT line to re-check it.
     done_ok = set()
     prior_fails = set()
     if resume_path and os.path.exists(resume_path):
@@ -133,7 +136,7 @@ def main() -> int:
                 parts = line.split()
                 if len(parts) == 2 and parts[1] == "OK":
                     done_ok.add(parts[0])
-                elif len(parts) == 2 and parts[1] == "FAIL":
+                elif len(parts) == 2 and parts[1] in ("FAIL", "TIMEOUT"):
                     prior_fails.add(parts[0])
     done_ok |= prior_fails
 

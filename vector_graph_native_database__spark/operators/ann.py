@@ -415,9 +415,15 @@ def _write_staged(final: str, write_fn) -> None:
     tmp = os.path.join(
         os.path.dirname(final), f"tmp_{uuid.uuid4().hex[:8]}"
     )
-    write_fn(tmp)
-    with open(os.path.join(tmp, "_DONE"), "w") as fh:
-        fh.write("ok\n")
+    try:
+        write_fn(tmp)
+        with open(os.path.join(tmp, "_DONE"), "w") as fh:
+            fh.write("ok\n")
+    except BaseException:
+        # a failed build (Spark job error, ^C) must not orphan a
+        # partial tmp_* dir under the shared scratch root per retry
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, final)
     except OSError:

@@ -148,7 +148,15 @@ def replay_state_parts(spark: SparkSession, n: int | None = None):
     VOLUME, not inherited from batch shuffle defaults — a cluster
     deployment sets ``SPARK_GRAFT_STREAM_STATE_PARTS`` to hundreds for
     multi-TB keyed state; the local default of 8 covers the bounded
-    replay gates."""
+    replay gates.
+
+    Concurrency note: the scope mutates the SESSION-global
+    ``spark.sql.shuffle.partitions`` for the replay's duration — any
+    query planned concurrently on the same SparkSession would inherit
+    the scoped sizing. The registry/battery/bench drivers are
+    single-threaded per SparkSession (one entry at a time), which this
+    relies on; a threaded driver must give replays their own
+    ``spark.newSession()`` so the conf scope is session-local."""
     import contextlib
 
     @contextlib.contextmanager

@@ -425,27 +425,67 @@ def q_hybrid_weight_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (companions: ann_ivf_nprobe_sweep, dedup_minhash_band_sweep —
     every approximate/fused family now ships its tuning curve).
 
-    Scale shape: the vec/graph score frames are the audited hybrid
-    plan shapes built ONCE each (localCheckpoint); every sweep point
-    reweights two dimension-small scored frames and takes a top-15
+    Scale shape: ONE embeddings scoring pass and ONE depth-2 BFS for
+    the whole sweep — the (id, vec_norm, g_score) frame is joined,
+    pre-filtered to the rows any weight can rank (either component
+    > 0; final<=0 rows are dropped by hybrid semantics regardless of
+    weight) and localCheckpointed ONCE. Every sweep point reweights
+    that checkpointed frame and takes a top-15
     (TakeOrderedAndProject) — no per-weight rescan of anything
-    corpus-sized. Overlap counts are 15-row broadcast joins. The
-    oracle replays all five fusions from one shared scored/BFS
-    scaffold; integer counts, no float parity surface beyond the
-    fusion arithmetic itself."""
+    corpus-sized. Per-weight semantics stay byte-identical to
+    hybrid.hybrid_search (reference app.py:657-736: unrounded fuse,
+    round 6dp, drop final<=0, sort desc/id asc, truncate 15).
+    Overlap counts are 15-row broadcast joins. The oracle replays
+    all five fusions from one shared scored/BFS scaffold; integer
+    counts, no float parity surface beyond the fusion arithmetic
+    itself."""
     import pyspark.sql.functions as F
     from functools import reduce
+
+    from ..functions.vectorfn import minmax_normalize
+    from ..operators import graph as graph_ops
 
     nodes, emb, edges = model(spark, sf_dir)
     qv = query_vec(spark, sf_dir)
 
+    # build cost of the WHOLE entry: one embeddings scoring pass ...
+    vec = minmax_normalize(
+        vector_search.score_embeddings(emb, qv).select("node_id", "score"),
+        "score",
+        "vec_norm",
+    ).select(F.col("node_id").alias("id"), "vec_norm")
+    # ... and one depth-2 BFS (same subplans hybrid_search audits)
+    g = graph_ops.graph_score(
+        graph_ops.graph_bfs(edges, "0", 2, edge_type=None), "0", 2
+    ).select("id", "g_score")
+
+    scored = (
+        nodes.select("id")
+        .join(vec, "id", "left_outer")
+        .join(g, "id", "left_outer")
+        .select(
+            "id",
+            F.coalesce("vec_norm", F.lit(0.0)).alias("vec_norm"),
+            F.coalesce("g_score", F.lit(0.0)).alias("g_score"),
+        )
+        .filter((F.col("vec_norm") > 0) | (F.col("g_score") > 0))
+        .localCheckpoint(eager=True)
+    )
+
     def top_ids(vw: float) -> DataFrame:
         return (
-            hybrid.hybrid_search(
-                nodes, emb, edges, qv,
-                vector_weight=vw, graph_weight=1.0 - vw, top_k=15,
-                graph_start_id="0", graph_depth=2, round_scores=6,
-            ).select("id")
+            scored.withColumn(
+                "fs",
+                F.round(
+                    F.lit(vw) * F.col("vec_norm")
+                    + F.lit(1.0 - vw) * F.col("g_score"),
+                    6,
+                ),
+            )
+            .filter(F.col("fs") > 0)
+            .orderBy(F.desc("fs"), F.asc("id"))
+            .limit(15)
+            .select("id")
         )
 
     tops = {
