@@ -740,6 +740,48 @@ def test_watermark_lateness_single_pass_grid(spark):
     assert s["python_row_udfs"] == 0
 
 
+def test_minhash_family_serves_from_staged_index(spark):
+    # near-dup pairing and incremental ingest read the SAME staged
+    # shingle/signature parquet (minhash_index_stage) instead of
+    # re-tokenizing + re-signing the corpus per entry; the signature
+    # build's marker is the 12-perm range crossJoin
+    for name in ("dedup_minhash_lsh", "dedup_incremental_lsh"):
+        p = plan_of(spark, name)
+        assert "minhash_index" in p, f"{name} must read the staged index"
+        assert "Range (0, 12" not in p, f"{name} must not re-sign in-plan"
+
+
+def test_minhash_band_sweep_zero_inplan_signature_recomputes(
+    spark, monkeypatch
+):
+    # BUILD-cost pin for the whole sweep: once the shared index is
+    # staged, the serving path runs ZERO shingle builds and ZERO
+    # signature builds — every sweep point is banding + equi-joins
+    # over the staged frames (semi-joined to the interned reps)
+    from vector_graph_native_database__spark.operators import dedup
+    from vector_graph_native_database__spark.registry.common import model
+
+    nodes, _, _ = model(spark, SF)
+    dedup.minhash_index_stage(spark, nodes, SF)  # ensure staged
+
+    calls = {"sh": 0, "sig": 0}
+    real_sh, real_sig = dedup.shingles, dedup.minhash_signatures
+
+    def counting_sh(*a, **kw):
+        calls["sh"] += 1
+        return real_sh(*a, **kw)
+
+    def counting_sig(*a, **kw):
+        calls["sig"] += 1
+        return real_sig(*a, **kw)
+
+    monkeypatch.setattr(dedup, "shingles", counting_sh)
+    monkeypatch.setattr(dedup, "minhash_signatures", counting_sig)
+    df = registry.all_queries()["dedup_minhash_band_sweep"](spark, SF)
+    assert df.count() == 3
+    assert calls == {"sh": 0, "sig": 0}
+
+
 def test_minhash_verify_is_candidate_bounded(spark):
     # jaccard_verify must semi-join-prune the shingle frame to
     # candidate doc ids BEFORE the collect_set shuffle: without it

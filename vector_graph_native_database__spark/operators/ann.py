@@ -382,52 +382,9 @@ def ivf_build(
     return centroids, assign
 
 
-def _staged_index_dir(tag: str, cache_key: str, params: str) -> str:
-    """Scratch directory for a staged index, keyed by (cache_key,
-    params) and salted with the embeddings parquet's (mtime, size) so
-    a regenerated dataset never serves a stale index."""
-    import hashlib
-    import tempfile
-
-    salt = ""
-    src = os.path.join(cache_key, "embeddings.parquet")
-    if os.path.exists(src):
-        st = os.stat(src)
-        salt = f"|{st.st_mtime_ns}|{st.st_size}"
-    key = hashlib.md5(
-        f"{cache_key}|{params}{salt}".encode()
-    ).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), "vgndb_spark_scratch", tag)
-    os.makedirs(root, exist_ok=True)
-    return os.path.join(root, key)
-
-
-def _write_staged(final: str, write_fn) -> None:
-    """Materialize a staged index atomically: build into a temp
-    sibling, mark ``_DONE``, rename into place. Concurrent processes
-    (battery chunks) cannot observe a half-written index; a lost
-    rename race discards the loser and reads the winner's files."""
-    import shutil
-    import uuid
-
-    if os.path.exists(os.path.join(final, "_DONE")):
-        return
-    tmp = os.path.join(
-        os.path.dirname(final), f"tmp_{uuid.uuid4().hex[:8]}"
-    )
-    try:
-        write_fn(tmp)
-        with open(os.path.join(tmp, "_DONE"), "w") as fh:
-            fh.write("ok\n")
-    except BaseException:
-        # a failed build (Spark job error, ^C) must not orphan a
-        # partial tmp_* dir under the shared scratch root per retry
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+# staged-artifact idiom shared with the MinHash index (dedup.py)
+from .staging import staged_index_dir as _staged_index_dir  # noqa: E402
+from .staging import write_staged as _write_staged  # noqa: E402
 
 
 def ivf_index_stage(

@@ -39,6 +39,7 @@ def dedup_cluster_assign(
     id_col: str = "id",
     text_col: str = "text",
     threshold: float = 0.8,
+    index=None,
 ) -> DataFrame:
     """Near-dup pairs → duplicate clusters → (id, cluster, keep).
 
@@ -52,7 +53,9 @@ def dedup_cluster_assign(
     even pathological duplicate chains (quote-of-quote-of-quote) cost
     ~6 rounds at 100 TB, each one equi-join shuffle.
     """
-    pairs = minhash_lsh_dedup(df, id_col, text_col, threshold=threshold)
+    pairs = minhash_lsh_dedup(
+        df, id_col, text_col, threshold=threshold, index=index
+    )
     return cluster_from_pairs(pairs)
 
 

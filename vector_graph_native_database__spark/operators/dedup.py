@@ -104,6 +104,68 @@ def minhash_signatures(
     )
 
 
+def minhash_index_stage(
+    spark,
+    df: DataFrame,
+    cache_key: str,
+    k: int = 2,
+    num_perms: int = 12,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Build-once / read-many MinHash index staged as scratch parquet
+    → ``(shingles, signatures)`` read back from disk.
+
+    The shingle table (id, shingle) and signature table
+    (id, perm, minhash) are pure functions of the corpus text, so
+    they are written ONCE per (cache_key, k, num_perms) under the
+    shared scratch root — the ``ivf_index_stage`` idiom extended to
+    the text-dedup family — and every consumer (near-dup pairing,
+    incremental ingest, band sweeps, eval harnesses, the curation
+    funnel) reads the same files instead of re-tokenizing and
+    re-signing the same corpus. ``cache_key`` is normally the
+    sf_dir; the key is salted with the documents parquet's
+    (mtime, size) so a regenerated dataset never serves stale
+    shingles. Signatures are built FROM the written shingle parquet
+    (one tokenize pass total, and the two artifacts are consistent
+    by construction). Shingle strings and 60-bit minhash longs
+    roundtrip parquet bit-exactly, so staged results are
+    value-identical to the in-plan build.
+
+    Per-id subsets serve from the SAME index: shingles and
+    signatures are row-local per document, so
+    ``staged.join(ids, "id", "left_semi")`` equals building the
+    index on the subset directly — this is how the incremental
+    (corpus/batch split) and content-interned (representative-id)
+    consumers share one staged build.
+    """
+    import os
+
+    from .staging import staged_index_dir, write_staged
+
+    final = staged_index_dir(
+        "minhash_index",
+        cache_key,
+        f"{k}|{num_perms}",
+        salt_file="documents.parquet",
+    )
+
+    def _write(tmp: str) -> None:
+        shingles(df, id_col, text_col, k).write.parquet(
+            os.path.join(tmp, "shingles")
+        )
+        sh_disk = spark.read.parquet(os.path.join(tmp, "shingles"))
+        minhash_signatures(sh_disk, num_perms).write.parquet(
+            os.path.join(tmp, "signatures")
+        )
+
+    write_staged(final, _write)
+    return (
+        spark.read.parquet(os.path.join(final, "shingles")),
+        spark.read.parquet(os.path.join(final, "signatures")),
+    )
+
+
 def banded_signatures(
     sig: DataFrame, rows_per_band: int = 4
 ) -> DataFrame:
@@ -204,10 +266,20 @@ def minhash_lsh_dedup(
     num_perms: int = 12,
     rows_per_band: int = 4,
     threshold: float = 0.8,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
-    """MinHash → LSH bands → exact-Jaccard verify → near-dup pairs."""
-    sh = shingles(df, id_col, text_col, k)
-    sig = minhash_signatures(sh, num_perms)
+    """MinHash → LSH bands → exact-Jaccard verify → near-dup pairs.
+
+    ``index`` = a staged ``(shingles, signatures)`` pair from
+    ``minhash_index_stage`` — when given, banding and verification
+    serve from the staged parquet instead of re-tokenizing and
+    re-signing the corpus in-plan (value-identical; see the stage's
+    roundtrip note)."""
+    if index is not None:
+        sh, sig = index
+    else:
+        sh = shingles(df, id_col, text_col, k)
+        sig = minhash_signatures(sh, num_perms)
     pairs = lsh_candidate_pairs(sig, rows_per_band)
     return jaccard_verify(sh, pairs, threshold)
 
@@ -222,6 +294,7 @@ def incremental_lsh_dedup(
     rows_per_band: int = 4,
     threshold: float = 0.8,
     stage_index: bool = True,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Dedup the INCREMENT against the corpus in O(increment) work
     → (id_inc, id_corpus, jaccard): the production shape where a
@@ -241,21 +314,40 @@ def incremental_lsh_dedup(
     ``minhash_lsh_dedup`` over corpus ∪ increment would emit for
     cross pairs (band collision is symmetric), which is the
     correctness contract the oracle checks.
+
+    ``index`` = a staged full-corpus ``(shingles, signatures)`` pair
+    from ``minhash_index_stage`` built over corpus ∪ increment —
+    shingles/signatures are row-local per document, so semi-joining
+    the staged frames to each side's ids equals building them per
+    side (value-identical), with zero in-plan tokenize/sign work.
     """
-    sh_c = shingles(corpus, id_col, text_col, k)
-    index = banded_signatures(
-        minhash_signatures(sh_c, num_perms), rows_per_band
-    )
+    if index is not None:
+        sh_all, sig_all = index
+        c_ids = corpus.select(F.col(id_col).alias("id"))
+        i_ids = increment.select(F.col(id_col).alias("id"))
+        sh_c = sh_all.join(c_ids, "id", "left_semi")
+        sh_i = sh_all.join(i_ids, "id", "left_semi")
+        corpus_index = banded_signatures(
+            sig_all.join(c_ids, "id", "left_semi"), rows_per_band
+        )
+        banded_i = banded_signatures(
+            sig_all.join(i_ids, "id", "left_semi"), rows_per_band
+        )
+    else:
+        sh_c = shingles(corpus, id_col, text_col, k)
+        corpus_index = banded_signatures(
+            minhash_signatures(sh_c, num_perms), rows_per_band
+        )
+        sh_i = shingles(increment, id_col, text_col, k)
+        banded_i = banded_signatures(
+            minhash_signatures(sh_i, num_perms), rows_per_band
+        )
     if stage_index:
-        index = index.localCheckpoint(eager=True)
-    sh_i = shingles(increment, id_col, text_col, k)
-    banded_i = banded_signatures(
-        minhash_signatures(sh_i, num_perms), rows_per_band
-    )
+        corpus_index = corpus_index.localCheckpoint(eager=True)
     i = banded_i.select(
         F.col("id").alias("id_inc"), "band", F.col("sig").alias("sig_i")
     )
-    c = index.select(
+    c = corpus_index.select(
         F.col("id").alias("id_corpus"), "band", F.col("sig").alias("sig_c")
     )
     cand = (
@@ -300,14 +392,18 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Direct n-gram Jaccard via a shingle-postings equi-join.
 
     Intersection counts come from joining the postings list with
     itself on the shingle key (never an all-pairs product); union
-    sizes via per-doc distinct counts.
+    sizes via per-doc distinct counts. Pass ``sh`` (a prebuilt —
+    e.g. staged — (id, shingle) frame for ``df``) to skip the
+    in-plan tokenize; ``k`` must match how ``sh`` was shingled.
     """
-    sh = shingles(df, id_col, text_col, k)
+    if sh is None:
+        sh = shingles(df, id_col, text_col, k)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")

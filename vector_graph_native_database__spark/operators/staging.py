@@ -1,0 +1,73 @@
+"""Build-once / read-many staged-artifact idiom shared by the index
+families (IVF/PQ in ``ann.py``, MinHash shingle/signature in
+``dedup.py``).
+
+A staged artifact is a deterministic derived dataset (quantizer
+training + assignments, shingle/signature tables) written ONCE per
+(dataset, params) under a shared scratch root and read back by every
+later consumer — the local stand-in for the persisted index table a
+cluster deployment maintains next to its parquet corpus. Staging is
+atomic (build into a temp sibling, mark ``_DONE``, rename into
+place), so concurrent processes (battery chunks, bench canary JVMs)
+can never observe a half-written index, and the cache key is salted
+with the source parquet's (mtime, size) so a regenerated dataset
+never serves a stale index.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+import uuid
+
+
+def staged_index_dir(
+    tag: str,
+    cache_key: str,
+    params: str,
+    salt_file: str = "embeddings.parquet",
+) -> str:
+    """Scratch directory for a staged artifact, keyed by
+    (cache_key, params) and salted with ``salt_file``'s
+    (mtime, size) under ``cache_key`` so a regenerated dataset never
+    serves a stale index. ``salt_file`` is the artifact's SOURCE
+    table — ``embeddings.parquet`` for the vector indexes,
+    ``documents.parquet`` for the text/MinHash ones."""
+    salt = ""
+    src = os.path.join(cache_key, salt_file)
+    if os.path.exists(src):
+        st = os.stat(src)
+        salt = f"|{st.st_mtime_ns}|{st.st_size}"
+    key = hashlib.md5(
+        f"{cache_key}|{params}{salt}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "vgndb_spark_scratch", tag)
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, key)
+
+
+def write_staged(final: str, write_fn) -> None:
+    """Materialize a staged artifact atomically: build into a temp
+    sibling, mark ``_DONE``, rename into place. Concurrent processes
+    (battery chunks) cannot observe a half-written index; a lost
+    rename race discards the loser and reads the winner's files."""
+    if os.path.exists(os.path.join(final, "_DONE")):
+        return
+    tmp = os.path.join(
+        os.path.dirname(final), f"tmp_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        write_fn(tmp)
+        with open(os.path.join(tmp, "_DONE"), "w") as fh:
+            fh.write("ok\n")
+    except BaseException:
+        # a failed build (Spark job error, ^C) must not orphan a
+        # partial tmp_* dir under the shared scratch root per retry
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race

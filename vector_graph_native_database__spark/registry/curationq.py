@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import ann, curation, text_analysis
+from ..operators import ann, curation, dedup, text_analysis
 from .common import ORACLE_PRELUDE, model, sql_stable_round6
 from .pipelineq import _COS, _H60, _IDS_IN, _TOKS, _sh_cte
 
@@ -31,7 +31,8 @@ MMR_LAM = 0.75  # 1 − λ = 0.25 exactly, identical in both engines
 
 def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, _, _ = model(spark, sf_dir)
-    return curation.dedup_cluster_assign(nodes, threshold=0.8)
+    idx = dedup.minhash_index_stage(spark, nodes, sf_dir)
+    return curation.dedup_cluster_assign(nodes, threshold=0.8, index=idx)
 
 
 def q_dedup_cluster_from_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,11 +47,10 @@ def q_dedup_cluster_from_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is charged to this query (the checkpoint happens inside the
     call), so the bench number is honest end-to-end."""
     nodes, _, _ = model(spark, sf_dir)
-    from ..operators.dedup import minhash_lsh_dedup
-
-    pairs = minhash_lsh_dedup(nodes, threshold=0.8).select(
-        "id_a", "id_b"
-    ).localCheckpoint(eager=True)
+    idx = dedup.minhash_index_stage(spark, nodes, sf_dir)
+    pairs = dedup.minhash_lsh_dedup(
+        nodes, threshold=0.8, index=idx
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     return curation.cluster_from_pairs(pairs)
 
 
@@ -58,7 +58,8 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: cluster assignment × quality scoring → the
     highest-quality representative of every duplicate cluster."""
     nodes, _, _ = model(spark, sf_dir)
-    clusters = curation.dedup_cluster_assign(nodes, threshold=0.8)
+    idx = dedup.minhash_index_stage(spark, nodes, sf_dir)
+    clusters = curation.dedup_cluster_assign(nodes, threshold=0.8, index=idx)
     quality = text_analysis.quality_score(nodes)
     return curation.keep_best_per_cluster(clusters, quality)
 
@@ -150,8 +151,9 @@ def q_curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     build actually runs end-to-end. (The staged twin below trades the
     single-plan property for pair-frame reuse.)"""
     nodes, _, _ = model(spark, sf_dir)
+    idx = dedup.minhash_index_stage(spark, nodes, sf_dir)
     dropped = (
-        curation.dedup_cluster_assign(nodes, threshold=0.8)
+        curation.dedup_cluster_assign(nodes, threshold=0.8, index=idx)
         .filter(F.col("keep") == 0)
         .select("id")
     )
@@ -168,12 +170,11 @@ def q_curation_pipeline_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the staged frame is the persisted pair table the
     production corpus build writes between its dedup and clustering
     phases."""
-    from ..operators.dedup import minhash_lsh_dedup
-
     nodes, _, _ = model(spark, sf_dir)
-    pairs = minhash_lsh_dedup(nodes, threshold=0.8).select(
-        "id_a", "id_b"
-    ).localCheckpoint(eager=True)
+    idx = dedup.minhash_index_stage(spark, nodes, sf_dir)
+    pairs = dedup.minhash_lsh_dedup(
+        nodes, threshold=0.8, index=idx
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     dropped = (
         curation.cluster_from_pairs(pairs)
         .filter(F.col("keep") == 0)

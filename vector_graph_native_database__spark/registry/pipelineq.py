@@ -30,9 +30,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, _, _ = model(spark, sf_dir)
-    return dedup.minhash_lsh_dedup(nodes, threshold=0.8).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    # banding + verify serve from the staged shingle/signature index
+    # (one tokenize+sign per (sf_dir, params), shared across the
+    # whole MinHash family — minhash_index_stage)
+    idx = dedup.minhash_index_stage(spark, nodes, sf_dir)
+    return dedup.minhash_lsh_dedup(
+        nodes, threshold=0.8, index=idx
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1817,9 +1821,12 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     missed candidate fails the value check."""
     nodes, _, _ = model(spark, sf_dir)
     did = F.col("id").cast("long")
+    # both sides semi-join the staged full-corpus shingle/signature
+    # index (row-local per id, so subset == filtered staged frame)
+    idx = dedup.minhash_index_stage(spark, nodes, sf_dir)
     return dedup.incremental_lsh_dedup(
         nodes.filter(did % 2 == 0), nodes.filter(did % 2 == 1),
-        threshold=0.8,
+        threshold=0.8, index=idx,
     )
 
 

@@ -878,7 +878,9 @@ def q_dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     output past 7.8e9 rows and OOMs an 8 GB heap — while the
     interned plan is invariant to duplication: exactly the dedupe-
     then-compare design a 100 TB corpus with verbatim dupes needs.
-    Signatures, truth, and the same-content mass are each staged
+    Shingles/signatures serve from the shared staged minhash index
+    (minhash_index_stage — zero in-plan tokenize/sign, pytest-pinned
+    by call count); truth and the same-content mass are each staged
     once; every sweep point is one banded equi-join plus a pair-key
     full-outer comparison over near-dup-sized content frames."""
     from functools import reduce
@@ -895,8 +897,18 @@ def q_dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    sh = dedup.shingles(reps, "id", "text", k=2)
-    sig = dedup.minhash_signatures(sh, 12).localCheckpoint(eager=True)
+    # the staged full-corpus shingle/signature index serves the
+    # interned frame too: shingles/signatures are row-local per id,
+    # and rep ids are node ids, so semi-joining to the reps equals
+    # building on reps directly (minhash_index_stage) — zero in-plan
+    # tokenize/sign work for the whole sweep
+    sh_all, sig_all = dedup.minhash_index_stage(spark, nodes, sf_dir)
+    rep_ids = reps.select("id")
+    sh = sh_all.join(rep_ids, "id", "left_semi")
+    sig = (
+        sig_all.join(rep_ids, "id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
     wa = reps.select(F.col("id").alias("id_a"), F.col("cnt").alias("cnt_a"))
     wb = reps.select(F.col("id").alias("id_b"), F.col("cnt").alias("cnt_b"))
     # Same-content pair mass, restricted to contents that actually
@@ -919,7 +931,7 @@ def q_dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     truth = (
-        dedup.ngram_jaccard_pairs(reps, k=2, threshold=0.8)
+        dedup.ngram_jaccard_pairs(reps, k=2, threshold=0.8, sh=sh)
         .join(wa, "id_a")
         .join(wb, "id_b")
         .select(
