@@ -54,9 +54,25 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
         "PRAGMA max_temp_directory_size="
         f"'{os.environ.get('ORACLE_DUCK_SPILL_MAX', '50GiB')}'"
     )
+    # Doc-id slice parity: when SPARK_GRAFT_DOC_SLICE_MOD=K is set,
+    # the engine's loaders restrict documents/embeddings to
+    # stable_hash60(id) % K == 0 at the source (sources/loaders.py);
+    # the oracle views apply the identical predicate so both engines
+    # compare over the same sliced dataset. This is the harness that
+    # makes the duplication-quadratic pair oracles DuckDB-feasible at
+    # sf10 (pair outputs are closed under the slice).
+    slice_mod = int(os.environ.get("SPARK_GRAFT_DOC_SLICE_MOD", "0") or 0)
+    slice_keys = {"documents": "doc_id", "embeddings": "vec_id"}
     for t in TABLES:
+        pred = ""
+        if slice_mod and t in slice_keys:
+            pred = (
+                f" WHERE ('0x' || substr(md5(CAST({slice_keys[t]} AS "
+                f"VARCHAR)), 1, 15))::BIGINT % {slice_mod} = 0"
+            )
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet'){pred}"
         )
     return con
 

@@ -40,6 +40,12 @@ def staged_index_dir(
     if os.path.exists(src):
         st = os.stat(src)
         salt = f"|{st.st_mtime_ns}|{st.st_size}"
+    # a doc-slice run (SPARK_GRAFT_DOC_SLICE_MOD) sees a different
+    # effective dataset — its staged artifacts must never be shared
+    # with (or poison) the full-corpus ones
+    slice_mod = os.environ.get("SPARK_GRAFT_DOC_SLICE_MOD", "")
+    if slice_mod and slice_mod != "0":
+        salt += f"|slice{slice_mod}"
     key = hashlib.md5(
         f"{cache_key}|{params}{salt}".encode()
     ).hexdigest()[:16]

@@ -48,6 +48,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # including ones the caller constructed without session.py.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Deterministic doc-id slice (sf10 oracle-feasibility harness):
+    # SPARK_GRAFT_DOC_SLICE_MOD=K restricts documents/embeddings to
+    # rows with stable_hash60(id) % K == 0 AT THE SOURCE, so every
+    # downstream frame — nodes, derived edges, staged indexes — sees
+    # the same reduced dataset; tools/oracle_check.py applies the
+    # identical predicate to its DuckDB views, so the cross-engine
+    # value check stays exact on the slice. Pair outputs are closed
+    # under the slice (a pair survives iff both endpoints do), which
+    # is what makes the duplication-quadratic dedup/curation oracles
+    # DuckDB-feasible at 100x duplication. Same 60-bit md5-prefix
+    # hash as operators.dedup.stable_hash60 (inlined to keep sources/
+    # free of operator imports).
+    slice_mod = int(os.environ.get("SPARK_GRAFT_DOC_SLICE_MOD", "0") or 0)
+    if slice_mod and name in ("documents", "embeddings"):
+        key = "doc_id" if name == "documents" else "vec_id"
+        h60 = F.conv(
+            F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        df = df.filter(h60 % slice_mod == 0)
     for field in df.schema.fields:
         is_temporal = field.name == "ts" or field.name.endswith("date")
         if field.dataType.simpleString() == "bigint" and is_temporal:
