@@ -782,6 +782,23 @@ def test_minhash_band_sweep_zero_inplan_signature_recomputes(
     assert calls == {"sh": 0, "sig": 0}
 
 
+def test_k3_postings_family_serves_from_staged_shingles(spark):
+    # the k=3 postings operators (n-gram Jaccard, containment,
+    # prefix-filter economics, decontamination) read the shared
+    # staged shingle parquet instead of re-running the corpus
+    # tokenize+explode+distinct per entry
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_containment",
+        "dedup_jaccard_prefix_filter",
+        "decontaminate",
+    ):
+        p = plan_of(spark, name)
+        assert "vgndb_spark_scratch/shingles" in p, (
+            f"{name} must read the staged k=3 shingles"
+        )
+
+
 def test_minhash_verify_is_candidate_bounded(spark):
     # jaccard_verify must semi-join-prune the shingle frame to
     # candidate doc ids BEFORE the collect_set shuffle: without it

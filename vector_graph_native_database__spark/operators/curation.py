@@ -85,6 +85,7 @@ def decontaminate(
     text_col: str = "text",
     k: int = 3,
     eval_mod: int = 41,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Flag train docs sharing k-token shingles with the eval split
     → (id, shared_shingles, eval_docs).
@@ -104,10 +105,12 @@ def decontaminate(
     at 100 TB that shrinks shuffle width ~10× and the eval side
     (shingles of the holdout, ~1/eval_mod of the corpus) stays small
     enough that AQE picks a broadcast. One equi-join, no all-pairs.
+    Pass ``sh`` (a prebuilt — e.g. staged — (id, shingle) frame for
+    ``df``, same k) to skip the in-plan tokenize.
     """
-    sh = shingles(df, id_col, text_col, k).withColumn(
-        "h", stable_hash60("shingle")
-    )
+    if sh is None:
+        sh = shingles(df, id_col, text_col, k)
+    sh = sh.withColumn("h", stable_hash60("shingle"))
     is_eval = F.coalesce(
         F.col("id").try_cast("int") % eval_mod == 0, F.lit(False)
     )

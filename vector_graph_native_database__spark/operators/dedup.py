@@ -104,6 +104,43 @@ def minhash_signatures(
     )
 
 
+def shingle_stage(
+    spark,
+    df: DataFrame,
+    cache_key: str,
+    k: int = 3,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Build-once / read-many k-shingle table staged as scratch
+    parquet → the (id, shingle) frame read back from disk.
+
+    The k=3 postings family (n-gram Jaccard, containment,
+    prefix-filter economics, decontamination) all start from the
+    same DISTINCT (id, shingle) frame — a full-corpus
+    tokenize + explode + distinct shuffle. Stage it once per
+    (cache_key, k) exactly like ``minhash_index_stage`` stages the
+    k=2 index; the postings equi-joins that dominate those operators
+    then run straight off the staged parquet. Shingle strings
+    roundtrip parquet exactly, so staged results are value-identical
+    to the in-plan build."""
+    import os
+
+    from .staging import staged_index_dir, write_staged
+
+    final = staged_index_dir(
+        "shingles", cache_key, str(k), salt_file="documents.parquet"
+    )
+
+    def _write(tmp: str) -> None:
+        shingles(df, id_col, text_col, k).write.parquet(
+            os.path.join(tmp, "sh")
+        )
+
+    write_staged(final, _write)
+    return spark.read.parquet(os.path.join(final, "sh"))
+
+
 def minhash_index_stage(
     spark,
     df: DataFrame,
@@ -851,6 +888,7 @@ def containment_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.6,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric shingle CONTAINMENT near-dup pairs
     → (id_a, id_b, containment).
@@ -864,9 +902,12 @@ def containment_pairs(
     shingle-postings equi-join as ``ngram_jaccard_pairs`` (shared
     scale bound: Σ posting-list², never all-pairs); only the final
     normalizer differs, so both measures can share one posting
-    frame in a fused pipeline.
+    frame in a fused pipeline. Pass ``sh`` (a prebuilt — e.g.
+    staged — (id, shingle) frame for ``df``) to skip the in-plan
+    tokenize.
     """
-    sh = shingles(df, id_col, text_col, k)
+    if sh is None:
+        sh = shingles(df, id_col, text_col, k)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -923,6 +964,7 @@ def jaccard_prefix_filter_report(
     id_col: str = "id",
     text_col: str = "text",
     k: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """AllPairs/PPJoin prefix filtering for the θ=0.5 Jaccard
     set-similarity join → ONE row
@@ -952,7 +994,8 @@ def jaccard_prefix_filter_report(
     """
     from pyspark.sql import Window
 
-    sh = shingles(df, id_col, text_col, k)
+    if sh is None:
+        sh = shingles(df, id_col, text_col, k)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
     ranked = (

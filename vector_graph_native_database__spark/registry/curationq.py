@@ -66,7 +66,8 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, _, _ = model(spark, sf_dir)
-    return curation.decontaminate(nodes, k=3, eval_mod=EVAL_MOD)
+    sh3 = dedup.shingle_stage(spark, nodes, sf_dir, k=3)
+    return curation.decontaminate(nodes, k=3, eval_mod=EVAL_MOD, sh=sh3)
 
 
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,17 +115,22 @@ def q_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MMR_IDS = ["0", "100", "200", "300", "400"]
 
 
-def _funnel_summary(nodes: DataFrame, dropped: DataFrame) -> DataFrame:
+def _funnel_summary(
+    nodes: DataFrame, dropped: DataFrame, sh3: DataFrame | None = None
+) -> DataFrame:
     """Shared funnel body: quality gate → decontamination → (given)
     dup-drop set → packing → one-row summary. Both the fully-lazy and
     the staged-pairs entries build on this, differing only in how
-    ``dropped`` was derived."""
+    ``dropped`` was derived. ``sh3`` = staged k=3 shingles for the
+    decontamination stage."""
     from ..functions.textfn import tokenize
     from ..operators.sampling import pack_greedy
 
     q = text_analysis.quality_score(nodes)
     qpass = q.filter(F.col("quality") >= 0.5).select("id")
-    cont = curation.decontaminate(nodes, k=3, eval_mod=EVAL_MOD).select("id")
+    cont = curation.decontaminate(
+        nodes, k=3, eval_mod=EVAL_MOD, sh=sh3
+    ).select("id")
     final = qpass.join(cont, "id", "left_anti").join(dropped, "id", "left_anti")
     toks = nodes.join(final, "id", "left_semi").select(
         "id", F.size(tokenize("text")).alias("n_tokens")
@@ -157,7 +163,8 @@ def q_curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep") == 0)
         .select("id")
     )
-    return _funnel_summary(nodes, dropped)
+    sh3 = dedup.shingle_stage(spark, nodes, sf_dir, k=3)
+    return _funnel_summary(nodes, dropped, sh3=sh3)
 
 
 def q_curation_pipeline_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,7 +187,8 @@ def q_curation_pipeline_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep") == 0)
         .select("id")
     )
-    return _funnel_summary(nodes, dropped)
+    sh3 = dedup.shingle_stage(spark, nodes, sf_dir, k=3)
+    return _funnel_summary(nodes, dropped, sh3=sh3)
 
 
 QUERIES = {

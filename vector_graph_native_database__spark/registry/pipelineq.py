@@ -47,9 +47,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, _, _ = model(spark, sf_dir)
-    return dedup.ngram_jaccard_pairs(nodes, k=3, threshold=0.8).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    sh3 = dedup.shingle_stage(spark, nodes, sf_dir, k=3)
+    return dedup.ngram_jaccard_pairs(
+        nodes, k=3, threshold=0.8, sh=sh3
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1181,8 +1182,9 @@ CONTAIN_TAU = 0.6
 
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, _, _ = model(spark, sf_dir)
+    sh3 = dedup.shingle_stage(spark, nodes, sf_dir, k=CONTAIN_K)
     return dedup.containment_pairs(
-        nodes, k=CONTAIN_K, threshold=CONTAIN_TAU
+        nodes, k=CONTAIN_K, threshold=CONTAIN_TAU, sh=sh3
     )
 
 
@@ -2193,7 +2195,8 @@ def q_dedup_jaccard_prefix_filter(
     (dedup_minhash_band_sweep) run for signatures, done for the EXACT
     set-similarity join."""
     nodes, _, _ = model(spark, sf_dir)
-    return dedup.jaccard_prefix_filter_report(nodes, k=3)
+    sh3 = dedup.shingle_stage(spark, nodes, sf_dir, k=3)
+    return dedup.jaccard_prefix_filter_report(nodes, k=3, sh=sh3)
 
 
 QUERIES["dedup_jaccard_prefix_filter"] = q_dedup_jaccard_prefix_filter
