@@ -87,3 +87,125 @@ def test_minhash_staged_subset_identity(spark):
         .collect()
     )
     assert served == built
+
+
+def test_cluster_audit_family_serves_from_staged_clusters(spark):
+    # the dedup sign-off reports (size histogram, per-source token
+    # cost, keep-best, the staged funnel twin, and the assignment
+    # entry itself) read the persisted cluster table instead of
+    # re-running band+verify+components per report; the components
+    # build's marker is the pointer-jumping Range/iteration scan
+    from vector_graph_native_database__spark import registry
+    from vector_graph_native_database__spark.plans import plan_string
+
+    for name in (
+        "dedup_cluster_assign",
+        "dedup_keep_best",
+        "dedup_cluster_size_histogram",
+        "dedup_token_cost_by_source",
+        "curation_pipeline_staged",
+    ):
+        p = plan_string(registry.all_queries()[name](spark, SF))
+        assert "vgndb_spark_scratch/dedup_clusters" in p, (
+            f"{name} must read the staged cluster table"
+        )
+        assert "minhash_index" not in p, (
+            f"{name} must not re-derive pairs in-plan"
+        )
+
+
+def test_cluster_stage_equals_inplan_build(spark):
+    # value identity: the staged cluster table equals the in-plan
+    # band+verify+components build (ids/keep roundtrip parquet
+    # exactly; both orders canonicalized)
+    from vector_graph_native_database__spark.operators import (
+        curation,
+        dedup,
+    )
+    from vector_graph_native_database__spark.registry.common import model
+
+    nodes, _, _ = model(spark, SF)
+    staged = (
+        curation.cluster_stage(spark, nodes, SF, threshold=0.8)
+        .orderBy("id")
+        .collect()
+    )
+    idx = dedup.minhash_index_stage(spark, nodes, SF)
+    built = (
+        curation.dedup_cluster_assign(nodes, threshold=0.8, index=idx)
+        .orderBy("id")
+        .collect()
+    )
+    assert staged == built
+
+
+def test_bm25_family_serves_from_staged_index(spark):
+    # the lexical-search serving path reads the staged posting/stats
+    # parquet (bm25_index_stage) instead of re-tokenizing the corpus
+    # per query: no Generate(explode) node anywhere in the plan, and
+    # the scan list includes the staged artifact
+    from vector_graph_native_database__spark import registry
+    from vector_graph_native_database__spark.plans import plan_string
+
+    for name in (
+        "bm25_score",
+        "bm25_topk",
+        "bm25_topk_multi",
+        "bm25_hard_negatives",
+        "bm25_hard_negatives_deduped",
+    ):
+        p = plan_string(registry.all_queries()[name](spark, SF))
+        assert "vgndb_spark_scratch/bm25_index" in p, (
+            f"{name} must read the staged posting index"
+        )
+        assert "Generate explode" not in p, (
+            f"{name} must not re-tokenize the corpus in-plan"
+        )
+
+
+def test_bm25_staged_equals_cold_build(spark):
+    # value identity between the disk-staged serving path and the
+    # cold in-plan build (the oracle checks this against SQL too;
+    # this pins it hermetically, staged-vs-unstaged)
+    from vector_graph_native_database__spark.operators import bm25
+    from vector_graph_native_database__spark.registry.common import model
+    from vector_graph_native_database__spark.registry.searchq import (
+        BM25_QUERY,
+    )
+
+    nodes, _, _ = model(spark, SF)
+    stats = bm25.bm25_index_stage(spark, nodes, SF)
+    staged = (
+        bm25.bm25_topk(nodes, BM25_QUERY, 15, 6, stats=stats)
+        .orderBy("id")
+        .collect()
+    )
+    cold = (
+        bm25.bm25_topk(nodes, BM25_QUERY, 15, 6).orderBy("id").collect()
+    )
+    assert staged == cold
+
+
+def test_bm25_staged_subset_identity(spark):
+    # postings are row-local per doc: semi-joining the staged
+    # full-corpus posting to a subset's ids then re-aggregating the
+    # stats equals building the index on the subset directly (the
+    # contract the deduped hard-negative miner relies on)
+    from vector_graph_native_database__spark.operators import bm25
+    from vector_graph_native_database__spark.registry.common import model
+
+    nodes, _, _ = model(spark, SF)
+    posting = bm25.staged_posting_frame(spark, nodes, SF)
+    subset = nodes.filter(F.col("id").cast("long") % 3 == 0)
+    sub_posting = posting.join(subset.select("id"), "id", "left_semi")
+    tf_s, dl_s, df_s = bm25.stats_from_posting(sub_posting)
+    tf_b, dl_b, df_b = bm25.corpus_stats(subset)
+    for served, built, keys in (
+        (tf_s, tf_b, ["id", "tok"]),
+        (dl_s, dl_b, ["id"]),
+        (df_s, df_b, ["tok"]),
+    ):
+        assert (
+            served.orderBy(*keys).collect()
+            == built.orderBy(*keys).collect()
+        )

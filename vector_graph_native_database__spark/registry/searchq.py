@@ -43,22 +43,32 @@ def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
     nodes, _, _ = model(spark, sf_dir)
-    return bm25.bm25_scores(nodes, BM25_QUERY).select(
+    stats = bm25.bm25_index_stage(spark, nodes, sf_dir)
+    return bm25.bm25_scores(nodes, BM25_QUERY, stats=stats).select(
         "id", F.round("score", 6).alias("score")
     )
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k BM25 served from the shared staged posting/stats index
+    (operators/bm25.bm25_index_stage): one tokenize pass per corpus,
+    every query pays only the |q|-row idf derivation plus the scoring
+    joins — the persisted-posting-table deployment shape. Values are
+    bit-identical to the in-plan build (longs/strings roundtrip
+    parquet exactly); the oracle recomputes from scratch in SQL."""
     nodes, _, _ = model(spark, sf_dir)
-    return bm25.bm25_topk(nodes, BM25_QUERY, top_k=15, round_scores=6)
+    stats = bm25.bm25_index_stage(spark, nodes, sf_dir)
+    return bm25.bm25_topk(
+        nodes, BM25_QUERY, top_k=15, round_scores=6, stats=stats
+    )
 
 
 def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deployment shape of bm25_topk: the posting frame is staged
-    (eager localCheckpoint — the in-plan analog of a persisted,
-    incrementally-maintained posting table) and the query pays only
-    the scoring joins on top of it. Results are byte-identical to
-    the cold entry; the oracle is the same SQL."""
+    """In-session variant of the staged serving path: the posting
+    frame is materialized with an eager localCheckpoint (the in-plan
+    analog of a persisted posting table) instead of read from the
+    disk-staged artifact — pins that BOTH staging idioms score
+    byte-identically against the same SQL oracle."""
     nodes, _, _ = model(spark, sf_dir)
     stats = bm25.staged_index(nodes)
     return bm25.bm25_topk(
@@ -67,16 +77,17 @@ def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bm25_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch BM25: three queries scored in ONE corpus pass over a
-    staged posting frame (query-log / eval-set deployment shape —
-    Q queries must not cost Q corpus scans)."""
+    """Batch BM25: three queries scored in ONE corpus pass over the
+    shared staged posting frame (query-log / eval-set deployment
+    shape — Q queries must not cost Q corpus scans, and the corpus
+    must not be re-tokenized per batch)."""
     nodes, _, _ = model(spark, sf_dir)
     return bm25.bm25_topk_multi(
         nodes,
         BM25_MULTI_QUERIES,
         top_k=10,
         round_scores=6,
-        stats=bm25.staged_index(nodes),
+        stats=bm25.bm25_index_stage(spark, nodes, sf_dir),
     )
 
 
@@ -728,7 +739,7 @@ def q_bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         BM25_MULTI_QUERIES,
         top_k=BM25_NEG_POOL,
         round_scores=6,
-        stats=bm25.staged_index(nodes),
+        stats=bm25.bm25_index_stage(spark, nodes, sf_dir),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
     ranked = pool.withColumn("rn", F.row_number().over(w)).join(
@@ -827,12 +838,19 @@ def q_bm25_hard_negatives_deduped(
     nodes, _, _ = model(spark, sf_dir)
     keepers = nodes.groupBy("text").agg(F.min("id").alias("id"))
     reps = nodes.join(keepers.select("id"), "id", "left_semi")
+    # postings are row-local per doc, so the keeper subset serves
+    # from the SAME staged posting frame (one tokenize per corpus);
+    # df/N/avgdl are re-aggregated over keepers only — the honest
+    # post-dedup collection stats, exactly stats over reps
+    posting = bm25.staged_posting_frame(spark, nodes, sf_dir).join(
+        keepers.select("id"), "id", "left_semi"
+    )
     pool = bm25.bm25_topk_multi(
         reps,
         BM25_MULTI_QUERIES,
         top_k=BM25_NEG_POOL,
         round_scores=6,
-        stats=bm25.staged_index(reps),
+        stats=bm25.stats_from_posting(posting),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
     ranked = pool.withColumn("rn", F.row_number().over(w)).join(
