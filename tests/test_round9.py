@@ -139,6 +139,41 @@ def test_cluster_stage_equals_inplan_build(spark):
     assert staged == built
 
 
+def test_scc_family_serves_from_staged_labels(spark):
+    # the exact-SCC entry and the condensation DAG read the SAME
+    # staged label table (scc_stage) instead of re-running the
+    # contraction rounds per analysis
+    from vector_graph_native_database__spark import registry
+    from vector_graph_native_database__spark.plans import plan_string
+
+    for name in ("graph_scc_exact", "graph_scc_condensation"):
+        p = plan_string(registry.all_queries()[name](spark, SF))
+        assert "vgndb_spark_scratch/scc_labels" in p, (
+            f"{name} must read the staged SCC labels"
+        )
+
+
+def test_scc_stage_equals_inplan_build(spark):
+    from vector_graph_native_database__spark.operators.analytics import (
+        scc_exact,
+        scc_stage,
+    )
+    from vector_graph_native_database__spark.registry.common import model
+
+    nodes, _, edges = model(spark, SF)
+    staged = (
+        scc_stage(spark, nodes.select("id"), edges, SF, initial_hops=3)
+        .orderBy("id")
+        .collect()
+    )
+    built = (
+        scc_exact(nodes.select("id"), edges, initial_hops=3)
+        .orderBy("id")
+        .collect()
+    )
+    assert staged == built
+
+
 def test_bm25_family_serves_from_staged_index(spark):
     # the lexical-search serving path reads the staged posting/stats
     # parquet (bm25_index_stage) instead of re-tokenizing the corpus

@@ -742,11 +742,18 @@ def q_graph_scc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 3 hops ARE all mutual pairs, and the closure-bounded SQL
     computes true SCCs on this data (pytest-pinned: the operator's
     certificate terminates at h=3 here, and scc_exact == scc_bounded
-    on the driver tables while diverging on a 10-cycle)."""
-    from ..operators.analytics import scc_exact
+    on the driver tables while diverging on a 10-cycle).
+
+    Serving shape: labels come from the staged SCC table
+    (operators/analytics.scc_stage — contraction rounds run once per
+    corpus, persisted, shared with the condensation entry), the way
+    a graph platform maintains component labels as a table."""
+    from ..operators.analytics import scc_stage
 
     nodes, _, edges = model(spark, sf_dir)
-    return scc_exact(nodes.select("id"), edges, initial_hops=SCC_HOPS)
+    return scc_stage(
+        spark, nodes.select("id"), edges, sf_dir, initial_hops=SCC_HOPS
+    )
 
 
 QUERIES["graph_scc_bounded"] = q_graph_scc_bounded
@@ -791,12 +798,15 @@ def q_graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     any digraph — the bounded-witness caveat is gone.
 
     Scale shape: two broadcast-eligible label joins onto the edge
-    list + one map-side-combinable count on top of the exact-SCC
-    contraction rounds."""
-    from ..operators.analytics import scc_exact
+    list + one map-side-combinable count, served from the staged SCC
+    label table (scc_stage — shared with graph_scc_exact, so the
+    contraction rounds run once per corpus, not per analysis)."""
+    from ..operators.analytics import scc_stage
 
     nodes, _, edges = model(spark, sf_dir)
-    labels = scc_exact(nodes.select("id"), edges, initial_hops=SCC_HOPS)
+    labels = scc_stage(
+        spark, nodes.select("id"), edges, sf_dir, initial_hops=SCC_HOPS
+    )
     ls = labels.select(
         F.col("id").alias("__s"), F.col("scc_id").alias("src_scc")
     )
