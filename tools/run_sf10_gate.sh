@@ -7,9 +7,13 @@
 # oracles: retrieval flagships, ann, bm25, scalable dedup forms).
 # Phase 2 — the duplication-quadratic pair-contract dedup/curation
 # entries under the deterministic doc-id slice
-# (SPARK_GRAFT_DOC_SLICE_MOD=4; see sources/loaders.py — both
-# engines restricted to stable_hash60(id) % 4 == 0 docs, pair
+# (SPARK_GRAFT_DOC_SLICE_MOD=8; see sources/loaders.py — both
+# engines restricted to stable_hash60(id) % 8 == 0 docs, pair
 # semantics closed under the slice, DuckDB truth feasible).
+# Mod 8, not 4: the round-9 sweep showed ngram_jaccard/semdedup/
+# curation_pipeline_summary exhaust local DuckDB budgets at mod 4
+# but pass at mod 8 — the standing gate should be reliably green,
+# not aspirational (per-round one-off runs can tighten the mod).
 #
 # Usage: tools/run_sf10_gate.sh [SF10_DIR] [RESUME_PREFIX] [LOG]
 # Appends '<name> OK|FAIL|TIMEOUT' lines to ${PREFIX}.resume (full)
@@ -34,10 +38,10 @@ ORACLE_DUCK_SPILL_MAX="${ORACLE_DUCK_SPILL_MAX:-25GiB}" \
   hybrid_weight_sweep dedup_exact dedup_minhash_band_sweep \
   dedup_incremental_lsh dedup_embedding_cosine_lsh
 
-SPARK_GRAFT_DOC_SLICE_MOD=4 \
+SPARK_GRAFT_DOC_SLICE_MOD=8 \
 ORACLE_DUCK_MEM="${ORACLE_DUCK_MEM:-40GB}" \
 ORACLE_DUCK_SPILL_MAX="${ORACLE_DUCK_SPILL_MAX:-25GiB}" \
-  tools/run_slice.sh "$sf" "${prefix}_slice.resume" "$log" 1200 \
+  tools/run_slice.sh "$sf" "${prefix}_slice.resume" "$log" 1500 \
   dedup_minhash_lsh dedup_ngram_jaccard dedup_cluster_assign \
   dedup_cluster_size_histogram dedup_semdedup dedup_keep_best \
   dedup_token_cost_by_source curation_pipeline_summary
