@@ -139,6 +139,34 @@ def test_cluster_stage_equals_inplan_build(spark):
     assert staged == built
 
 
+def test_ngram_jaccard_prefix_filter_is_lossless(spark):
+    # the AllPairs/PPJoin prefix-filtered plan must emit EXACTLY the
+    # naive posting-join's pairs (the losslessness the operator's
+    # default-off rationale depends on; see ngram_jaccard_pairs
+    # docstring for the measured default decision)
+    from vector_graph_native_database__spark.operators import dedup
+    from vector_graph_native_database__spark.registry.common import model
+
+    nodes, _, _ = model(spark, SF)
+    for k, t in ((2, 0.8), (3, 0.5)):
+        naive = (
+            dedup.ngram_jaccard_pairs(
+                nodes, k=k, threshold=t, prefix_filter=False
+            )
+            .orderBy("id_a", "id_b")
+            .collect()
+        )
+        filtered = (
+            dedup.ngram_jaccard_pairs(
+                nodes, k=k, threshold=t, prefix_filter=True
+            )
+            .orderBy("id_a", "id_b")
+            .collect()
+        )
+        assert filtered == naive, f"prefix filter dropped pairs at k={k}"
+    assert len(naive) > 0  # non-vacuous at k=3, θ=0.5
+
+
 def test_scc_family_serves_from_staged_labels(spark):
     # the exact-SCC entry and the condensation DAG read the SAME
     # staged label table (scc_stage) instead of re-running the
