@@ -139,6 +139,35 @@ def test_cluster_stage_equals_inplan_build(spark):
     assert staged == built
 
 
+def test_staged_index_dir_is_slice_salted():
+    # a doc-slice run sees a different effective dataset, so its
+    # staged artifacts must never share a directory with (or poison)
+    # the full-corpus ones — for every staged family
+    from vector_graph_native_database__spark.operators.staging import (
+        staged_index_dir,
+    )
+
+    dirs = {}
+    for mod in ("", "4", "8"):
+        if mod:
+            os.environ["SPARK_GRAFT_DOC_SLICE_MOD"] = mod
+        else:
+            os.environ.pop("SPARK_GRAFT_DOC_SLICE_MOD", None)
+        try:
+            dirs[mod] = staged_index_dir("bm25_index", SF, "tok-v1")
+        finally:
+            os.environ.pop("SPARK_GRAFT_DOC_SLICE_MOD", None)
+    assert len(set(dirs.values())) == 3, (
+        "sliced and full-corpus staged artifacts must not share dirs"
+    )
+    # and mod unset == mod 0 (explicit off)
+    os.environ["SPARK_GRAFT_DOC_SLICE_MOD"] = "0"
+    try:
+        assert staged_index_dir("bm25_index", SF, "tok-v1") == dirs[""]
+    finally:
+        del os.environ["SPARK_GRAFT_DOC_SLICE_MOD"]
+
+
 def test_ngram_jaccard_prefix_filter_is_lossless(spark):
     # the AllPairs/PPJoin prefix-filtered plan must emit EXACTLY the
     # naive posting-join's pairs (the losslessness the operator's
