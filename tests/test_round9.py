@@ -253,6 +253,11 @@ def test_bm25_family_serves_from_staged_index(spark):
         assert "Generate explode" not in p, (
             f"{name} must not re-tokenize the corpus in-plan"
         )
+        assert "In(tok" in p, (
+            f"{name} must push its query vocabulary into the posting "
+            "scan (literal In(tok, …) → row-group skipping on the "
+            "token-clustered staged layout)"
+        )
 
 
 def test_bm25_staged_equals_cold_build(spark):

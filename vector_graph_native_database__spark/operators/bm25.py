@@ -150,11 +150,18 @@ def staged_posting_frame(spark, nodes: DataFrame, cache_key: str) -> DataFrame:
     from .staging import staged_index_dir, write_staged
 
     final = staged_index_dir(
-        "bm25_index", cache_key, "tok-v1", salt_file="documents.parquet"
+        "bm25_index", cache_key, "tok-v2", salt_file="documents.parquet"
     )
 
     def _write(tmp: str) -> None:
-        posting_frame(nodes).write.parquet(os.path.join(tmp, "posting"))
+        # token-clustered layout: range-partitioned + sorted by tok,
+        # so a query's In(tok, …) predicate skips whole row groups
+        # via min/max stats — the posting-table layout a deployment
+        # uses (partition/sort by term) so queries read only their
+        # terms' posting lists
+        posting_frame(nodes).repartitionByRange(8, "tok").sortWithinPartitions(
+            "tok"
+        ).write.parquet(os.path.join(tmp, "posting"))
         p = spark.read.parquet(os.path.join(tmp, "posting"))
         _, doclen, df_ = stats_from_posting(p)
         doclen.write.parquet(os.path.join(tmp, "doclen"))
@@ -184,7 +191,7 @@ def bm25_index_stage(
 
     posting = staged_posting_frame(spark, nodes, cache_key)
     final = staged_index_dir(
-        "bm25_index", cache_key, "tok-v1", salt_file="documents.parquet"
+        "bm25_index", cache_key, "tok-v2", salt_file="documents.parquet"
     )
     tf = posting.filter(F.col("tok").isNotNull())
     doclen = spark.read.parquet(os.path.join(final, "doclen"))
@@ -265,6 +272,15 @@ def _contrib(
     qidf = _query_idf(
         query_terms_df(nodes, query_text), df_, _globals_df(doclen, df_)
     )
+    # The query's terms are known driver-side, so prune the posting
+    # frame with a literal In(tok, …) BEFORE the scoring join — rows
+    # outside the query's vocabulary can't contribute (the qidf join
+    # would drop them), and the literal predicate reaches the parquet
+    # scan of a staged posting table (PushedFilters), which at 100 TB
+    # is the difference between reading the query's posting lists and
+    # reading the corpus. df_/doclen stay unpruned: idf flooring
+    # averages over the WHOLE vocabulary and dl is per matched doc.
+    tf = tf.filter(F.col("tok").isin(list(set(query_text.lower().split()))))
     return (
         tf.join(F.broadcast(qidf), "tok")
         .join(doclen, "id")
@@ -434,8 +450,15 @@ def bm25_topk_multi(
         )
         .select("qid", "tok", "qcnt", "idf", "__avgdl")
     )
+    # literal batch-vocabulary prune, same rationale as _contrib's:
+    # the scoring join drops non-query toks anyway; a driver-side
+    # In(tok, …) lets the staged posting scan skip them
+    batch_toks = {
+        tok for text in queries.values() for tok in text.lower().split()
+    }
     scored = (
-        tf.join(F.broadcast(qidf), "tok")
+        tf.filter(F.col("tok").isin(list(batch_toks)))
+        .join(F.broadcast(qidf), "tok")
         .join(doclen, "id")
         .withColumn(
             "contrib",
