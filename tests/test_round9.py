@@ -306,3 +306,59 @@ def test_bm25_staged_subset_identity(spark):
             served.orderBy(*keys).collect()
             == built.orderBy(*keys).collect()
         )
+
+
+def test_ngram_jaccard_dense_dispatch_identity(spark):
+    # the dense blocked-GEMM twin must return EXACTLY the posting
+    # join's pairs and float64 jaccard values (the band sweep's truth
+    # serves from it), and a vocabulary above the cap must fall
+    # through to the posting join untouched
+    from vector_graph_native_database__spark.operators import dedup
+    from vector_graph_native_database__spark.registry.common import model
+
+    nodes, _, _ = model(spark, SF)
+    reps = (
+        nodes.groupBy("text")
+        .agg(F.min("id").alias("id"))
+        .select("id", F.col("text"))
+    )
+    sh2 = dedup.shingles(reps, "id", "text", 2)
+    posting = dedup.ngram_jaccard_pairs(reps, k=2, threshold=0.8, sh=sh2)
+    dense = dedup.ngram_jaccard_pairs(
+        reps, k=2, threshold=0.8, sh=sh2, dense_max_vocab=4096
+    )
+    assert sorted(map(tuple, dense.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, posting.collect()), key=lambda t: t[:2]
+    ), "dense path must be bit-identical to the posting join"
+    # cap below the measured vocabulary -> posting join (no Python in
+    # the plan)
+    fallthrough = dedup.ngram_jaccard_pairs(
+        reps, k=2, threshold=0.8, sh=sh2, dense_max_vocab=3
+    )
+    assert "FlatMapGroupsInPandas" not in (
+        fallthrough._jdf.queryExecution().analyzed().toString()
+    ), "above-cap vocabulary must use the posting join, not the GEMM"
+    assert sorted(map(tuple, fallthrough.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, posting.collect()), key=lambda t: t[:2]
+    )
+
+
+def test_band_sweep_single_candidate_join(spark, monkeypatch):
+    # BUILD-cost pin for the fused sweep: the aligned divisors nest
+    # the candidate sets, so the whole 3-point sweep must generate
+    # candidates ONCE (one banded join at the most permissive
+    # setting), not once per sweep point
+    from vector_graph_native_database__spark import registry
+    from vector_graph_native_database__spark.operators import dedup
+
+    calls = {"cand": 0}
+    real = dedup.lsh_candidate_pairs
+
+    def counting(*a, **kw):
+        calls["cand"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dedup, "lsh_candidate_pairs", counting)
+    df = registry.all_queries()["dedup_minhash_band_sweep"](spark, SF)
+    assert df.count() == 3
+    assert calls == {"cand": 1}

@@ -423,6 +423,112 @@ def incremental_lsh_dedup(
     )
 
 
+def _ngram_jaccard_pairs_dense(
+    sh: DataFrame, vocab: list[str], threshold: float,
+    block_size: int = 2048,
+) -> DataFrame:
+    """Exact Jaccard pairs over a SMALL CLOSED shingle vocabulary
+    → (id_a, id_b, jaccard), id_a < id_b — the dense twin of the
+    posting self-join in :func:`ngram_jaccard_pairs`.
+
+    When the measured vocabulary is small (the dispatch condition —
+    e.g. the harness corpus's ~931 2-shingles), every posting list is
+    corpus-length and the posting join materializes Σ|posting|² rows
+    to find a handful of pairs. A V-bit set per document makes the
+    intersection counts one integer GEMM instead: hash ids into
+    ⌈N/block_size⌉ blocks, one 0/1 matrix product per unordered block
+    pair (the ``embedding_cosine_pairs`` blocked-GEMM idiom applied
+    to set intersection). Counts are exact integers; jaccard is the
+    identical float64 ``c / (na + nb − c)``, so the output is
+    value-identical to the posting join (pytest-pinned). Replication
+    factor = #blocks — the unavoidable cost of exact all-pairs —
+    which is why the caller dispatches on measured V: with an open
+    vocabulary the posting join's rare shingles prune better than
+    any dense product and this path is never taken.
+    """
+    import math
+
+    idx = {s: i for i, s in enumerate(vocab)}
+    nvocab = len(vocab)
+    docs = (
+        sh.groupBy("id")
+        .agg(F.collect_set("shingle").alias("ss"), F.count("*").alias("n"))
+    )
+    n_docs = docs.count()
+    nblocks = max(1, math.ceil(n_docs / block_size))
+    base = docs.withColumn(
+        "blk", F.pmod(stable_hash60("id"), F.lit(nblocks)).cast("int")
+    )
+    a_side = base.select(
+        "id",
+        "ss",
+        "n",
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence("blk", F.lit(nblocks - 1))).alias("bj"),
+        F.lit(0).alias("side"),
+    ).withColumn("bj", F.col("bj").cast("int"))
+    b_side = base.select(
+        "id",
+        "ss",
+        "n",
+        F.explode(F.sequence(F.lit(0), "blk")).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit(1).alias("side"),
+    ).withColumn("bi", F.col("bi").cast("int"))
+
+    def block_pair_jaccard(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
+
+        def dense(rows):
+            m = np.zeros((len(rows), nvocab), dtype=np.float32)
+            lens = [len(x) for x in rows]
+            ri = np.repeat(np.arange(len(rows)), lens)
+            ci = np.fromiter(
+                (idx[s] for x in rows for s in x),
+                dtype=np.int64,
+                count=sum(lens),
+            )
+            m[ri, ci] = 1.0
+            return m
+
+        ma = dense(a["ss"].to_numpy())
+        mb = dense(b["ss"].to_numpy())
+        # float32 GEMM is exact here: counts are integers ≤ V ≤ 2^24
+        c = (ma @ mb.T).astype(np.float64)
+        na = a["n"].to_numpy().astype(np.int64)
+        nb = b["n"].to_numpy().astype(np.int64)
+        # identical float64 arithmetic to the posting join's
+        # c / (na + nb − c); c > 0 mirrors its shared-shingle premise
+        jac = c / (na[:, None] + nb[None, :] - c)
+        ia, ib = np.nonzero((c > 0) & (jac >= threshold))
+        ids_a = a["id"].to_numpy()[ia]
+        ids_b = b["id"].to_numpy()[ib]
+        vals = jac[ia, ib]
+        if pdf["bi"].iloc[0] == pdf["bj"].iloc[0]:
+            keep = ids_a < ids_b
+            ids_a, ids_b, vals = ids_a[keep], ids_b[keep], vals[keep]
+        else:
+            swap = ids_a > ids_b
+            lo = np.where(swap, ids_b, ids_a)
+            hi = np.where(swap, ids_a, ids_b)
+            ids_a, ids_b = lo, hi
+        return pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "jaccard": vals})
+
+    return (
+        a_side.unionByName(b_side)
+        .groupBy("bi", "bj")
+        .applyInPandas(
+            block_pair_jaccard, "id_a string, id_b string, jaccard double"
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "id",
@@ -431,6 +537,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     sh: DataFrame | None = None,
     prefix_filter: bool = False,
+    dense_max_vocab: int = 0,
 ) -> DataFrame:
     """Direct n-gram Jaccard via a shingle-postings equi-join.
 
@@ -464,11 +571,36 @@ def ngram_jaccard_pairs(
     where the Σ|posting|² blow-up collapses, and a 100 TB deployment
     turns this on (or dispatches on measured vocabulary/posting
     skew).
+
+    ``dense_max_vocab=N`` is the other arm of that dispatch: probe
+    the vocabulary size (LIMIT-bounded) and, when V ≤ N — the
+    closed-vocabulary regime where posting lists are corpus-length
+    and the Σ|posting|² join volume is the cost — compute the
+    identical pairs with the dense blocked-GEMM twin
+    (:func:`_ngram_jaccard_pairs_dense`). Off by default;
+    value-identical either way (pytest-pinned).
     """
     from pyspark.sql import Window
 
     if sh is None:
         sh = shingles(df, id_col, text_col, k)
+    if dense_max_vocab and not prefix_filter and threshold > 0:
+        # measured dispatch (SCALING.md): a closed vocabulary defeats
+        # posting-join pruning (every list is corpus-length), so when
+        # the measured V is small the dense blocked-GEMM twin computes
+        # the identical pairs at a fraction of the join volume. The
+        # probe is one LIMIT-bounded pass over the (staged) shingle
+        # frame; V > dense_max_vocab falls through to the posting
+        # join unchanged.
+        probe = (
+            sh.select("shingle")
+            .distinct()
+            .limit(dense_max_vocab + 1)
+            .collect()
+        )
+        if len(probe) <= dense_max_vocab:
+            vocab = sorted(r[0] for r in probe)
+            return _ngram_jaccard_pairs_dense(sh, vocab, threshold)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     if prefix_filter:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df_"))

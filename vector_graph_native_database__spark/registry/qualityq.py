@@ -881,8 +881,13 @@ def q_dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shingles/signatures serve from the shared staged minhash index
     (minhash_index_stage — zero in-plan tokenize/sign, pytest-pinned
     by call count); truth and the same-content mass are each staged
-    once; every sweep point is one banded equi-join plus a pair-key
-    full-outer comparison over near-dup-sized content frames."""
+    once, the truth via the measured dense-GEMM dispatch (the closed
+    bigram vocabulary makes the posting self-join Σ|posting|²-bound;
+    dense is bit-identical). Because the aligned bandings NEST, the
+    whole sweep is ONE banded equi-join at the most permissive
+    setting + per-pair signature slice-equality for the stricter
+    ones + ONE truth full-outer comparison — not one of each per
+    sweep point."""
     from functools import reduce
 
     from ..operators import dedup
@@ -931,7 +936,16 @@ def q_dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     truth = (
-        dedup.ngram_jaccard_pairs(reps, k=2, threshold=0.8, sh=sh)
+        # dense_max_vocab: the exact-truth grading contract is a
+        # k=2 posting self-join whose volume is Σ|posting|²; on this
+        # corpus's closed ~931-bigram vocabulary that is ~70M join
+        # rows for ~hundreds of truth pairs, and the measured dense
+        # dispatch computes the identical pairs as blocked 0/1 GEMM
+        # (bit-exact, pytest-pinned; open vocabularies fall through
+        # to the posting join untouched)
+        dedup.ngram_jaccard_pairs(
+            reps, k=2, threshold=0.8, sh=sh, dense_max_vocab=4096
+        )
         .join(wa, "id_a")
         .join(wb, "id_b")
         .select(
@@ -940,33 +954,91 @@ def q_dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(same)
         .localCheckpoint(eager=True)
     )
+    # Fused sweep (optimization round 9): the chosen divisors give
+    # ALIGNED, NESTED bands — a pair colliding at rows_per_band=r
+    # collides at every divisor of r — so ONE banded join at the most
+    # permissive setting (min rows_per_band) generates every sweep
+    # point's candidate superset, and per-pair slice equality over
+    # the two 12-perm signature vectors decides membership at the
+    # stricter settings. One candidate join + ONE truth full-outer
+    # comparison + one aggregate replace one of each PER sweep point
+    # — value-identical by the nesting argument (pytest-pinned
+    # monotone + oracle-checked).
+    r_min = min(MINHASH_SWEEP_ROWS)
+    assert all(
+        r % r_min == 0 and 12 % r == 0 for r in MINHASH_SWEEP_ROWS
+    ), "sweep fusion needs aligned nested bandings"
+    sigv = sig.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+            lambda s: s["minhash"],
+        ).alias("v")
+    )
+
+    def collide(r: int):
+        return reduce(
+            lambda x, y: x | y,
+            [
+                F.slice("va", b * r + 1, r) == F.slice("vb", b * r + 1, r)
+                for b in range(12 // r)
+            ],
+        )
+
+    candw = (
+        dedup.lsh_candidate_pairs(sig, rows_per_band=r_min)
+        .join(
+            sigv.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
+            "id_a",
+        )
+        .join(
+            sigv.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
+            "id_b",
+        )
+        .join(wa, "id_a")
+        .join(wb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("cnt_a") * F.col("cnt_b")).alias("w"),
+            *[collide(r).alias(f"c{r}") for r in MINHASH_SWEEP_ROWS],
+        )
+        .unionByName(
+            same.select(
+                "id_a",
+                "id_b",
+                "w",
+                *[F.lit(True).alias(f"c{r}") for r in MINHASH_SWEEP_ROWS],
+            )
+        )
+    )
+    j = truth.select("id_a", "id_b", F.col("w").alias("w_ex")).join(
+        candw, ["id_a", "id_b"], "full_outer"
+    )
+    aggs = [F.sum(F.coalesce("w_ex", F.lit(0))).alias("n_exact")]
+    for r in MINHASH_SWEEP_ROWS:
+        # c{r} is NULL on truth-only rows → WHEN falls to 0, exactly
+        # the old full-outer coalesce semantics per sweep point
+        aggs.append(
+            F.sum(
+                F.when(F.col(f"c{r}"), F.col("w")).otherwise(F.lit(0))
+            ).alias(f"n_candidates_{r}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("w_ex").isNotNull() & F.col(f"c{r}"),
+                    F.col("w_ex"),
+                ).otherwise(F.lit(0))
+            ).alias(f"n_hits_{r}")
+        )
+    stats = j.agg(*aggs).localCheckpoint(eager=True)
     rows = []
     for r in MINHASH_SWEEP_ROWS:
-        cand = (
-            dedup.lsh_candidate_pairs(sig, rows_per_band=r)
-            .join(wa, "id_a")
-            .join(wb, "id_b")
-            .select(
-                "id_a", "id_b", (F.col("cnt_a") * F.col("cnt_b")).alias("w")
-            )
-            .unionByName(same)
-        )
-        j = truth.select("id_a", "id_b", F.col("w").alias("w_ex")).join(
-            cand.select("id_a", "id_b", F.col("w").alias("w_ca")),
-            ["id_a", "id_b"],
-            "full_outer",
-        )
         rows.append(
-            j.agg(
-                F.sum(F.coalesce("w_ex", F.lit(0))).alias("n_exact"),
-                F.sum(F.coalesce("w_ca", F.lit(0))).alias("n_candidates"),
-                F.sum(
-                    F.when(
-                        F.col("w_ex").isNotNull()
-                        & F.col("w_ca").isNotNull(),
-                        F.col("w_ex"),
-                    ).otherwise(F.lit(0))
-                ).alias("n_hits"),
+            stats.select(
+                F.col(f"n_candidates_{r}").alias("n_candidates"),
+                F.col(f"n_hits_{r}").alias("n_hits"),
+                "n_exact",
             ).select(
                 F.lit(r).cast("int").alias("rows_per_band"),
                 F.lit(12 // r).cast("int").alias("n_bands"),
