@@ -649,15 +649,21 @@ def test_ann_tier_report_brute_truth_staged_once(spark):
 )
 def test_nprobe_sweeps_train_zero_times_in_plan(spark, name, points):
     # the IVF index is trained+assigned ONCE into the shared staged
-    # parquet (cidx-partitioned); every sweep point is pure serving.
-    # Pin: the final plan contains ZERO Lloyd trainings (posexplode →
-    # per-component mean is the training signature) and reads the
-    # staged index parquet once per sweep point.
+    # parquet (cidx-partitioned), and since round 10 the sweep is
+    # FUSED: one scoring pass at max(nprobe) is checkpointed and
+    # every sweep point filters it by probe rank. Pin: the final plan
+    # contains ZERO Lloyd trainings (posexplode → per-component mean
+    # is the training signature), ZERO staged-index scans (the
+    # serving pass ran once, before the checkpoint), and one
+    # checkpoint scan per sweep point.
     df = registry.all_queries()[name](spark, SF)
     p = plan_string(df)
     s = plan_summary(df)
     assert "posexplode" not in p, "training must not appear in the plan"
-    assert p.count("ivf_index") >= points, "each point reads staged index"
+    assert "ivf_index" not in p, "scoring must run once, pre-checkpoint"
+    assert p.count("Scan ExistingRDD") >= points + 1, (
+        "each sweep point must read the staged candidates (+ truth)"
+    )
     assert "CartesianProduct" not in p
     assert s["python_row_udfs"] == 0
 

@@ -187,10 +187,11 @@ def test_bench_run_set_drops_partial_samples(monkeypatch, spark):
 
     monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
 
-    times, errors = bench._run_set(["flaky", "steady"], reps=3)
+    times, errors, cold = bench._run_set(["flaky", "steady"], reps=3)
     assert "flaky" not in times, "partial samples must be dropped"
     assert "flaky" in errors
     assert "steady" in times
+    assert "steady" in cold and "flaky" not in cold
 
 
 # ---------------------------------------------------------------------------

@@ -89,12 +89,12 @@ def test_minhash_staged_subset_identity(spark):
     assert served == built
 
 
-def test_cluster_audit_family_serves_from_staged_clusters(spark):
-    # the dedup sign-off reports (size histogram, per-source token
-    # cost, keep-best, the staged funnel twin, and the assignment
-    # entry itself) read the persisted cluster table instead of
-    # re-running band+verify+components per report; the components
-    # build's marker is the pointer-jumping Range/iteration scan
+def test_cluster_audit_family_computes_clusters_in_plan(spark):
+    # round-9 verdict item 2 (round 10 unwind): the dedup sign-off
+    # reports and the assignment entry itself must COMPUTE the
+    # (id, cluster, keep) assignment inside the timed query — no
+    # persisted cluster-table read (that is result caching). The
+    # staged MinHash INDEX is the one allowed staged input.
     from vector_graph_native_database__spark import registry
     from vector_graph_native_database__spark.plans import plan_string
 
@@ -106,37 +106,9 @@ def test_cluster_audit_family_serves_from_staged_clusters(spark):
         "curation_pipeline_staged",
     ):
         p = plan_string(registry.all_queries()[name](spark, SF))
-        assert "vgndb_spark_scratch/dedup_clusters" in p, (
-            f"{name} must read the staged cluster table"
+        assert "vgndb_spark_scratch/dedup_clusters" not in p, (
+            f"{name} must not read a persisted cluster table"
         )
-        assert "minhash_index" not in p, (
-            f"{name} must not re-derive pairs in-plan"
-        )
-
-
-def test_cluster_stage_equals_inplan_build(spark):
-    # value identity: the staged cluster table equals the in-plan
-    # band+verify+components build (ids/keep roundtrip parquet
-    # exactly; both orders canonicalized)
-    from vector_graph_native_database__spark.operators import (
-        curation,
-        dedup,
-    )
-    from vector_graph_native_database__spark.registry.common import model
-
-    nodes, _, _ = model(spark, SF)
-    staged = (
-        curation.cluster_stage(spark, nodes, SF, threshold=0.8)
-        .orderBy("id")
-        .collect()
-    )
-    idx = dedup.minhash_index_stage(spark, nodes, SF)
-    built = (
-        curation.dedup_cluster_assign(nodes, threshold=0.8, index=idx)
-        .orderBy("id")
-        .collect()
-    )
-    assert staged == built
 
 
 def test_staged_index_dir_is_slice_salted():
@@ -196,39 +168,19 @@ def test_ngram_jaccard_prefix_filter_is_lossless(spark):
     assert len(naive) > 0  # non-vacuous at k=3, θ=0.5
 
 
-def test_scc_family_serves_from_staged_labels(spark):
-    # the exact-SCC entry and the condensation DAG read the SAME
-    # staged label table (scc_stage) instead of re-running the
-    # contraction rounds per analysis
+def test_scc_family_computes_labels_in_plan(spark):
+    # round-9 verdict item 2 (round 10 unwind): the exact-SCC entry
+    # and the condensation DAG must run the contraction rounds inside
+    # the timed query — no persisted label-table read (the labels are
+    # graph_scc_exact's own declared output)
     from vector_graph_native_database__spark import registry
     from vector_graph_native_database__spark.plans import plan_string
 
     for name in ("graph_scc_exact", "graph_scc_condensation"):
         p = plan_string(registry.all_queries()[name](spark, SF))
-        assert "vgndb_spark_scratch/scc_labels" in p, (
-            f"{name} must read the staged SCC labels"
+        assert "vgndb_spark_scratch/scc_labels" not in p, (
+            f"{name} must not read a persisted SCC label table"
         )
-
-
-def test_scc_stage_equals_inplan_build(spark):
-    from vector_graph_native_database__spark.operators.analytics import (
-        scc_exact,
-        scc_stage,
-    )
-    from vector_graph_native_database__spark.registry.common import model
-
-    nodes, _, edges = model(spark, SF)
-    staged = (
-        scc_stage(spark, nodes.select("id"), edges, SF, initial_hops=3)
-        .orderBy("id")
-        .collect()
-    )
-    built = (
-        scc_exact(nodes.select("id"), edges, initial_hops=3)
-        .orderBy("id")
-        .collect()
-    )
-    assert staged == built
 
 
 def test_bm25_family_serves_from_staged_index(spark):

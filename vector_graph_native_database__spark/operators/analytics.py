@@ -1352,49 +1352,6 @@ def scc_exact(
     return labels.select("id", F.col("lbl").alias("scc_id"))
 
 
-def scc_stage(
-    spark,
-    vertices: DataFrame,
-    edges: DataFrame,
-    cache_key: str,
-    initial_hops: int = 3,
-) -> DataFrame:
-    """Build-once / read-many exact-SCC label table staged as scratch
-    parquet → the (id, scc_id) frame read from disk.
-
-    SCC labels are a pure, deterministic function of the edge list
-    (scc_id = min node id per component, string order), so the
-    contraction rounds run ONCE per (cache_key, initial_hops) — the
-    ``cluster_stage`` idiom for the graph-analytics family — and the
-    consumers (the exact-SCC entry itself, the condensation DAG,
-    any lineage/scheduling analysis on top) read the persisted
-    labels. Ids roundtrip parquet exactly, so staged results are
-    value-identical to the in-plan contraction. Salted with the
-    documents parquet (the driver graph's edges derive from doc
-    ids), so a regenerated dataset never serves stale labels. This
-    is the production shape: graph platforms persist component /
-    SCC labels as tables and rebuild on ingest, not per query.
-    """
-    import os
-
-    from .staging import staged_index_dir, write_staged
-
-    final = staged_index_dir(
-        "scc_labels",
-        cache_key,
-        f"h{initial_hops}-v1",
-        salt_file="documents.parquet",
-    )
-
-    def _write(tmp: str) -> None:
-        scc_exact(vertices, edges, initial_hops).write.parquet(
-            os.path.join(tmp, "labels")
-        )
-
-    write_staged(final, _write)
-    return spark.read.parquet(os.path.join(final, "labels"))
-
-
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """Degree assortativity coefficient → one row
     (n_endpoints, assortativity).

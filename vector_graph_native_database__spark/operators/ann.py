@@ -553,6 +553,50 @@ def ivf_topk(
     knob sweep or a multi-query serving loop avoids re-deriving the
     index per call.
     """
+    cand = ivf_candidates(
+        emb,
+        query_ids,
+        n_centroids=n_centroids,
+        iters=iters,
+        nprobe=nprobe,
+        dim=dim,
+        round_scores=round_scores,
+        allowed=allowed,
+        train=train,
+        index=index,
+    ).select("qid", "id", "cos")
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "id", "cos", "rnk")
+    )
+
+
+def ivf_candidates(
+    emb: DataFrame,
+    query_ids: list[str],
+    n_centroids: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    dim: int = 64,
+    round_scores: int | None = None,
+    allowed: DataFrame | None = None,
+    train: DataFrame | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Scored IVF candidates BEFORE top-k → (qid, id, cos, prb, …).
+
+    ``prb`` is the 1-based probe rank of the candidate's cell for
+    that query (the row_number the probe selection already computes).
+    The probe list at nprobe=p is a RANK PREFIX of the list at any
+    nprobe ≥ p, and each id lives in exactly one cell, so candidates
+    at nprobe=p equal candidates at nprobe=p_max filtered to
+    prb ≤ p — the nesting the nprobe-sweep entries fuse on: ONE
+    scoring pass at p_max, then per sweep point a filter + re-rank
+    (optimization guide §2.4, the band-sweep idiom applied to probe
+    rank). ``ivf_topk`` is exactly a top-k window over this frame.
+    """
     e = (
         emb.filter(F.size("vector") == dim)
         .select(F.col("node_id").alias("id"), "vector")
@@ -574,7 +618,7 @@ def ivf_topk(
         )
         .withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
-        .select("qid", "qvec", "cidx")
+        .select("qid", "qvec", "cidx", F.col("__rn").alias("prb"))
     )
     cand = (
         assign.join(F.broadcast(probes), "cidx")
@@ -591,12 +635,7 @@ def ivf_topk(
         cand = cand.join(allowed.select("id"), "id", "left_semi")
     if round_scores is not None:
         cand = cand.withColumn("cos", F.round("cos", round_scores))
-    wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
-    return (
-        cand.withColumn("rnk", F.row_number().over(wk))
-        .filter(F.col("rnk") <= k)
-        .select("qid", "id", "cos", "rnk")
-    )
+    return cand
 
 
 def _subvectors(emb: DataFrame, m: int, dim: int) -> DataFrame:
@@ -824,8 +863,20 @@ def ivfpq_topk(
     ``index``: a prebuilt ``(centroids, assign, codebooks, codes)``
     from ``pq_index_stage`` — NO training happens here; the call is
     pure serving against the cidx-partitioned codes parquet, so a
-    probe is a partition-pruned read of nprobe/C of the code tier.
+    probe is a partition-pruned read of nprobe/C of the code tier
+    (delegated to :func:`ivfpq_staged_candidates` + the top-k
+    window).
     """
+    if index is not None:
+        cand = ivfpq_staged_candidates(
+            emb, query_ids, nprobe=nprobe, m=m, ksub=ksub, dim=dim,
+            index=index,
+        ).select("qid", "id", "adist")
+        wk = Window.partitionBy("qid").orderBy("adist", "id")
+        return (
+            cand.withColumn("rnk", F.row_number().over(wk))
+            .filter(F.col("rnk") <= k)
+        )
     stage = (
         (lambda d: d.localCheckpoint(eager=True))
         if stage_index and index is None
@@ -838,24 +889,20 @@ def ivfpq_topk(
         .select(F.col("node_id").alias("id"), "vector")
         .withColumn("vv", dot("vector", "vector"))
     )
-    if index is None:
-        cf = stage(
-            ivf_centroids(emb, n_centroids, iters, dim).withColumn(
-                "cc", dot("cvec", "cvec")
-            )
+    cf = stage(
+        ivf_centroids(emb, n_centroids, iters, dim).withColumn(
+            "cc", dot("cvec", "cvec")
         )
-        af = stage(
-            e.crossJoin(F.broadcast(cf))
-            .withColumn(
-                "dist",
-                F.col("vv") + F.col("cc") - 2 * dot("vector", "cvec"),
-            )
-            .groupBy("id")
-            .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("cidx"))
+    )
+    af = stage(
+        e.crossJoin(F.broadcast(cf))
+        .withColumn(
+            "dist",
+            F.col("vv") + F.col("cc") - 2 * dot("vector", "cvec"),
         )
-    else:
-        cf = index[0].withColumn("cc", dot("cvec", "cvec"))
-        af = index[1]
+        .groupBy("id")
+        .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("cidx"))
+    )
     qv = e.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("qid"), F.col("vector").alias("qvec"), "vv"
     )
@@ -872,33 +919,26 @@ def ivfpq_topk(
 
     # fine: PQ codes + per-query ADC tables (pq_topk's frames)
     es = _subvectors(emb, m, dim)
-    if index is None:
-        # the per-query candidate id set: vectors assigned to probed
-        # cells. |probes| = |queries|·nprobe — always broadcastable.
-        sel = (
-            af.join(F.broadcast(probes), "cidx")
-            .filter(F.col("id") != F.col("qid"))
-            .select("qid", "id")
+    # the per-query candidate id set: vectors assigned to probed
+    # cells. |probes| = |queries|·nprobe — always broadcastable.
+    sel = (
+        af.join(F.broadcast(probes), "cidx")
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", "id")
+    )
+    cb = stage(
+        pq_train(emb, m, ksub, iters, dim).withColumn(
+            "cc", dot("cvec", "cvec")
         )
-        cb = stage(
-            pq_train(emb, m, ksub, iters, dim).withColumn(
-                "cc", dot("cvec", "cvec")
-            )
+    )
+    codes = stage(
+        es.join(F.broadcast(cb), "sm")
+        .withColumn(
+            "dist", F.col("vv") + F.col("cc") - 2 * dot("sv", "cvec")
         )
-        codes = stage(
-            es.join(F.broadcast(cb), "sm")
-            .withColumn(
-                "dist", F.col("vv") + F.col("cc") - 2 * dot("sv", "cvec")
-            )
-            .groupBy("id", "sm")
-            .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("code"))
-        )
-    else:
-        cb = index[2]
-        # staged codes carry the coarse cell: the probe join prunes
-        # code partitions directly — no assignment-side semi-join.
-        sel = None
-        codes = index[3]
+        .groupBy("id", "sm")
+        .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("code"))
+    )
     q = es.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("qid"),
         "sm",
@@ -918,14 +958,7 @@ def ivfpq_topk(
     # it actually fits (the deployment path prunes codes by cell
     # partition instead of joining at all). `tables` is
     # |queries|·m·ksub rows — constant-sized, always broadcast.
-    if sel is not None:
-        cand_codes = codes.join(sel, "id")
-    else:
-        cand_codes = (
-            codes.join(F.broadcast(probes), "cidx")
-            .filter(F.col("id") != F.col("qid"))
-            .select("qid", "id", "sm", "code")
-        )
+    cand_codes = codes.join(sel, "id")
     cc_, tb = (
         cand_codes.alias("cd"),
         tables.alias("tb"),
@@ -960,6 +993,108 @@ def ivfpq_topk(
         )
         .withColumn("rnk", F.row_number().over(wk))
         .filter(F.col("rnk") <= k)
+    )
+
+
+def ivfpq_staged_candidates(
+    emb: DataFrame,
+    query_ids: list[str],
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 16,
+    dim: int = 64,
+    index: (
+        tuple[DataFrame, DataFrame, DataFrame, DataFrame] | None
+    ) = None,
+) -> DataFrame:
+    """Scored IVF-PQ ADC candidates BEFORE top-k, served from the
+    staged tier → (qid, id, adist, prb).
+
+    ``index`` = ``pq_index_stage``'s ``(centroids, assign, codebooks,
+    codes)``; NO training happens here. ``prb`` is the probe rank of
+    the candidate's coarse cell for its query; an id carries one
+    coarse cell, so candidates at nprobe=p equal candidates at
+    nprobe=p_max filtered to prb ≤ p, and ``adist`` is
+    nprobe-independent — the nesting the IVF-PQ nprobe sweep fuses on
+    (guide §2.4). ``ivfpq_topk``'s staged branch is exactly a top-k
+    window over this frame; the staged codes carry the coarse cell,
+    so the probe join prunes code partitions directly — no
+    assignment-side semi-join.
+    """
+    e = (
+        emb.filter(F.size("vector") == dim)
+        .select(F.col("node_id").alias("id"), "vector")
+        .withColumn("vv", dot("vector", "vector"))
+    )
+    cf = index[0].withColumn("cc", dot("cvec", "cvec"))
+    qv = e.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("qid"), F.col("vector").alias("qvec"), "vv"
+    )
+    wp = Window.partitionBy("qid").orderBy("dist", "cidx")
+    probes = (
+        qv.crossJoin(F.broadcast(cf))
+        .withColumn(
+            "dist", F.col("vv") + F.col("cc") - 2 * dot("qvec", "cvec")
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "cidx", F.col("rn").alias("prb"))
+    )
+    es = _subvectors(emb, m, dim)
+    cb = index[2]
+    codes = index[3]
+    q = es.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("qid"),
+        "sm",
+        F.col("sv").alias("qsv"),
+        F.col("vv").alias("qvv"),
+    )
+    tables = q.join(F.broadcast(cb), "sm").select(
+        "qid",
+        "sm",
+        "cidx",
+        (F.col("qvv") + F.col("cc") - 2 * dot("qsv", "cvec")).alias("d"),
+    )
+    cand_codes = (
+        codes.join(F.broadcast(probes), "cidx")
+        .filter(F.col("id") != F.col("qid"))
+        .select("qid", "id", "sm", "code", "prb")
+    )
+    cc_, tb = (
+        cand_codes.alias("cd"),
+        tables.alias("tb"),
+    )
+    cand = (
+        cc_.join(
+            F.broadcast(tb),
+            (F.col("cd.qid") == F.col("tb.qid"))
+            & (F.col("cd.sm") == F.col("tb.sm"))
+            & (F.col("cd.code") == F.col("tb.cidx")),
+        )
+        .select(
+            F.col("cd.qid").alias("qid"),
+            F.col("cd.id").alias("id"),
+            F.col("tb.sm").alias("psm"),
+            F.col("tb.d").alias("d"),
+            F.col("cd.prb").alias("prb"),
+        )
+        .groupBy("qid", "id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("psm", "d"))).alias("ds"),
+            # one coarse cell per id -> every row agrees; min is it
+            F.min("prb").alias("prb"),
+        )
+    )
+    adist = F.aggregate(
+        F.transform("ds", lambda s: s["d"]), F.lit(0.0), lambda a, x: a + x
+    )
+    return cand.select(
+        "qid",
+        "id",
+        (F.floor(adist * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "adist"
+        ),
+        "prb",
     )
 
 

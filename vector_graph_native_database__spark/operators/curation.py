@@ -59,57 +59,6 @@ def dedup_cluster_assign(
     return cluster_from_pairs(pairs)
 
 
-def cluster_stage(
-    spark,
-    nodes: DataFrame,
-    cache_key: str,
-    threshold: float = 0.8,
-) -> DataFrame:
-    """Build-once / read-many duplicate-cluster table staged as
-    scratch parquet → the (id, cluster, keep) frame read from disk.
-
-    The cluster assignment is a pure, deterministic function of
-    (corpus text, threshold): MinHash-LSH pairs → pointer-jumping
-    components → min-id cluster/keeper rule, every step md5-derived.
-    It is therefore written ONCE per (cache_key, threshold) under the
-    shared scratch root — the ``minhash_index_stage`` idiom one level
-    up the dedup funnel — and every downstream AUDIT consumer (the
-    size histogram, the per-source token-cost report, keep-best) reads
-    the same table instead of re-running band+verify+components per
-    report. Ids (strings) and keep (int) roundtrip parquet exactly, so
-    staged results are value-identical to the in-plan build. The
-    build itself serves from the staged MinHash index (one tokenize /
-    sign per corpus, shared with the pairing entries);
-    ``dedup_cluster_from_pairs`` stays the charged-end-to-end entry
-    that prices the build.
-
-    This IS the production shape: a corpus dedup pass materializes
-    its cluster assignment as a table next to the corpus, and the
-    sign-off reports are cheap scans over it — nobody re-clusters
-    100 TB to draw a histogram.
-    """
-    import os
-
-    from .dedup import minhash_index_stage
-    from .staging import staged_index_dir, write_staged
-
-    final = staged_index_dir(
-        "dedup_clusters",
-        cache_key,
-        f"mh2x12|t{threshold}",
-        salt_file="documents.parquet",
-    )
-
-    def _write(tmp: str) -> None:
-        idx = minhash_index_stage(spark, nodes, cache_key)
-        dedup_cluster_assign(
-            nodes, threshold=threshold, index=idx
-        ).write.parquet(os.path.join(tmp, "clusters"))
-
-    write_staged(final, _write)
-    return spark.read.parquet(os.path.join(final, "clusters"))
-
-
 def cluster_from_pairs(pairs: DataFrame) -> DataFrame:
     """(id_a, id_b) near-dup pairs → (id, cluster, keep).
 

@@ -448,6 +448,10 @@ def _ngram_jaccard_pairs_dense(
     """
     import math
 
+    # the posting-join twin preserves the input id type; the GEMM
+    # path must declare the same (ADVICE r9: a non-string id would
+    # otherwise change schema relative to the posting join)
+    id_sql_type = sh.schema["id"].dataType.simpleString()
     idx = {s: i for i, s in enumerate(vocab)}
     nvocab = len(vocab)
     docs = (
@@ -524,7 +528,8 @@ def _ngram_jaccard_pairs_dense(
         a_side.unionByName(b_side)
         .groupBy("bi", "bj")
         .applyInPandas(
-            block_pair_jaccard, "id_a string, id_b string, jaccard double"
+            block_pair_jaccard,
+            f"id_a {id_sql_type}, id_b {id_sql_type}, jaccard double",
         )
     )
 

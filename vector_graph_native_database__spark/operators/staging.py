@@ -20,7 +20,15 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time
 import uuid
+
+# Per-process build-cost ledger: staged-family tag -> seconds spent
+# inside write_fn (cold builds only; a warm _DONE hit adds nothing).
+# bench.py reports this as "staging_build_sec" so every bench number
+# that includes a cold staging build is visible as build+serve, not
+# a hidden median (round-9 verdict item 1b).
+BUILD_SECONDS: dict[str, float] = {}
 
 
 def staged_index_dir(
@@ -64,8 +72,13 @@ def write_staged(final: str, write_fn) -> None:
     tmp = os.path.join(
         os.path.dirname(final), f"tmp_{uuid.uuid4().hex[:8]}"
     )
+    t0 = time.time()
     try:
         write_fn(tmp)
+        tag = os.path.basename(os.path.dirname(final))
+        BUILD_SECONDS[tag] = round(
+            BUILD_SECONDS.get(tag, 0.0) + (time.time() - t0), 3
+        )
         with open(os.path.join(tmp, "_DONE"), "w") as fh:
             fh.write("ok\n")
     except BaseException:

@@ -744,15 +744,15 @@ def q_graph_scc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     certificate terminates at h=3 here, and scc_exact == scc_bounded
     on the driver tables while diverging on a 10-cycle).
 
-    Serving shape: labels come from the staged SCC table
-    (operators/analytics.scc_stage — contraction rounds run once per
-    corpus, persisted, shared with the condensation entry), the way
-    a graph platform maintains component labels as a table."""
-    from ..operators.analytics import scc_stage
+    The contraction rounds run IN-PLAN inside the timed query: the
+    labels are this entry's declared output, so persisting them and
+    re-reading would be result caching, not serving (round-9 verdict
+    item 2 — the round-9 scc_stage read is unwound here)."""
+    from ..operators.analytics import scc_exact
 
     nodes, _, edges = model(spark, sf_dir)
-    return scc_stage(
-        spark, nodes.select("id"), edges, sf_dir, initial_hops=SCC_HOPS
+    return scc_exact(
+        nodes.select("id"), edges, initial_hops=SCC_HOPS
     )
 
 
@@ -798,14 +798,17 @@ def q_graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     any digraph — the bounded-witness caveat is gone.
 
     Scale shape: two broadcast-eligible label joins onto the edge
-    list + one map-side-combinable count, served from the staged SCC
-    label table (scc_stage — shared with graph_scc_exact, so the
-    contraction rounds run once per corpus, not per analysis)."""
-    from ..operators.analytics import scc_stage
+    list + one map-side-combinable count. The label table is
+    computed IN-PLAN by the contraction rounds (scc_exact returns an
+    eagerly checkpointed frame, so the two joins below reference the
+    materialized labels, not the lineage) — labels are another
+    entry's declared output, so reading a persisted copy would be
+    result caching (round-9 verdict item 2)."""
+    from ..operators.analytics import scc_exact
 
     nodes, _, edges = model(spark, sf_dir)
-    labels = scc_stage(
-        spark, nodes.select("id"), edges, sf_dir, initial_hops=SCC_HOPS
+    labels = scc_exact(
+        nodes.select("id"), edges, initial_hops=SCC_HOPS
     )
     ls = labels.select(
         F.col("id").alias("__s"), F.col("scc_id").alias("src_scc")

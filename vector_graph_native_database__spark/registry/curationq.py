@@ -30,15 +30,18 @@ MMR_LAM = 0.75  # 1 − λ = 0.25 exactly, identical in both engines
 
 
 def q_dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster assignment served from the staged cluster
-    table (operators/curation.cluster_stage): band+verify+components
-    run ONCE per (corpus, threshold) and every audit consumer reads
-    the persisted assignment — the production shape, where the dedup
-    pass ships its cluster table next to the corpus.
-    dedup_cluster_from_pairs is the charged-end-to-end twin that
-    prices the build inside the entry; identical oracle."""
+    """Duplicate-cluster assignment computed IN-PLAN:
+    band+verify+components run inside the timed query. The only
+    staged input is the MinHash INDEX (shingles + signatures — the
+    round-8-mandated shared index, consumed by many different
+    queries); the (id, cluster, keep) assignment is this entry's own
+    declared output, so persisting and re-reading it would be result
+    caching, not index serving (round-9 verdict item 2 — the round-9
+    cluster_stage read is unwound here, for this entry and every
+    audit consumer)."""
     nodes, _, _ = model(spark, sf_dir)
-    return curation.cluster_stage(spark, nodes, sf_dir, threshold=0.8)
+    idx = dedup.minhash_index_stage(spark, nodes, sf_dir)
+    return curation.dedup_cluster_assign(nodes, threshold=0.8, index=idx)
 
 
 def q_dedup_cluster_from_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,9 +65,14 @@ def q_dedup_cluster_from_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: cluster assignment × quality scoring → the
-    highest-quality representative of every duplicate cluster."""
+    highest-quality representative of every duplicate cluster. The
+    assignment is computed in-plan from the staged MinHash index
+    (round-9 verdict item 2: no persisted cluster-table reads)."""
     nodes, _, _ = model(spark, sf_dir)
-    clusters = curation.cluster_stage(spark, nodes, sf_dir, threshold=0.8)
+    idx = dedup.minhash_index_stage(spark, nodes, sf_dir)
+    clusters = curation.dedup_cluster_assign(
+        nodes, threshold=0.8, index=idx
+    )
     quality = text_analysis.quality_score(nodes)
     return curation.keep_best_per_cluster(clusters, quality)
 
@@ -173,20 +181,24 @@ def q_curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_curation_pipeline_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deployment twin of curation_pipeline_summary: the funnel's
-    most expensive artifact — the transitive near-dup assignment —
-    is read from the STAGED cluster table (cluster_stage: pairs +
-    component rounds run once per corpus and persist), and the
-    decontamination stage reads the staged k=3 shingles; the funnel
-    pays only its own gates and joins. Identical output (shared
-    oracle); at 100 TB these staged frames are the persisted tables
-    the production corpus build writes between its dedup and
-    packing phases. curation_pipeline_summary keeps the whole wave
-    as ONE lazy plan; dedup_cluster_from_pairs prices the pair
-    staging end-to-end."""
+    """Deployment twin of curation_pipeline_summary: the near-dup
+    PAIR frame is materialized once (eager localCheckpoint inside
+    the timed query — the dedup_cluster_from_pairs idiom) so the
+    pointer-jumping component rounds iterate over the materialized
+    pairs instead of re-deriving the band+verify chain per round;
+    the decontamination stage reads the staged k=3 shingles. The
+    cluster assignment itself is computed IN-PLAN (round-9 verdict
+    item 2: the persisted cluster-table read was result caching and
+    is unwound). Identical output (shared oracle);
+    curation_pipeline_summary keeps the whole wave as ONE lazy
+    plan."""
     nodes, _, _ = model(spark, sf_dir)
+    idx = dedup.minhash_index_stage(spark, nodes, sf_dir)
+    pairs = dedup.minhash_lsh_dedup(
+        nodes, threshold=0.8, index=idx
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     dropped = (
-        curation.cluster_stage(spark, nodes, sf_dir, threshold=0.8)
+        curation.cluster_from_pairs(pairs)
         .filter(F.col("keep") == 0)
         .select("id")
     )
@@ -885,9 +897,11 @@ def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     a dedup pass: the histogram says WHERE the removed tokens went.
     bucket = floor(log2(size)) as integer bit length — exact in both
     engines (the graph_degree_histogram idiom). One groupBy on the
-    audited cluster assignment, then a |buckets|-sized rollup."""
+    cluster assignment — computed in-plan from the staged MinHash
+    index (round-9 verdict item 2) — then a |buckets|-sized rollup."""
     nodes, _, _ = model(spark, sf_dir)
-    ca = curation.cluster_stage(spark, nodes, sf_dir, threshold=0.8)
+    idx = dedup.minhash_index_stage(spark, nodes, sf_dir)
+    ca = curation.dedup_cluster_assign(nodes, threshold=0.8, index=idx)
     sizes = ca.groupBy("cluster").agg(F.count("*").alias("size"))
     bucket = F.length(F.conv(F.col("size"), 10, 2)) - 1
     return (
@@ -1022,8 +1036,9 @@ def q_dedup_token_cost_by_source(
 
     nodes, _, _ = model(spark, sf_dir)
     tk = text_analysis.token_counts(nodes).select("id", "ws_tokens")
+    idx = dedup.minhash_index_stage(spark, nodes, sf_dir)
     dropped = (
-        curation.cluster_stage(spark, nodes, sf_dir, threshold=0.8)
+        curation.dedup_cluster_assign(nodes, threshold=0.8, index=idx)
         .filter(F.col("keep") == 0)
         .select("id", F.lit(1).alias("__d"))
     )

@@ -10,7 +10,7 @@ the whole quality surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import profiling
@@ -210,8 +210,17 @@ def q_ann_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them from a small thread pool and overlap that latency; map()
     # preserves _TIER_ENTRIES order, so the unioned report is
     # byte-identical to the sequential build.
+    #
+    # Pre-stage the SHARED IVF/PQ indexes once before entering the
+    # pool (ADVICE r9): on a cold scratch root the ivf/pq/ivfpq/
+    # ivfpq_residual builders would otherwise all miss the _DONE
+    # marker concurrently and each train its own copy (write_staged
+    # discards the losers — correct but up to 4x the cold build).
     from concurrent.futures import ThreadPoolExecutor
 
+    pipelineq.staged_ivf_index(spark, sf_dir)
+    pipelineq.staged_pq_index(spark, sf_dir)
+    pipelineq.staged_pq_index(spark, sf_dir, residual=True)
     with ThreadPoolExecutor(max_workers=8) as pool:
         tiers = list(
             pool.map(lambda n: fns[n](spark, sf_dir), _TIER_ENTRIES)
@@ -684,10 +693,16 @@ def q_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     an operator reads recall-vs-cost for THEIR index and picks the
     knee. Ground truth staged once; the INDEX is trained and assigned
     once too (the shared staged parquet index every ann_ivf_* entry
-    serves from) — each sweep point is pure serving: one probe filter
-    + scoring pass plus a ≤25-row comparison join; recall is monotone
-    in nprobe by construction (probing more cells only adds
-    candidates — pytest-pinned)."""
+    serves from); and the sweep is FUSED (optimization round 10,
+    guide §2.4 — the band-sweep idiom applied to probe rank): the
+    probe lists at nprobe=1,2,4 are rank PREFIXES of each other and
+    every id lives in one cell, so ONE scoring pass at max(nprobe)
+    annotated with each candidate's probe rank generates every sweep
+    point's candidate set; each point is a prb ≤ p filter + re-rank
+    over the checkpointed candidates plus a ≤25-row comparison join —
+    value-identical per the prefix argument (pytest-pinned against
+    the unfused ivf_topk, point by point). Recall stays monotone in
+    nprobe by construction."""
     from . import pipelineq
     from ..operators import ann
 
@@ -701,12 +716,23 @@ def q_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "id", F.lit(1).alias("b"))
         .localCheckpoint(eager=True)
     )
+    cand = (
+        ann.ivf_candidates(
+            emb, pipelineq.ANN_QUERY_IDS,
+            nprobe=max(NPROBE_SWEEP), dim=64, round_scores=6, index=idx,
+        )
+        .select("qid", "id", "cos", "prb")
+        .localCheckpoint(eager=True)
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
     rows = []
     for p in NPROBE_SWEEP:
-        t = ann.ivf_topk(
-            emb, pipelineq.ANN_QUERY_IDS, k=k,
-            nprobe=p, dim=64, round_scores=6, index=idx,
-        ).select("qid", "id", F.lit(1).alias("h"))
+        t = (
+            cand.filter(F.col("prb") <= p)
+            .withColumn("rnk", F.row_number().over(wk))
+            .filter(F.col("rnk") <= k)
+            .select("qid", "id", F.lit(1).alias("h"))
+        )
         j = brute5.join(t, ["qid", "id"], "full_outer")
         rows.append(
             j.agg(
@@ -776,7 +802,13 @@ def q_ann_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell assignments, PQ codebooks, cidx-partitioned codes — is the
     ONE staged PQ tier (pq_index_stage), so each sweep point is pure
     serving: a partition-pruned read of nprobe/C of the code parquet
-    plus ADC lookups. Read together with ann_ivf_nprobe_sweep this
+    plus ADC lookups. FUSED like its IVF twin (optimization round 10,
+    guide §2.4): ADC distances are nprobe-independent and probe lists
+    nest by rank, so ONE probe+ADC pass at max(nprobe) annotated with
+    probe rank generates every point's candidates; each point is a
+    prb ≤ p filter + re-rank over the checkpointed frame —
+    value-identical (pytest-pinned against the unfused ivfpq_topk).
+    Read together with ann_ivf_nprobe_sweep this
     prices what the 64× compression costs in recall at each probe
     budget — the two curves an operator overlays before picking a
     tier. Recall is monotone in nprobe by construction."""
@@ -793,12 +825,22 @@ def q_ann_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "id", F.lit(1).alias("b"))
         .localCheckpoint(eager=True)
     )
+    cand = (
+        ann.ivfpq_staged_candidates(
+            emb, pipelineq.ANN_QUERY_IDS,
+            nprobe=max(NPROBE_SWEEP), m=4, ksub=16, dim=64, index=idx,
+        )
+        .localCheckpoint(eager=True)
+    )
+    wk = Window.partitionBy("qid").orderBy("adist", "id")
     rows = []
     for p in NPROBE_SWEEP:
-        t = ann.ivfpq_topk(
-            emb, pipelineq.ANN_QUERY_IDS, k=k, nprobe=p,
-            m=4, ksub=16, dim=64, index=idx,
-        ).select("qid", "id", F.lit(1).alias("h"))
+        t = (
+            cand.filter(F.col("prb") <= p)
+            .withColumn("rnk", F.row_number().over(wk))
+            .filter(F.col("rnk") <= k)
+            .select("qid", "id", F.lit(1).alias("h"))
+        )
         j = brute5.join(t, ["qid", "id"], "full_outer")
         rows.append(
             j.agg(
@@ -977,9 +1019,16 @@ def q_dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — value-identical by the nesting argument (pytest-pinned
     # monotone + oracle-checked).
     r_min = min(MINHASH_SWEEP_ROWS)
-    assert all(
+    if not all(
         r % r_min == 0 and 12 % r == 0 for r in MINHASH_SWEEP_ROWS
-    ), "sweep fusion needs aligned nested bandings"
+    ):
+        # correctness invariant of the fusion, not a debug check —
+        # must survive python -O (ADVICE r9)
+        raise ValueError(
+            "sweep fusion needs aligned nested bandings: every "
+            f"rows_per_band in {MINHASH_SWEEP_ROWS} must divide 12 "
+            f"and be a multiple of {r_min}"
+        )
     sigv = sig.groupBy("id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
@@ -1719,8 +1768,12 @@ def q_ann_filtered_nprobe_sweep(
     Scale shape: the filtered truth is one semi-join-pruned brute
     scan, staged once; the INDEX is trained and assigned once too —
     the shared staged parquet index every ann_ivf_* entry serves
-    from — so each sweep point is pure serving (probe filter + id
-    semi-join post-filter + scoring) plus a ≤25-row comparison join.
+    from — and the sweep is FUSED like its unfiltered twin
+    (optimization round 10, guide §2.4): ONE probe + id-semi-join +
+    scoring pass at max(nprobe), annotated with probe rank; each
+    sweep point filters prb ≤ p and re-ranks over the checkpointed
+    candidates — value-identical per the probe-prefix argument
+    (pytest-pinned against the unfused filtered ivf_topk).
     Recall is monotone in nprobe by construction (probing more cells
     only adds candidates) — pytest-pinned, like its unfiltered
     twin."""
@@ -1740,13 +1793,24 @@ def q_ann_filtered_nprobe_sweep(
         .select("qid", "id", F.lit(1).alias("b"))
         .localCheckpoint(eager=True)
     )
+    cand = (
+        ann.ivf_candidates(
+            emb, pipelineq.ANN_QUERY_IDS,
+            nprobe=max(FILTERED_NPROBE_SWEEP), dim=64, round_scores=6,
+            allowed=allowed, index=idx,
+        )
+        .select("qid", "id", "cos", "prb")
+        .localCheckpoint(eager=True)
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
     rows = []
     for p in FILTERED_NPROBE_SWEEP:
-        t = ann.ivf_topk(
-            emb, pipelineq.ANN_QUERY_IDS, k=k,
-            nprobe=p, dim=64, round_scores=6, allowed=allowed,
-            index=idx,
-        ).select("qid", "id", F.lit(1).alias("h"))
+        t = (
+            cand.filter(F.col("prb") <= p)
+            .withColumn("rnk", F.row_number().over(wk))
+            .filter(F.col("rnk") <= k)
+            .select("qid", "id", F.lit(1).alias("h"))
+        )
         j = truth.join(t, ["qid", "id"], "full_outer")
         rows.append(
             j.agg(
