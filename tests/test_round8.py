@@ -159,11 +159,17 @@ def test_ivfpq_nprobe_sweep_recall_monotone_and_staged(spark):
         <= rows[4]["recall_at_k"]
     )
     assert rows[4]["recall_at_k"] > 0
-    # every sweep point serves from the staged PQ tier: zero in-plan
-    # trainings, >= one staged-index read per point
+    # since round 10 the sweep is FUSED: one staged-tier ADC pass at
+    # max(nprobe) is checkpointed and each point filters it by probe
+    # rank — zero in-plan trainings, zero staged-index scans in the
+    # final plan (the serving pass ran once, pre-checkpoint), one
+    # checkpoint scan per point
     p = plan_string(df)
     assert "posexplode" not in p
-    assert p.count("pq_index") >= 3
+    assert "pq_index" not in p, "ADC pass must run once, pre-checkpoint"
+    assert p.count("Scan ExistingRDD") >= 4, (
+        "each sweep point must read the staged candidates (+ truth)"
+    )
 
 
 @pytest.mark.parametrize(

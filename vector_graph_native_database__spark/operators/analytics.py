@@ -141,6 +141,15 @@ def connected_components(
     symmetrized edge set, then one pointer-jumping step
     (label ← label(label)), giving O(log diameter) convergence.
     Terminates early when a round changes nothing.
+
+    Per-round cost is TWO jobs: the eager checkpoint (which carries a
+    fused ``__chg`` flag — the comparison against the previous
+    round's labels rides the same shuffle) and a narrow
+    ``filter(__chg).take(1)`` over the checkpointed partitions. The
+    change check used to be its own join job per round; for the
+    small pair graphs the dedup/curation family feeds through here,
+    that extra job per round was the dominant cost (optimization
+    round 10, guide §2.4 — fewer passes, same values).
     """
     sym = (
         edges.select("src", "dst")
@@ -163,9 +172,14 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
-        # pointer jump: follow the label one more step
+        # pointer jump: follow the label one more step; carry the
+        # old label alongside so the convergence check needs no
+        # second join job over the result
         lab2 = hop.select(
             F.col("id").alias("__lid"), F.col("component").alias("__lcomp")
+        )
+        old = labels.select(
+            F.col("id").alias("__oid"), F.col("component").alias("__ocomp")
         )
         jumped = (
             hop.join(lab2, hop["component"] == lab2["__lid"], "left_outer")
@@ -175,15 +189,20 @@ def connected_components(
                     F.col("component"), F.coalesce("__lcomp", F.col("component"))
                 ).alias("component"),
             )
+            .join(old, F.col("id") == F.col("__oid"), "left_outer")
+            .select(
+                "id",
+                "component",
+                # null-safe: an id with no previous label (dangling
+                # edge endpoint) counts as changed
+                (~F.col("component").eqNullSafe(F.col("__ocomp"))).alias(
+                    "__chg"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .take(1)
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("__chg")).take(1)
+        labels = jumped.select("id", "component")
         if not changed:
             break
     return labels
@@ -1207,11 +1226,31 @@ def scc_bounded(
         F.col("v").alias("u"), F.col("u").alias("v")
     )
     mutual = reach.join(transpose, ["u", "v"], "left_semi")
-    comps = connected_components(
-        vertices,
-        mutual.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+    # The witness graph is tiny next to |V| (only nodes on bounded
+    # cycles appear), so run the component rounds over WITNESS
+    # vertices only and give every untouched vertex its identity
+    # label with one left join — value-identical to CC over all
+    # vertices (an isolated vertex's component is its own id), but
+    # the per-round shuffles are witness-sized, not |V|-sized
+    # (optimization round 10, guide §2.4).
+    wverts = (
+        mutual.select(F.col("u").alias("id"))
+        .union(mutual.select(F.col("v").alias("id")))
+        .distinct()
     )
-    return comps.select("id", F.col("component").alias("scc_id"))
+    comps = connected_components(
+        wverts,
+        mutual.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+    ).select(F.col("id").alias("__wid"), "component")
+    return (
+        vertices.join(
+            comps, vertices["id"] == F.col("__wid"), "left_outer"
+        )
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("scc_id"),
+        )
+    )
 
 
 def scc_exact(
@@ -1274,7 +1313,14 @@ def scc_exact(
         "id", F.col("id").alias("lbl")
     ).localCheckpoint(eager=True)
     h = initial_hops
-    n_current = vertices.count()
+
+    def _n_current() -> int:
+        # supernode count, needed ONLY by the pigeonhole stop on a
+        # no-witness round — computed on demand instead of once per
+        # round (at round 0 distinct lbl = |V|, after a contraction
+        # it is the contracted-graph size, exactly what the old
+        # per-round count maintained)
+        return labels.select("lbl").distinct().count()
 
     for _ in range(max_rounds):
         # forward closure to <= h hops by relation doubling
@@ -1298,10 +1344,16 @@ def scc_exact(
         transpose = reach.select(
             F.col("v").alias("u"), F.col("u").alias("v")
         )
-        mutual = reach.join(transpose, ["u", "v"], "left_semi")
+        # materialized once: consumed by the emptiness check, the
+        # witness-vertex frame AND the component pass — lazily each
+        # re-ran the semi-join over the checkpointed closure
+        mutual = (
+            reach.join(transpose, ["u", "v"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
 
         if mutual.isEmpty():
-            if h >= n_current:
+            if h >= _n_current():
                 break  # pigeonhole: no cycle can exceed |V| <= h
             key = labels.groupBy("lbl").agg(
                 F.min(F.col("id").cast("long")).alias("k")
@@ -1323,27 +1375,40 @@ def scc_exact(
             h *= 2
             continue
 
-        # contract the witness components
+        # contract the witness components. The component rounds run
+        # over WITNESS vertices only (nodes on ≤h-hop cycles — tiny
+        # next to the contracted graph); labels/edges not touched by
+        # any witness keep their current value via left joins —
+        # value-identical to CC over every supernode (an isolated
+        # vertex's component is its own id), with witness-sized
+        # per-round shuffles (optimization round 10, guide §2.4).
+        wverts = (
+            mutual.select(F.col("u").alias("id"))
+            .union(mutual.select(F.col("v").alias("id")))
+            .distinct()
+        )
         sup = connected_components(
-            labels.select(F.col("lbl").alias("id")).distinct(),
+            wverts,
             mutual.select(F.col("u").alias("src"), F.col("v").alias("dst")),
         ).select(F.col("id").alias("__l"), F.col("component").alias("__c"))
         labels = (
-            labels.join(sup, labels["lbl"] == sup["__l"])
-            .select("id", F.col("__c").alias("lbl"))
+            labels.join(sup, labels["lbl"] == sup["__l"], "left_outer")
+            .select("id", F.coalesce("__c", "lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
         rs = sup.select(F.col("__l").alias("__s"), F.col("__c").alias("cs"))
         rd = sup.select(F.col("__l").alias("__d"), F.col("__c").alias("cd"))
         e = (
-            e.join(rs, e["src"] == rs["__s"])
-            .join(rd, e["dst"] == rd["__d"])
-            .select(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+            e.join(rs, e["src"] == rs["__s"], "left_outer")
+            .join(rd, e["dst"] == rd["__d"], "left_outer")
+            .select(
+                F.coalesce("cs", "src").alias("src"),
+                F.coalesce("cd", "dst").alias("dst"),
+            )
             .filter(F.col("src") != F.col("dst"))
             .distinct()
             .localCheckpoint(eager=True)
         )
-        n_current = labels.select("lbl").distinct().count()
     else:
         raise RuntimeError(
             f"scc_exact: exactness not established within {max_rounds} "

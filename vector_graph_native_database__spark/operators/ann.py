@@ -328,16 +328,24 @@ def ivf_centroids(
             .groupBy("id")
             .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("cidx"))
         )
+        # element-wise mean as ``dim`` per-component aggregates over
+        # ONE cidx-keyed shuffle — the posexplode → per-(cidx, pos)
+        # mean → re-collect chain cost two exchanges and a dim×
+        # row blow-up per round (optimization round 10, guide §2.3).
+        # Same doubles per component (each mean sums the same values;
+        # the 6dp rounding absorbs summation-order differences, the
+        # property the DuckDB oracle replay already relies on).
         centroids = (
             assign.join(e, "id")
-            .select("cidx", F.posexplode("vector").alias("pos", "val"))
-            .groupBy("cidx", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("m"))
             .groupBy("cidx")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
+                F.array(
+                    *[
+                        F.round(
+                            F.avg(F.element_at(F.col("vector"), i + 1)), 6
+                        )
+                        for i in range(dim)
+                    ]
                 ).alias("cvec")
             )
         )
@@ -706,16 +714,20 @@ def pq_train(
             .groupBy("id", "sm")
             .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("cidx"))
         )
+        # per-component aggregate means over one (sm, cidx)-keyed
+        # shuffle — same reshape as ivf_centroids (guide §2.3); the
+        # 6dp rounding absorbs summation-order differences exactly as
+        # the oracle replay already assumes.
+        sub = dim // m
         centroids = (
             assign.join(e, ["id", "sm"])
-            .select("sm", "cidx", F.posexplode("sv").alias("pos", "val"))
-            .groupBy("sm", "cidx", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("mv"))
             .groupBy("sm", "cidx")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
-                    lambda s: s["mv"],
+                F.array(
+                    *[
+                        F.round(F.avg(F.element_at(F.col("sv"), i + 1)), 6)
+                        for i in range(sub)
+                    ]
                 ).alias("cvec")
             )
         )
@@ -879,7 +891,7 @@ def ivfpq_topk(
         )
     stage = (
         (lambda d: d.localCheckpoint(eager=True))
-        if stage_index and index is None
+        if stage_index
         else (lambda d: d)
     )
     # coarse: train, assign every vector to its cell, pick each
@@ -889,20 +901,59 @@ def ivfpq_topk(
         .select(F.col("node_id").alias("id"), "vector")
         .withColumn("vv", dot("vector", "vector"))
     )
-    cf = stage(
-        ivf_centroids(emb, n_centroids, iters, dim).withColumn(
-            "cc", dot("cvec", "cvec")
+    es = _subvectors(emb, m, dim)
+
+    def _coarse_chain() -> tuple[DataFrame, DataFrame]:
+        cf = stage(
+            ivf_centroids(emb, n_centroids, iters, dim).withColumn(
+                "cc", dot("cvec", "cvec")
+            )
         )
-    )
-    af = stage(
-        e.crossJoin(F.broadcast(cf))
-        .withColumn(
-            "dist",
-            F.col("vv") + F.col("cc") - 2 * dot("vector", "cvec"),
+        af = stage(
+            e.crossJoin(F.broadcast(cf))
+            .withColumn(
+                "dist",
+                F.col("vv") + F.col("cc") - 2 * dot("vector", "cvec"),
+            )
+            .groupBy("id")
+            .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("cidx"))
         )
-        .groupBy("id")
-        .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("cidx"))
-    )
+        return cf, af
+
+    def _pq_chain() -> tuple[DataFrame, DataFrame]:
+        cb = stage(
+            pq_train(emb, m, ksub, iters, dim).withColumn(
+                "cc", dot("cvec", "cvec")
+            )
+        )
+        codes = stage(
+            es.join(F.broadcast(cb), "sm")
+            .withColumn(
+                "dist", F.col("vv") + F.col("cc") - 2 * dot("sv", "cvec")
+            )
+            .groupBy("id", "sm")
+            .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("code"))
+        )
+        return cb, codes
+
+    if stage_index:
+        # The coarse chain (ivf_centroids -> assignment) and the PQ
+        # chain (pq_train -> codes) are INDEPENDENT eager builds;
+        # overlap them so one chain's stage tail back-fills the
+        # other's idle executors (guide §2.6 — the tier-report
+        # thread-pool idiom). Each frame is deterministic, so the
+        # overlapped build is value-identical to the sequential one.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_coarse = pool.submit(_coarse_chain)
+            fut_pq = pool.submit(_pq_chain)
+            cf, af = fut_coarse.result()
+            cb, codes = fut_pq.result()
+    else:
+        cf, af = _coarse_chain()
+        cb, codes = _pq_chain()
+
     qv = e.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("qid"), F.col("vector").alias("qvec"), "vv"
     )
@@ -917,27 +968,12 @@ def ivfpq_topk(
         .select("qid", "cidx")
     )
 
-    # fine: PQ codes + per-query ADC tables (pq_topk's frames)
-    es = _subvectors(emb, m, dim)
     # the per-query candidate id set: vectors assigned to probed
     # cells. |probes| = |queries|·nprobe — always broadcastable.
     sel = (
         af.join(F.broadcast(probes), "cidx")
         .filter(F.col("id") != F.col("qid"))
         .select("qid", "id")
-    )
-    cb = stage(
-        pq_train(emb, m, ksub, iters, dim).withColumn(
-            "cc", dot("cvec", "cvec")
-        )
-    )
-    codes = stage(
-        es.join(F.broadcast(cb), "sm")
-        .withColumn(
-            "dist", F.col("vv") + F.col("cc") - 2 * dot("sv", "cvec")
-        )
-        .groupBy("id", "sm")
-        .agg(F.min_by("cidx", F.struct("dist", "cidx")).alias("code"))
     )
     q = es.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("qid"),

@@ -87,21 +87,31 @@ def exact_dedup_groups(
 def minhash_signatures(
     sh: DataFrame, num_perms: int = 12
 ) -> DataFrame:
-    """(id, shingle) → (id, perm, minhash) via salted stable hashes."""
-    perms = sh.sparkSession.range(num_perms).select(
-        F.col("id").cast("int").alias("perm")
+    """(id, shingle) → (id, perm, minhash) via salted stable hashes.
+
+    One pass: all ``num_perms`` salted-hash minima are computed as
+    per-permutation aggregates over a single id-keyed shuffle, then
+    unpivoted to the (id, perm, minhash) grain. The former
+    perm-crossJoin shape materialized num_perms× the shingle rows
+    before the aggregation (optimization round 10, guide §2.3 —
+    same md5 count, num_perms× fewer rows through the exchange).
+    Values are identical: min over the same salted 60-bit hashes,
+    salt string ``f"{perm}|"`` unchanged.
+    """
+    wide = sh.groupBy("id").agg(
+        *[
+            F.min(
+                stable_hash60(F.concat(F.lit(f"{p}|"), F.col("shingle")))
+            ).alias(f"__m{p}")
+            for p in range(num_perms)
+        ]
     )
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .withColumn(
-            "h",
-            stable_hash60(
-                F.concat(F.col("perm").cast("string"), F.lit("|"), "shingle")
-            ),
-        )
-        .groupBy("id", "perm")
-        .agg(F.min("h").alias("minhash"))
-    )
+    return wide.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.col(f"__m{p}") for p in range(num_perms)])
+        ).alias("perm", "minhash"),
+    ).select("id", F.col("perm").cast("int").alias("perm"), "minhash")
 
 
 def shingle_stage(
@@ -1216,25 +1226,24 @@ def jaccard_prefix_filter_report(
         "id", "shingle"
     )
 
-    def pair_count(post: DataFrame) -> DataFrame:
-        a = post.select(F.col("id").alias("id_a"), "shingle")
-        b = post.select(F.col("id").alias("id_b"), "shingle")
-        return (
-            a.join(b, "shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-            .agg(F.count("*").alias("cnt"))
-        )
-
+    # ONE posting self-join + (id_a, id_b) count aggregation feeds
+    # BOTH n_pairs_full (its row count — a row per distinct
+    # co-occurring pair, exactly what the old distinct-count pass
+    # recomputed) and the verified-match filter (optimization round
+    # 10, guide §2.4: the full posting join is the report's dominant
+    # cost and ran twice). The three consumers sit in one plan over
+    # the identical aggregation subtree, so Spark's exchange reuse
+    # executes the join once.
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
+    pair_c = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("c"))
-        .join(
+    )
+    inter = (
+        pair_c.join(
             sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")),
             "id_a",
         )
@@ -1260,8 +1269,7 @@ def jaccard_prefix_filter_report(
     )
     n_matches = inter.agg(F.count("*").alias("cnt"))
     return (
-        pair_count(sh)
-        .select(F.col("cnt").alias("n_pairs_full"))
+        pair_c.agg(F.count("*").alias("n_pairs_full"))
         .crossJoin(
             F.broadcast(
                 cand_prefix.agg(
