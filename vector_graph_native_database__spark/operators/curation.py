@@ -425,6 +425,12 @@ def _power_direction(emb, dim, iterations):
                 *[F.sum(F.col("xc")[i] * F.col("s")) for i in range(dim)]
             ).alias("p")
         )
+        # v stays LAZY: each round's 1-row direction is a broadcast
+        # subquery of the next round's pass, so the 5 rounds execute
+        # as ONE chained job instead of 5 driver-serialized
+        # checkpoint jobs (measured equal-or-faster, identical
+        # doubles — optimization round 10, guide §2.6). The heavy
+        # frame (xc) stays eagerly checkpointed above.
         v = (
             p.select(
                 "p",
@@ -437,7 +443,6 @@ def _power_direction(emb, dim, iterations):
             .select(
                 F.transform("p", lambda e: e / F.col("nrm")).alias("varr")
             )
-            .localCheckpoint(eager=True)
         )
     return xc, v
 

@@ -388,9 +388,31 @@ def q_ann_ivf_streamed_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node_id", "vector", F.lit(2).cast("long").alias("seq")
         ),
     ]
-    for b in batches:
-        b.write.mode("append").parquet(src)
-        incremental_vector_maintenance(spark, src, schema, state, ckpt)
+    # Overlap batch i+1's parquet append with batch i's replay
+    # (guide §2.6 — the tier-report thread-pool idiom): the replay's
+    # awaitTermination used to serialize three write→replay rounds.
+    # The final state is unchanged whichever replay's file listing
+    # picks a file up: seqs are monotone across batches and the
+    # maintenance reduce is max_by(seq) within batch + latest-wins
+    # upsert across batches, so early/late-landing rows commute; the
+    # checkpoint guarantees each file is processed exactly once, and
+    # the oracle pins the output.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(
+            batches[0].write.mode("append").parquet, src
+        )
+        for i in range(len(batches)):
+            fut.result()
+            fut = (
+                pool.submit(
+                    batches[i + 1].write.mode("append").parquet, src
+                )
+                if i + 1 < len(batches)
+                else None
+            )
+            incremental_vector_maintenance(spark, src, schema, state, ckpt)
     maintained = read_state(spark, state)
     return ann.ivf_topk(
         maintained, ANN_QUERY_IDS, k=5, n_centroids=8, iters=2,
