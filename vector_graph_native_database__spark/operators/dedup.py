@@ -1231,13 +1231,15 @@ def jaccard_prefix_filter_report(
     # co-occurring pair, exactly what the old distinct-count pass
     # recomputed) and the verified-match filter (optimization round
     # 10, guide §2.4: the full posting join is the report's dominant
-    # cost and ran twice). Eagerly checkpointed so the three
-    # consumers read the materialized pair frame — the same shape as
-    # the oracle's MATERIALIZED `inter` CTE. (The dense-GEMM twin the
-    # round-9 verdict suggested for this exact side was measured and
-    # rejected: the k=3 vocabulary is ~27k shingles at sf0.1 — far
-    # above the closed-vocabulary regime where the blocked product
-    # beats rare-shingle posting pruning.)
+    # cost and ran twice). Kept LAZY: an eager checkpoint of the pair
+    # frame was measured 2s SLOWER in the one-shot bench context (it
+    # serializes the materialization that the in-plan consumers
+    # otherwise overlap across the executor pool; AQE's stage reuse
+    # already dedups the identical aggregation exchange). (The
+    # dense-GEMM twin the round-9 verdict suggested for this exact
+    # side was measured and rejected: the k=3 vocabulary is ~27k
+    # shingles at sf0.1 — far above the closed-vocabulary regime
+    # where the blocked product beats rare-shingle posting pruning.)
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     pair_c = (
@@ -1245,7 +1247,6 @@ def jaccard_prefix_filter_report(
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)
     )
     inter = (
         pair_c.join(
